@@ -1,0 +1,84 @@
+"""Fixture-table IO.
+
+The reference's sources are a REST API + MongoDB collections
+(SURVEY §2.1 S1–S2); here the engine's sources are columnar scans of
+the driver's synthetic star schema (TESTDATA.md). Everything goes
+through ``spark.read.parquet`` so Catalyst gets predicate pushdown,
+column pruning and partition planning for free — at 100 TB these
+scans are the single biggest lever, so nothing below ever collects,
+infers schemas row-wise, or reads more columns than the query needs
+(callers ``select`` immediately; pruning reaches the scan).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Every synthetic table the driver generates (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _pin_timestamp_confs(spark: SparkSession) -> None:
+    """Make parquet timestamps engine-portable.
+
+    * ``events.parquet`` stores TIMESTAMP(NANOS); Spark has no nanos
+      type, so read as LONG and rebuild microsecond timestamps.
+    * The other tables store TIMESTAMP(MILLIS, isAdjustedToUTC=false),
+      which Spark 4 infers as TIMESTAMP_NTZ; we want session-TZ (UTC)
+      timestamps so epoch math matches DuckDB's UTC-naive reads.
+
+    Runtime SQL confs — safe to set on any session, including the
+    driver's.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Epoch math must agree with DuckDB's UTC-naive reads even when the
+    # caller's session (e.g. the driver's) didn't pin a time zone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table (columnar, pushdown-capable)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _pin_timestamp_confs(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # nanos→micros: integer DIV keeps 2^63-scale values exact
+        # (double division would lose precision past 2^53).
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Scan all fixture tables → {name: DataFrame}."""
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Scan all tables and register each as a temp view (SQL surface)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

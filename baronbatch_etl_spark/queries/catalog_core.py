@@ -1,0 +1,421 @@
+"""Core catalog — flagship query, projections/filters (SURVEY §2.2),
+scalar functions (SURVEY §2.8) over the synthetic star schema.
+
+Column mapping (FIXTURES.md §C): `customer` stands in for the
+`summoners` dim, `orders`/`events` for `matches_clean` facts,
+`o_orderstatus`/`event_type` for the win/champion categoricals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from baronbatch_etl_spark.functions.scalars import (
+    cond_flag,
+    cs_per_min,
+    epoch_ms_to_ddmm,
+    map_lookup_with_default,
+    norm_nfkc,
+    round_half_up,
+    safe_div_kda,
+    split_name_tag,
+    sql_round,
+)
+from baronbatch_etl_spark.io import load_table
+from baronbatch_etl_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# Flagship — the §3.3 stats read path: per-user newest-N facts →
+# per-category rollup → derived ratio metrics → ranked output.
+# Reference shape: api_service/main.py:311-373 (sort desc, limit 300,
+# champion rollup, avg_kda/winrate derivation).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_player_stats",
+    oracle="""
+WITH recent AS (
+    SELECT o_custkey, o_orderstatus, o_orderpriority, o_totalprice
+    FROM (
+        SELECT o.*, row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders o
+    ) WHERE rn <= 300
+), per AS (
+    SELECT o_custkey, o_orderstatus,
+           count(*) AS games,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec
+    FROM recent GROUP BY o_custkey, o_orderstatus
+)
+SELECT c.c_custkey, c.c_name, p.o_orderstatus, p.games, p.urgent,
+       CAST(p.total_dec AS DOUBLE) AS total_spend,
+       {avg_spend} AS avg_spend,
+       {urgent_rate} AS urgent_rate
+FROM per p JOIN customer c ON p.o_custkey = c.c_custkey
+""".format(
+        avg_spend=sql_round("CAST(p.total_dec AS DOUBLE) / p.games", 2),
+        urgent_rate=sql_round("p.urgent * 100.0 / p.games", 1),
+    ),
+    tags=("flagship", "window", "agg", "join"),
+)
+def flagship_player_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newest-300-per-user rollup with derived metrics (§3.3 read path).
+
+    Scale notes: the window shuffles once on the fact key; the dim
+    join is an explicit broadcast (summoners-sized dim, J1); sums run
+    in DECIMAL so results are order-independent across executors.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    recent = (
+        orders.select(
+            "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice",
+            "o_orderdate", "o_orderkey",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 300)
+    )
+    per = recent.groupBy("o_custkey", "o_orderstatus").agg(
+        F.count("*").alias("games"),
+        F.sum(cond_flag(F.col("o_orderpriority") == "1-URGENT"))
+        .cast("bigint")
+        .alias("urgent"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_dec"),
+    )
+    return (
+        per.join(F.broadcast(customer), per.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderstatus",
+            "games",
+            "urgent",
+            F.col("total_dec").cast("double").alias("total_spend"),
+            round_half_up(
+                F.col("total_dec").cast("double") / F.col("games"), 2
+            ).alias("avg_spend"),
+            round_half_up(F.col("urgent") * 100.0 / F.col("games"), 1).alias(
+                "urgent_rate"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 — column projection; Catalyst prunes the scan to two columns
+# (reference hand-writes the projection: api_service/main.py:100).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p1_projection",
+    oracle="SELECT c_custkey, c_name FROM customer",
+    tags=("projection",),
+)
+def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow projection — pruning reaches the parquet ReadSchema."""
+    return load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# P2 — equality predicate, pushed to the scan
+# (reference: find({"puuid": puuid}), transformer_loader/main.py:108).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p2_filter_eq",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_custkey = 42
+""",
+    tags=("filter",),
+)
+def p2_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-equality filter — PushedFilters: [EqualTo(o_custkey,42)]."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") == 42)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3 — anchored case-insensitive name lookup
+# (reference: ^re.escape(name)$ with options:i, api_service/main.py:190;
+# exact-anchored ⇒ equality on lowered strings).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p3_ci_name_lookup",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE lower(c_name) = lower('CUSTOMER#000000042')
+""",
+    tags=("filter", "string"),
+)
+def p3_ci_name_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive anchored match as lowered equality."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.lower(F.col("c_name")) == F.lower(F.lit("CUSTOMER#000000042")))
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 — membership / anti-membership (reference $in/$nin,
+# api_service/main.py:221-223). Literal lists stay `isin`; at scale a
+# key set becomes a broadcast semi/anti join (see catalog_joins.j3).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p4_membership",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE c_nationkey NOT IN (1, 3, 5, 7, 11, 13)
+""",
+    tags=("filter",),
+)
+def p4_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-membership on a literal key list."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(~F.col("c_nationkey").isin(1, 3, 5, 7, 11, 13))
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1/F3/F5/F19/F20 — string function battery over the dim table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f_string_ops",
+    oracle="""
+SELECT c_custkey,
+       split_part(c_name, '#', 1) AS game_name,
+       CASE WHEN strpos(c_name, '#') > 0
+            THEN split_part(c_name, '#', -1) ELSE '' END AS tag,
+       upper(c_mktsegment) AS seg_upper,
+       lower(c_name) AS name_lower,
+       substr(c_name, 1, 10) AS name_prefix,
+       replace(c_name, '0', '') AS name_nozero,
+       (strpos(c_name, '42') > 0) AS has_42
+FROM customer
+""",
+    tags=("string",),
+)
+def f_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split '#', upper/lower, substring, strip-chars, contains
+    (SURVEY F1, F3, F5, F19, F20)."""
+    c = load_table(spark, sf_dir, "customer")
+    game_name, tag = split_name_tag("c_name")
+    return c.select(
+        "c_custkey",
+        game_name.alias("game_name"),
+        tag.alias("tag"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.substring("c_name", 1, 10).alias("name_prefix"),
+        F.regexp_replace("c_name", "0", "").alias("name_nozero"),
+        F.col("c_name").contains("42").alias("has_42"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2/F4 — riot-id recompose + NFKC normalization (the one pandas UDF).
+# Oracle: for ASCII inputs NFKC+casefold ≡ lower, so DuckDB can check it.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f_norm_concat",
+    oracle="""
+SELECT c_custkey,
+       concat(split_part(c_name, '#', 1), '#', split_part(c_name, '#', -1)) AS riot_id,
+       trim(lower(c_name)) AS name_norm
+FROM customer
+""",
+    tags=("string", "udf"),
+)
+def f_norm_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat_ws('#') recompose (F2) + NFKC fold UDF (F4)."""
+    c = load_table(spark, sf_dir, "customer")
+    game_name, tag = split_name_tag("c_name")
+    return c.select(
+        "c_custkey",
+        F.concat_ws("#", game_name, tag).alias("riot_id"),
+        norm_nfkc(F.col("c_name")).alias("name_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9–F12 — derived metric battery: safe-div, guarded rate, round,
+# conditional flag (transformer_loader/main.py:148-157).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f_derived_metrics",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       {kda} AS kda,
+       CASE WHEN l_quantity > 0
+            THEN {rate} ELSE 0.0 END AS rate_per_min,
+       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_return
+FROM lineitem
+""".format(
+        kda=sql_round("(l_quantity + l_tax * 10) / greatest(1, l_linenumber - 1)", 2),
+        rate=sql_round("l_extendedprice / (l_quantity / 60.0)", 1),
+    ),
+    tags=("scalar",),
+)
+def f_derived_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KDA-style safe division (F9), zero-guarded rate (F10),
+    rounding (F11), boolean→1/0 (F12)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        safe_div_kda(
+            F.col("l_quantity"),
+            F.col("l_linenumber") - 1,
+            F.col("l_tax") * 10,
+        ).alias("kda"),
+        cs_per_min(F.col("l_extendedprice"), F.col("l_quantity")).alias(
+            "rate_per_min"
+        ),
+        cond_flag(F.col("l_returnflag") == "R").alias("is_return"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F13/F14/F15 — temporal: epoch-ms round-trip + dd/MM render.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f_date_ops",
+    oracle="""
+SELECT o_orderkey,
+       epoch_ms(o_orderdate) AS ts_ms,
+       strftime(o_orderdate, '%d/%m') AS ddmm,
+       CAST(year(o_orderdate) AS INT) AS yr
+FROM orders
+""",
+    tags=("temporal",),
+)
+def f_date_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """epoch-ms extraction and 'dd/MM' rendering (F13) in UTC."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.unix_millis("o_orderdate").alias("ts_ms"),
+        epoch_ms_to_ddmm(F.unix_millis("o_orderdate")).alias("ddmm"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F16/F17/P12 — higher-order array ops over the embedding column.
+# Sequential fold from 0.0 in both engines → bit-identical doubles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f_array_ops",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       len(list_filter(embedding, x -> x > 0)) AS pos_count,
+       list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))),
+         (acc, x) -> acc + x) AS head_sum
+FROM embeddings
+""",
+    tags=("array", "higher-order"),
+)
+def f_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size / filter / slice / aggregate over array<float> (F16–F17, P12)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("pos_count"),
+        F.aggregate(
+            F.slice("embedding", 1, 8),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double"),
+        ).alias("head_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F18/J6 — map-literal lookup with computed default
+# (queue-id→name, dashboard/app.py:191-196).
+# ---------------------------------------------------------------------------
+
+_EVENT_DISPLAY = [("click", "Click"), ("view", "View"), ("purchase", "Purchase")]
+
+
+@register(
+    "f_map_lookup",
+    oracle="""
+SELECT event_id,
+       CASE event_type
+            WHEN 'click' THEN 'Click'
+            WHEN 'view' THEN 'View'
+            WHEN 'purchase' THEN 'Purchase'
+            ELSE concat('Event ', event_type) END AS display
+FROM events
+""",
+    tags=("map",),
+)
+def f_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create_map literal lookup with fallthrough default (F18)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        map_lookup_with_default(
+            "event_type",
+            _EVENT_DISPLAY,
+            F.concat(F.lit("Event "), F.col("event_type")),
+        ).alias("display"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON handling — from_json with explicit schema on the props column
+# (reference parses JSON task payloads, api_service/main.py:158).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f_json_extract",
+    oracle="""
+SELECT event_id,
+       CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT) AS k
+FROM events
+""",
+    tags=("json",),
+)
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd from_json over a JSON string column."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json("props", "k BIGINT").getField("k").alias("k"),
+    )
