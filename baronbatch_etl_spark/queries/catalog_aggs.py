@@ -1,1 +1,308 @@
-"""catalog_aggs — filled in incrementally."""
+"""Aggregation catalog — SURVEY §2.4 A1–A8, plus the approx/statistical
+extras the reference lacks but Spark gives for free (§2.4 note).
+
+Determinism: grouped double sums go through DECIMAL (exact,
+order-independent across executors); collected lists are sort_array'd
+so hashing is stable; ratios divide exact values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from baronbatch_etl_spark.functions.scalars import (
+    cond_flag,
+    round_half_up,
+    sql_round,
+)
+from baronbatch_etl_spark.io import load_table
+from baronbatch_etl_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# A1 — duplicate finder: group → count → HAVING count>1 → collect ids
+# (the reference's one Mongo aggregate pipeline, api_service/main.py:225-229).
+# lineitem's (l_orderkey) groups with >1 line stand in for duplicate
+# matchIds; collected line numbers are sorted for stable hashing.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_dup_finder",
+    oracle="""
+SELECT l_orderkey, count(*) AS c,
+       list_sort(list(l_linenumber)) AS ids
+FROM lineitem
+GROUP BY l_orderkey
+HAVING count(*) > 1
+""",
+    tags=("agg", "having", "collect"),
+)
+def a1_dup_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy + count + collect_list + HAVING — dup detection shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("c"),
+            F.sort_array(F.collect_list("l_linenumber")).alias("ids"),
+        )
+        .filter(F.col("c") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — the incrementally-maintained (puuid × champion) aggregate
+# ($inc upsert, transformer_loader/main.py:184-190) recomputed as a
+# full grouped agg: games, wins, kda_sum per (user, category).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a2_grouped_rollup",
+    oracle="""
+SELECT user_id, event_type,
+       count(*) AS games,
+       CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY user_id, event_type
+""",
+    tags=("agg", "incremental"),
+)
+def a2_grouped_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy(user, category) with count / conditional sum / metric sum
+    — the batch recompute of the reference's `$inc` gold table (the
+    streaming update-mode variant lives in catalog_streaming)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("games"),
+        F.sum(cond_flag(F.col("value") > 100)).cast("bigint").alias("wins"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3+A4 — per-champion rollup with derived metrics (api_service/
+# main.py:340-358): games, wins, sums → avg_kda, winrate (rounded).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a3_champion_rollup",
+    oracle=f"""
+WITH g AS (
+    SELECT o_orderpriority AS champion,
+           count(*) AS games,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gold
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT champion, games, wins, gold,
+       {sql_round("gold / greatest(1, games)", 2)} AS avg_gold,
+       {sql_round("wins * 100.0 / games", 1)} AS winrate
+FROM g
+""",
+    tags=("agg", "derived"),
+)
+def a3_champion_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category rollup + post-agg derived columns (A3, A4): safe-div
+    average and percentage, both engine-portable rounded."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderpriority").alias("champion")).agg(
+        F.count("*").alias("games"),
+        F.sum(cond_flag(F.col("o_orderstatus") == "F")).cast("bigint").alias("wins"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("gold"),
+    )
+    return g.select(
+        "champion",
+        "games",
+        "wins",
+        "gold",
+        round_half_up(F.col("gold") / F.greatest(F.lit(1), F.col("games")), 2).alias(
+            "avg_gold"
+        ),
+        round_half_up(F.col("wins") * 100.0 / F.col("games"), 1).alias("winrate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — scalar aggregates: total games / conditional wins / win-rate
+# (dashboard/app.py:405-407) as a single-row frame.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a5_scalar_aggs",
+    oracle=f"""
+SELECT count(*) AS total_games,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS total_wins,
+       {sql_round("sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 100.0 / count(*)", 1)} AS winrate
+FROM orders
+""",
+    tags=("agg", "scalar"),
+)
+def a5_scalar_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global count, conditional count, ratio — one-row summary."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("total_games"),
+        F.sum(cond_flag(F.col("o_orderstatus") == "F"))
+        .cast("bigint")
+        .alias("total_wins"),
+        round_half_up(
+            F.sum(cond_flag(F.col("o_orderstatus") == "F"))
+            * 100.0
+            / F.count("*"),
+            1,
+        ).alias("winrate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — distinct (set() over names, api_service/main.py:101) + O3 sort.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a6_distinct_sorted",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    tags=("agg", "distinct"),
+)
+def a6_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct + lexicographic sort (A6/O3)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_mktsegment")
+        .distinct()
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — per-collection counts (README.md:103-104 ops checks).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a7_table_counts",
+    oracle="""
+SELECT 'customer' AS tbl, count(*) AS n FROM customer
+UNION ALL SELECT 'orders', count(*) FROM orders
+UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+UNION ALL SELECT 'events', count(*) FROM events
+""",
+    tags=("agg", "count"),
+)
+def a7_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count per table, unioned into one frame."""
+    parts = []
+    for t in ("customer", "orders", "lineitem", "events"):
+        parts.append(
+            load_table(spark, sf_dir, t).agg(
+                F.lit(t).alias("tbl"), F.count("*").alias("n")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# A8 — keep-first dedup (utils/clean_db.py:14-24): first-seen row wins.
+# Deterministic version: earliest (ts, event_id) per user survives —
+# dropDuplicates() alone is order-dependent, so the engine's canonical
+# form is the row_number()==1 window (same plan shape, stable result).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a8_keep_first_dedup",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM (
+    SELECT e.*, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events e
+) WHERE rn = 1
+""",
+    tags=("dedup", "window"),
+)
+def a8_keep_first_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first-seen dedup per key via row_number()==1."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extras the reference lacks (SURVEY §2.4 note): exact distinct counts,
+# cube/rollup grouping sets — free in Spark, graded as engine surface.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_count_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "distinct"),
+)
+def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi distinct-aggregate (expand-based plan in Spark)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+    )
+
+
+@register(
+    "a_rollup_hierarchy",
+    oracle="""
+SELECT coalesce(r_name, '(all)') AS grp_region,
+       coalesce(n_name, '(all)') AS grp_nation,
+       count(*) AS n,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    tags=("agg", "rollup"),
+)
+def a_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region→nation hierarchy; grouping-level nulls
+    normalized to '(all)' markers (dim names are never null) so the
+    levels hash identically across engines."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    base = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        base.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bal"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("(all)")).alias("grp_region"),
+            F.coalesce(F.col("n_name"), F.lit("(all)")).alias("grp_nation"),
+            "n",
+            "bal",
+        )
+    )
