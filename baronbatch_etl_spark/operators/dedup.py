@@ -1,0 +1,250 @@
+"""Deduplication operators for LLM-data pipelines: exact, MinHash-LSH,
+SimHash, n-gram Jaccard (north-star family; the reference's only dedup
+is keep-first on a key, utils/clean_db.py:14-24 — covered by
+catalog_aggs.a8).
+
+Scale design:
+  * signatures/fingerprints are ROW-LOCAL higher-order expressions —
+    computed at scan speed, no shuffle, no UDF;
+  * the only shuffles are the LSH band-bucket join (shuffle on band
+    key — standard production shape) and the final pair verification
+    joins;
+  * all hash constants are fixed literals so runs are deterministic
+    and the DuckDB oracle can replay them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from baronbatch_etl_spark.operators.fast_text import (
+    jaccard_fast,
+    make_minhash_udf,
+    make_simhash_udf,
+    shingle_hashes_fast,
+)
+from baronbatch_etl_spark.operators.text import (
+    POLY_P,
+    char_poly_hash,
+    shingle_hashes,
+    token_hashes,
+)
+
+# Fixed MinHash family h_j(x) = (A[j]·x + B[j]) mod P  (seed 42).
+MINHASH_K = 16
+MINHASH_A = (
+    686579304, 119540832, 26855093, 796233791, 295310486, 262950629,
+    239670712, 149827707, 790779947, 110053354, 726600540, 795285933,
+    957970517, 585582862, 93349857, 634036507,
+)
+MINHASH_B = (
+    453035110, 34126396, 31994523, 100604502, 234760738, 249817734,
+    542621108, 646412689, 28492780, 602632297, 213500298, 768820204,
+    697808098, 753041955, 585126461, 450455977,
+)
+LSH_BANDS = 4  # 4 bands × 4 rows ⇒ P(candidate) = 1-(1-s⁴)⁴
+LSH_ROWS = MINHASH_K // LSH_BANDS
+
+SIMHASH_BITS = 32
+
+# Arrow-vectorized signature UDFs (same arithmetic as the expression
+# versions below — see operators/fast_text.py; parity is tested).
+minhash_signature_fast = make_minhash_udf(MINHASH_A, MINHASH_B)
+simhash_fast = make_simhash_udf(SIMHASH_BITS)
+
+
+def exact_dedup_survivors(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: min doc_id per md5(text) survives.
+
+    At scale: one hash-groupBy shuffle on the digest — the canonical
+    100 TB exact-dedup plan (digest first, never shuffle full text).
+    """
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_signature_from_hashes(hs: Column) -> Column:
+    """array<long> MinHash signature (k=16) from pre-hashed shingles.
+
+    Row-local: sig[j] = min over shingles of (A[j]·h + B[j]) mod P.
+    Empty shingle sets sign as P (sentinel > any hash).
+    """
+
+    def perm(j: int):
+        a, b = MINHASH_A[j], MINHASH_B[j]
+        return lambda h: (F.lit(a) * h + F.lit(b)) % POLY_P
+
+    sigs = [
+        F.when(
+            F.size(hs) > 0, F.array_min(F.transform(hs, perm(j)))
+        ).otherwise(F.lit(POLY_P).cast("long"))
+        for j in range(MINHASH_K)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_signature(text: Column, n: int = 3) -> Column:
+    """MinHash signature straight from text (convenience wrapper)."""
+    return minhash_signature_from_hashes(shingle_hashes(text, n))
+
+
+def lsh_bands(sig: Column) -> Column:
+    """array<string> of band keys: each band is ROWS consecutive
+    signature slots joined into one bucket key."""
+    keys = []
+    for b in range(LSH_BANDS):
+        parts = [F.element_at(sig, b * LSH_ROWS + r + 1) for r in range(LSH_ROWS)]
+        keys.append(F.concat_ws("-", *[p.cast("string") for p in parts]))
+    return F.array(*keys)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.8, n: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding, verified by exact
+    shingle Jaccard ≥ threshold.
+
+    Plan: scan → row-local signature/bands → explode bands (×4 rows)
+    → self-join on (band, key) for candidates → join shingle sets back
+    → exact-verify. Shuffle only on band keys and candidate doc ids.
+    """
+    # Signatures + shingle hashes in one Arrow pass; the frame is
+    # cached because three plan branches (banding + both verification
+    # sides) reuse it — at 100 TB you'd materialize the signature
+    # table the same way.
+    base = docs.select(
+        "doc_id",
+        minhash_signature_fast(F.col("text")).alias("sig"),
+        shingle_hashes_fast(F.col("text")).alias("sh"),
+    ).cache()
+    banded = base.select(
+        "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("band", "key")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard_fast(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash fingerprint over token hashes (row-local).
+
+    bit b is set iff Σ_tokens (2·bit_b(h) − 1) > 0.
+    """
+    hs = token_hashes(text)
+
+    def voter(b: int):
+        return lambda s, h: s + (
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(hs, F.lit(0).cast("long"), voter(b))
+        acc = acc + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return acc
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the four 8-bit bytes of the
+    32-bit fingerprint (pigeonhole: any pair within hamming ≤ 3 has at
+    least one untouched byte, so it collides in ≥1 block), then verify
+    candidates with popcount(xor) ≤ max_hamming."""
+    base = docs.select("doc_id", simhash_fast(F.col("text")).alias("sh")).cache()
+    blocks = base.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sh", 8 * i).bitwiseAND(F.lit(255)).cast("long")
+                    for i in range(4)
+                ]
+            )
+        ).alias("block", "key"),
+    )
+    l, r = blocks.alias("l"), blocks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.expr("sh_a ^ sh_b").cast("long")).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float, n: int = 3, max_char_delta: int = 10
+) -> DataFrame:
+    """Exact n-gram Jaccard over length-blocked candidate pairs: only
+    same-language docs within max_char_delta chars are compared (the
+    blocking that keeps the self-join sub-quadratic)."""
+    # Block-then-verify, in two physically separated joins. Building
+    # candidates on the slim (id, lang, n_chars) frame and only then
+    # joining the shingle arrays back by id forces the expensive
+    # Jaccard math to run AFTER the cheap blocking predicates — in a
+    # single self-join Catalyst pushes the Jaccard filter into the
+    # join condition and evaluates it for every same-lang pair.
+    keys = docs.select("doc_id", "lang", "n_chars")
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= max_char_delta),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    hashed = docs.select(
+        "doc_id", shingle_hashes_fast(F.col("text")).alias("sh")
+    ).cache()  # one Arrow hashing pass feeds both verification sides
+    return (
+        cand.join(hashed.select(F.col("doc_id").alias("doc_a"),
+                                F.col("sh").alias("sh_a")), "doc_a")
+        .join(hashed.select(F.col("doc_id").alias("doc_b"),
+                            F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            jaccard_fast(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

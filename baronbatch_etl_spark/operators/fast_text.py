@@ -1,0 +1,172 @@
+"""Arrow-vectorized twins of the text/dedup signature operators.
+
+The expression-based versions in ``operators.text`` / ``operators.
+dedup`` are pure built-ins, but Spark does not whole-stage-codegen
+higher-order-function lambdas, so per-char hash folds dominate the
+signature computation. These pandas UDFs compute the SAME integer
+arithmetic (verified bit-for-bit by tests/test_fast_parity.py and by
+the DuckDB oracles) vectorized in numpy: sequential per value —
+parity — but batched across rows — speed (~10× on the dedup bench).
+
+Numerics: every intermediate stays < 2^35 (P ≈ 2^30, ×31, +code
+point), so int64 never overflows and Python/numpy/JVM agree exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from baronbatch_etl_spark.operators.text import POLY_P
+
+
+def _hash_strings(strings: list[str]) -> np.ndarray:
+    """Polynomial char hash of many strings at once.
+
+    One padded (n_strings × max_len) codepoint matrix, Horner fold
+    down the columns with a length mask — identical fold order to
+    char_poly_hash / sql_char_poly_hash.
+    """
+    n = len(strings)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    bufs = [s.encode("utf-32-le") for s in strings]
+    lens = np.fromiter((len(b) >> 2 for b in bufs), dtype=np.int64, count=n)
+    max_len = int(lens.max(initial=0))
+    if max_len == 0:
+        return np.zeros(n, dtype=np.int64)
+    mat = np.zeros((n, max_len), dtype=np.int64)
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint32).astype(np.int64)
+    # row i occupies flat[offsets[i]:offsets[i]+lens[i]]
+    col = np.arange(max_len)
+    mask = col[None, :] < lens[:, None]
+    mat[mask] = flat
+    h = np.zeros(n, dtype=np.int64)
+    for j in range(max_len):
+        step = (h * 31 + mat[:, j]) % POLY_P
+        h = np.where(mask[:, j], step, h)
+    return h
+
+
+def _tokenize(text: str) -> list[str]:
+    # NB: "".split(" ") == [""] — matching Spark's split('', ' ') and
+    # DuckDB's string_split exactly (empty doc → one empty token).
+    return text.split(" ")
+
+
+def _doc_shingles(text: str, n: int = 3) -> list[str]:
+    toks = _tokenize(text)
+    if len(toks) < n:
+        return []
+    seen = dict.fromkeys(
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    )
+    return list(seen)
+
+
+def _per_doc_hashes(
+    texts: pd.Series, pieces_of: "callable"
+) -> tuple[np.ndarray, np.ndarray]:
+    """(flat hash array, per-doc offsets) for a batch of documents."""
+    pieces: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        p = pieces_of(t if isinstance(t, str) else "")
+        counts[i] = len(p)
+        pieces.extend(p)
+    return _hash_strings(pieces), np.concatenate(([0], np.cumsum(counts)))
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def shingle_hashes_fast(texts: pd.Series) -> pd.Series:
+    """Vectorized twin of text.shingle_hashes (distinct word-3-grams)."""
+    flat, offs = _per_doc_hashes(texts, _doc_shingles)
+    return pd.Series(
+        [flat[offs[i] : offs[i + 1]].tolist() for i in range(len(texts))]
+    )
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def token_hashes_fast(texts: pd.Series) -> pd.Series:
+    """Vectorized twin of text.token_hashes."""
+    flat, offs = _per_doc_hashes(texts, _tokenize)
+    return pd.Series(
+        [flat[offs[i] : offs[i + 1]].tolist() for i in range(len(texts))]
+    )
+
+
+def make_minhash_udf(a: tuple, b: tuple, p: int = POLY_P):
+    """MinHash signatures from text: shingle-hash then per-permutation
+    min, all in one Arrow batch. (A·h+B) ≤ 2^61 — no overflow."""
+    av = np.asarray(a, dtype=np.int64)[None, :]
+    bv = np.asarray(b, dtype=np.int64)[None, :]
+    sentinel = np.full(len(a), p, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash_fast(texts: pd.Series) -> pd.Series:
+        flat, offs = _per_doc_hashes(texts, _doc_shingles)
+        perms = (flat[:, None] * av + bv) % p  # (n_shingles × k)
+        out = []
+        for i in range(len(texts)):
+            lo, hi = offs[i], offs[i + 1]
+            out.append(
+                sentinel.tolist() if hi == lo else perms[lo:hi].min(axis=0).tolist()
+            )
+        return pd.Series(out)
+
+    return minhash_fast
+
+
+@F.pandas_udf(T.DoubleType())
+def cosine_fast(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized twin of similarity.cosine: dot and norms accumulate
+    dimension-by-dimension in float64 (the exact fold order of the
+    expression version and the DuckDB oracle), vectorized across rows."""
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    am = np.vstack([np.asarray(v, dtype=np.float64) for v in a])
+    bm = np.vstack([np.asarray(v, dtype=np.float64) for v in b])
+    dot = np.zeros(len(a))
+    na = np.zeros(len(a))
+    nb = np.zeros(len(a))
+    for i in range(am.shape[1]):  # sequential over dims == fold order
+        dot += am[:, i] * bm[:, i]
+        na += am[:, i] * am[:, i]
+        nb += bm[:, i] * bm[:, i]
+    return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+
+@F.pandas_udf(T.DoubleType())
+def jaccard_fast(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Jaccard of two pre-distinct hash arrays: |∩| / (|A|+|B|−|∩|) —
+    integer counts, so the double ratio is bit-identical to
+    size(array_intersect)/size(array_distinct(concat))."""
+    out = np.empty(len(a), dtype=np.float64)
+    for i, (xs, ys) in enumerate(zip(a, b)):
+        xa = np.asarray(xs, dtype=np.int64)
+        ya = np.asarray(ys, dtype=np.int64)
+        ni = np.intersect1d(xa, ya, assume_unique=True).size
+        out[i] = ni * 1.0 / (xa.size + ya.size - ni) if (xa.size + ya.size) else 0.0
+    return pd.Series(out)
+
+
+def make_simhash_udf(bits: int = 32):
+    """SimHash fingerprints from text: token-hash bit votes, packed."""
+    weights = (np.int64(1) << np.arange(bits, dtype=np.int64))[None, :]
+
+    @F.pandas_udf(T.LongType())
+    def simhash_fast(texts: pd.Series) -> pd.Series:
+        flat, offs = _per_doc_hashes(texts, _tokenize)
+        signs = (
+            ((flat[:, None] >> np.arange(bits)[None, :]) & 1) * 2 - 1
+        )  # (n_tokens × bits) in ±1
+        out = np.empty(len(texts), dtype=np.int64)
+        for i in range(len(texts)):
+            lo, hi = offs[i], offs[i + 1]
+            votes = signs[lo:hi].sum(axis=0) if hi > lo else np.zeros(bits)
+            out[i] = int(((votes > 0) * weights[0]).sum())
+        return pd.Series(out)
+
+    return simhash_fast

@@ -1,0 +1,131 @@
+"""Similarity-search operators over embedding columns (north-star
+family; `embeddings` fixture: vec_id, embedding array<float>, label).
+
+Cosine math is a row-local sequential fold in DOUBLE (same bits in
+any engine that folds left-to-right), so even the similarity scores
+are oracle-checkable. Scale path: brute force is the correctness
+baseline; the IVF variant prunes the search to one coarse cell before
+scoring — at 100 TB the cell assignment comes from a trained coarse
+quantizer, here the pre-assigned `label` plays that role.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a sequential DOUBLE fold over zipped arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    """√Σ aᵢ² (DOUBLE fold)."""
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, query_vec_id: int, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k against one stored vector.
+
+    The query row is broadcast (1 row), scoring is a map-only pass,
+    and top-k is TakeOrderedAndProject — the optimal distributed plan
+    for brute-force ANN baseline at any scale.
+    """
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        embeddings.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)
+
+
+def ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
+    """IVF-style pruned search: score only vectors in the query's
+    coarse cell (`label` = pre-assigned cell id). At scale the table
+    is partitioned/bucketed by cell, so this touches one partition
+    instead of all of them."""
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb"), F.col("label").alias("q_label")
+    )
+    scored = (
+        embeddings.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q), F.col("label") == F.col("q_label"))
+        .select(
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by coarse cell
+    (only same-label pairs are scored — the IVF blocking that keeps
+    the pair space sub-quadratic)."""
+    from baronbatch_etl_spark.operators.fast_text import cosine_fast
+
+    base = embeddings.select("vec_id", "label", "embedding")
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine_fast(F.col("a.embedding"), F.col("b.embedding")).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def sql_dot(a: str, b: str) -> str:
+    """DuckDB twin of dot() — same sequential fold from 0.0."""
+    return (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a})[i]::DOUBLE * ({b})[i]::DOUBLE)), (acc, v) -> acc + v)"
+    )
+
+
+def sql_norm(a: str) -> str:
+    return (
+        "sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a})[i]::DOUBLE * ({a})[i]::DOUBLE)), (acc, v) -> acc + v))"
+    )
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"({sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)}))"

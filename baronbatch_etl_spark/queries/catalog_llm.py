@@ -1,1 +1,391 @@
-"""catalog_llm — filled in incrementally."""
+"""LLM-data-pipeline catalog: text analysis, dedup family, similarity
+search, multimodal plumbing (BASELINE.json north-star operators).
+
+Every query here is oracle-checked — including MinHash-LSH and
+SimHash, whose DuckDB twins are generated from the same fixed hash
+constants so both engines replay the identical arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from baronbatch_etl_spark.io import load_table
+from baronbatch_etl_spark.operators import dedup as D
+from baronbatch_etl_spark.operators import multimodal as M
+from baronbatch_etl_spark.operators import similarity as S
+from baronbatch_etl_spark.operators import text as X
+from baronbatch_etl_spark.queries import register
+
+# --- shared SQL fragments (DuckDB twins of the text operators) -------------
+
+_SQL_TOKENS = "string_split(text, ' ')"
+_SQL_TOKEN_HASHES = (
+    f"list_transform({_SQL_TOKENS}, tk -> {X.sql_char_poly_hash('tk')})"
+)
+_SQL_SHINGLES = X.sql_word_ngrams(_SQL_TOKENS, 3)
+_SQL_SHINGLE_HASHES = f"list_transform({_SQL_SHINGLES}, g -> {X.sql_char_poly_hash('g')})"
+
+
+def _sql_list_sum(items: str) -> str:
+    return f"list_reduce(list_prepend(0::BIGINT, {items}), (a, v) -> a + v)"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN length(text) = 0 THEN 0 ELSE len({_SQL_TOKENS}) END AS n_tokens,
+       len(list_distinct({_SQL_TOKENS})) AS n_uniq,
+       length(text) AS char_len,
+       CASE WHEN len({_SQL_TOKENS}) > 0
+            THEN len(list_filter({_SQL_TOKENS},
+                 x -> x IN ('the','a','and','of','to','in'))) * 1.0
+                 / len({_SQL_TOKENS})
+            ELSE 0.0 END AS stop_ratio
+FROM documents
+""",
+    tags=("llm", "text"),
+)
+def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + vocabulary stats + stopword ratio — row-local
+    expressions, scan-speed at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = X.tokens("text")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_uniq"),
+        F.length("text").cast("long").alias("char_len"),
+        X.stopword_ratio("text").alias("stop_ratio"),
+    )
+
+
+@register(
+    "t_lang_id",
+    oracle="""
+WITH s AS (
+    SELECT doc_id, lang,
+           {scores}
+    FROM documents
+)
+SELECT doc_id, lang AS labeled_lang, score_de, score_en, score_es, score_fr,
+       CASE {cases} ELSE 'und' END AS predicted
+FROM s
+""".format(
+        scores=",\n           ".join(
+            "len(list_filter(string_split(text, ' '), x -> "
+            + " OR ".join(f"x = '{m}'" for m in X.LANG_MARKERS[lang])
+            + f")) AS score_{lang}"
+            for lang in sorted(X.LANG_MARKERS)
+        ),
+        cases=" ".join(
+            "WHEN score_{l} > 0{rest} THEN '{l}'".format(
+                l=lang,
+                rest="".join(
+                    f" AND score_{lang} >= score_{other}"
+                    for other in sorted(X.LANG_MARKERS)[i + 1 :]
+                ),
+            )
+            for i, lang in enumerate(sorted(X.LANG_MARKERS))
+        ),
+    ),
+    tags=("llm", "text"),
+)
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: per-language score columns +
+    deterministic first-match argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = X.lang_scores("text")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
+        X.lang_id("text").alias("predicted"),
+    )
+
+
+@register(
+    "t_quality_score",
+    oracle="""
+WITH q AS (
+    SELECT doc_id, n_chars,
+           CASE WHEN len(string_split(text, ' ')) > 0
+                THEN len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the','a','and','of','to','in'))) * 1.0
+                     / len(string_split(text, ' '))
+                ELSE 0.0 END AS stop
+    FROM documents
+)
+SELECT doc_id,
+       least(1.0, n_chars / 400.0)
+         * (1.0 - least(1.0, stop * 2.0)) AS quality
+FROM q
+""",
+    tags=("llm", "text"),
+)
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (length saturation × stopword
+    penalty) — the filter stage of a training-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.quality_score("text", "n_chars").alias("quality")
+    )
+
+
+@register(
+    "t_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT, {_SQL_TOKEN_HASHES}),
+                   (acc, h) -> (acc * 131 + h) % {X.POLY_P}) AS fingerprint
+FROM documents
+""",
+    tags=("llm", "text"),
+)
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling fingerprint of the token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.doc_fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d_exact_dedup",
+    oracle="""
+SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+    tags=("llm", "dedup"),
+)
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup survivors: hash-groupBy on content digest."""
+    return D.exact_dedup_survivors(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"CASE WHEN len(hs) > 0 THEN list_aggregate("
+        f"list_transform(hs, h -> ({a}::BIGINT * h + {b}) % {X.POLY_P}), 'min') "
+        f"ELSE {X.POLY_P}::BIGINT END"
+        for a, b in zip(D.MINHASH_A, D.MINHASH_B)
+    )
+    keys = ", ".join(
+        "concat_ws('-', "
+        + ", ".join(
+            f"sig[{b * D.LSH_ROWS + r + 1}]::VARCHAR" for r in range(D.LSH_ROWS)
+        )
+        + f") AS key_{b}"
+        for b in range(D.LSH_BANDS)
+    )
+    key_list = ", ".join(f"key_{b}" for b in range(D.LSH_BANDS))
+    return f"""
+WITH sh AS (
+    SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM documents
+),
+sig AS (SELECT doc_id, hs, [{mins}] AS sig FROM sh),
+keyed0 AS (SELECT doc_id, hs, {keys} FROM sig),
+keyed AS (
+    SELECT doc_id, hs, u.band, u.key
+    FROM keyed0, LATERAL (
+        SELECT unnest(range(0, {D.LSH_BANDS})) AS band,
+               unnest([{key_list}]) AS key
+    ) u
+),
+cand AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM keyed l JOIN keyed r
+      ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       len(list_intersect(a.hs, b.hs)) * 1.0
+         / len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
+FROM cand c
+JOIN sh a ON c.doc_a = a.doc_id
+JOIN sh b ON c.doc_b = b.doc_id
+WHERE len(list_intersect(a.hs, b.hs)) * 1.0
+        / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.8
+"""
+
+
+@register("d_minhash_lsh", oracle=_minhash_sql(), tags=("llm", "dedup", "lsh"))
+def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)-LSH(4×4) near-dup pairs over word-3-gram shingles,
+    exact-Jaccard-verified at 0.8 — the canonical 100 TB near-dedup
+    plan (row-local signatures, shuffle only on band buckets)."""
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+def _simhash_expr_sql() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_sql_list_sum(f'list_transform(hs, h -> ((h >> {b}) & 1) * 2 - 1)')} > 0 "
+        f"THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(D.SIMHASH_BITS)
+    )
+    return bits
+
+
+@register(
+    "d_simhash",
+    oracle=f"""
+WITH th AS (SELECT doc_id, {_SQL_TOKEN_HASHES} AS hs FROM documents)
+SELECT doc_id, ({_simhash_expr_sql()}) AS simhash FROM th
+""",
+    tags=("llm", "dedup", "simhash"),
+)
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (row-local bit votes over token
+    hashes; Arrow-vectorized path, expression twin in operators.dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash_fast(F.col("text")).alias("simhash"))
+
+
+@register(
+    "d_simhash_pairs",
+    oracle=f"""
+WITH th AS (SELECT doc_id, {_SQL_TOKEN_HASHES} AS hs FROM documents),
+sim AS (SELECT doc_id, ({_simhash_expr_sql()}) AS sh FROM th),
+blocks AS (
+    SELECT doc_id, sh, u.block, u.key
+    FROM sim, LATERAL (
+        SELECT unnest(range(0, 4)) AS block,
+               unnest([(sh >> 0) & 255, (sh >> 8) & 255,
+                       (sh >> 16) & 255, (sh >> 24) & 255]) AS key
+    ) u
+),
+cand AS (
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           l.sh AS sh_a, r.sh AS sh_b
+    FROM blocks l JOIN blocks r
+      ON l.block = r.block AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+""",
+    tags=("llm", "dedup", "simhash"),
+)
+def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: byte-block candidates (pigeonhole for
+    hamming ≤ 3) verified by popcount(xor)."""
+    return D.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "d_ngram_jaccard",
+    oracle=f"""
+WITH sh AS (
+    SELECT doc_id, lang, n_chars, {_SQL_SHINGLE_HASHES} AS hs FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.hs, b.hs)) * 1.0
+         / len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+ AND abs(a.n_chars - b.n_chars) <= 10
+WHERE len(list_intersect(a.hs, b.hs)) * 1.0
+        / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5
+""",
+    tags=("llm", "dedup"),
+)
+def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard ≥ 0.5 over language+length-blocked pairs."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label, {S.sql_cosine("embedding", "q_emb")} AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+    tags=("llm", "similarity"),
+)
+def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against stored vector 0 (broadcast
+    query row, map-only scoring, distributed top-k)."""
+    return S.brute_force_topk(load_table(spark, sf_dir, "embeddings"), 0, 10)
+
+
+@register(
+    "s_ivf_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS q_emb, label AS q_label
+           FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label, {S.sql_cosine("embedding", "q_emb")} AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> 0 AND label = q_label
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+    tags=("llm", "similarity"),
+)
+def s_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned cosine top-10: only the query's coarse cell is
+    scored (label = cell id; at scale the table is bucketed by it)."""
+    return S.ivf_topk(load_table(spark, sf_dir, "embeddings"), 0, 10)
+
+
+@register(
+    "d_embedding_neardup",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {S.sql_cosine("a.embedding", "b.embedding")} AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {S.sql_cosine("a.embedding", "b.embedding")} >= 0.3
+""",
+    tags=("llm", "dedup", "similarity"),
+)
+def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ 0.3, blocked by coarse cell."""
+    return S.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_features",
+    oracle=f"""
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS byte_len,
+       list_transform(range(0, {M.FEATURE_DIM}),
+           i -> ((octet_length(encode(text)) * (i + 7)) % 256)::DOUBLE)
+       AS features
+FROM documents
+""",
+    tags=("llm", "multimodal"),
+)
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column media path end-to-end: text→binary payload adapter
+    → Arrow-batched mapInPandas feature extraction (decoder stubbed,
+    plumbing real — see operators/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.extract_features(M.documents_as_media(docs))

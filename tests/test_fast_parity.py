@@ -1,0 +1,67 @@
+"""Bit-for-bit parity between the Arrow-vectorized signature UDFs and
+the pure-expression implementations (same integer arithmetic by
+construction; this guards both against drift)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from baronbatch_etl_spark.operators import dedup as D
+from baronbatch_etl_spark.operators import text as X
+from baronbatch_etl_spark.operators.fast_text import (
+    shingle_hashes_fast,
+    token_hashes_fast,
+)
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "one two",  # < 3 tokens → empty shingle set
+    "",  # empty doc
+    "répétition déjà vu naïve ﬁsh",  # non-ASCII codepoints
+    "a a a a a a",  # heavy repetition → distinct shingles collapse
+]
+
+
+def _df(spark):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(TEXTS)])
+
+
+def test_shingle_hash_parity(spark):
+    df = _df(spark)
+    out = df.select(
+        X.shingle_hashes(F.col("text")).alias("expr"),
+        shingle_hashes_fast(F.col("text")).alias("fast"),
+    ).collect()
+    for r in out:
+        assert r.expr == r.fast
+
+
+def test_token_hash_parity(spark):
+    df = _df(spark)
+    out = df.select(
+        X.token_hashes(F.col("text")).alias("expr"),
+        token_hashes_fast(F.col("text")).alias("fast"),
+    ).collect()
+    for r in out:
+        assert r.expr == r.fast
+
+
+def test_minhash_parity(spark):
+    df = _df(spark)
+    out = df.select(
+        D.minhash_signature(F.col("text")).alias("expr"),
+        D.minhash_signature_fast(F.col("text")).alias("fast"),
+    ).collect()
+    for r in out:
+        assert r.expr == r.fast
+
+
+def test_simhash_parity(spark):
+    df = _df(spark)
+    out = df.select(
+        D.simhash(F.col("text")).alias("expr"),
+        D.simhash_fast(F.col("text")).alias("fast"),
+    ).collect()
+    for r in out:
+        assert r.expr == r.fast

@@ -1,0 +1,114 @@
+"""Unit tests for the LLM-data-pipeline operators on inline fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from baronbatch_etl_spark.operators import dedup as D
+from baronbatch_etl_spark.operators import multimodal as M
+from baronbatch_etl_spark.operators import similarity as S
+from baronbatch_etl_spark.operators import text as X
+
+
+def _docs(spark, texts, langs=None):
+    rows = [
+        Row(
+            doc_id=i,
+            text=t,
+            lang=(langs[i] if langs else "en"),
+            source=f"src{i}",
+            n_chars=len(t),
+        )
+        for i, t in enumerate(texts)
+    ]
+    return spark.createDataFrame(rows)
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy cat again and again today"
+OTHER = "completely different words populate this document with nothing shared"
+
+
+def test_exact_dedup_survivors(spark):
+    docs = _docs(spark, [BASE, BASE, OTHER])
+    out = {r.doc_id: r.n_copies for r in D.exact_dedup_survivors(docs).collect()}
+    assert out == {0: 2, 2: 1}  # min doc_id survives, copies counted
+
+
+def test_minhash_identical_signature(spark):
+    docs = _docs(spark, [BASE, BASE])
+    sigs = (
+        docs.select(D.minhash_signature(F.col("text")).alias("sig"))
+        .collect()
+    )
+    assert sigs[0].sig == sigs[1].sig
+    assert len(sigs[0].sig) == D.MINHASH_K
+
+
+def test_minhash_lsh_finds_exact_dup_not_other(spark):
+    # identical shingle sets collide in every band (deterministic);
+    # sub-threshold pairs are only *probabilistically* candidates, so
+    # the recall assertion uses jaccard=1.0 pairs.
+    docs = _docs(spark, [BASE, BASE, OTHER])
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs == {(0, 1): 1.0}
+
+
+def test_simhash_identical_and_near(spark):
+    docs = _docs(spark, [BASE, BASE, OTHER])
+    out = {r.doc_id: r.simhash for r in
+           docs.select("doc_id", D.simhash(F.col("text")).alias("simhash")).collect()}
+    assert out[0] == out[1]
+    assert out[0] != out[2]
+    pairs = D.simhash_near_pairs(docs).collect()
+    assert any(p.doc_a == 0 and p.doc_b == 1 and p.hamming == 0 for p in pairs)
+
+
+def test_ngram_jaccard_threshold(spark):
+    docs = _docs(spark, [BASE, NEAR, OTHER])
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(0, 1)]
+    assert 0.3 <= pairs[0].jaccard < 1.0
+
+
+def test_lang_id_markers(spark):
+    docs = _docs(spark, ["el la de y proyecto", "the cat and the hat", "xyzzy plugh"])
+    out = [r.p for r in docs.select(X.lang_id("text").alias("p")).collect()]
+    assert out == ["es", "en", "und"]
+
+
+def test_token_count_empty(spark):
+    docs = _docs(spark, ["", "one two three"])
+    out = [r.n for r in docs.select(X.token_count("text").alias("n")).collect()]
+    assert out == [0, 3]
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=0),
+        Row(vec_id=1, embedding=[0.9, 0.1], label=0),
+        Row(vec_id=2, embedding=[0.0, 1.0], label=1),
+    ]
+    emb = spark.createDataFrame(rows)
+    out = S.brute_force_topk(emb, 0, 2).collect()
+    assert [r.vec_id for r in out] == [1, 2]
+    assert out[0].cos_sim > 0.99
+
+
+def test_multimodal_features_deterministic(spark):
+    docs = _docs(spark, ["abcd", "xy"])
+    out = {r.media_id: r for r in
+           M.extract_features(M.documents_as_media(docs)).collect()}
+    assert out[0].byte_len == 4
+    assert out[0].features == [float((4 * (i + 7)) % 256) for i in range(8)]
+    assert out[1].byte_len == 2
+
+
+def test_multimodal_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        M._decode_image_stub(b"\x89PNG")
