@@ -1,0 +1,225 @@
+"""Bronze→silver→gold medallion pipeline — the Spark rewrite of the
+reference's core dataflow (SURVEY §3.2): matches_raw → matches_clean
+→ aggregated_stats, plus the maintenance operations
+(ingest dedup, retention trim, cascade delete, dim upsert).
+
+Reference behavior being reproduced, by stage:
+  * validation           transformer_loader/main.py:95-97   (P9)
+  * participant lookup   transformer_loader/main.py:102-131 (J2 staged)
+  * derived metrics      transformer_loader/main.py:148-157 (F9-F11)
+  * clean projection     transformer_loader/main.py:159-177 (P11/P12)
+  * gold aggregate       transformer_loader/main.py:184-190 (A2)
+  * ingest dedup         extractor/main.py:413-428,513      (S3/J5/T3)
+  * retention trim       api_service/main.py:237-249        (W1)
+  * cascade delete       api_service/main.py:199-202        (S11/J3)
+  * dim upsert           api_service/main.py:151            (S7)
+
+Scale posture: the summoners dim is always broadcast; the fact table
+shuffles only for the gold groupBy; per-row Mongo round-trips become
+set-oriented joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from baronbatch_etl_spark.functions.scalars import (
+    build_items_array,
+    cs_per_min,
+    full_riot_id,
+    norm_nfkc,
+    safe_div_kda,
+)
+
+
+def ingest_dedup(incoming: DataFrame, existing: DataFrame) -> DataFrame:
+    """Insert-if-absent on matchId (unique-index semantics,
+    extractor/main.py:413 + :513): keep incoming rows whose key is not
+    already stored, then first-writer-wins within the batch."""
+    w = Window.partitionBy("matchId").orderBy("puuid", "timestamp")
+    return (
+        incoming.join(existing.select("matchId"), "matchId", "left_anti")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _resolve_participant(exploded: DataFrame, summoners: DataFrame) -> DataFrame:
+    """J2 staged resolution of the tracked player among the 10
+    participants (transformer_loader/main.py:102-131):
+      stage 1  p.puuid == summoner.puuid
+      stage 2  norm(riotIdGameName) == norm(name part of summonerName)
+               AND (tag equal OR participant tag missing/empty)
+      stage 3  norm(legacy p.summonerName) == norm(full summonerName)
+    First stage that matches wins; one participant row per match."""
+    dim = summoners.select(
+        F.col("puuid").alias("s_puuid"),
+        norm_nfkc(
+            F.element_at(F.split("summonerName", "#"), 1)
+        ).alias("s_norm_name"),
+        norm_nfkc(
+            F.when(
+                F.size(F.split("summonerName", "#")) > 1,
+                F.element_at(F.split("summonerName", "#"), -1),
+            ).otherwise(F.lit(""))
+        ).alias("s_norm_tag"),
+        norm_nfkc(F.col("summonerName")).alias("s_norm_full"),
+    )
+
+    p = exploded.withColumn("p_norm_name", norm_nfkc(F.col("p.riotIdGameName")))
+    p = p.withColumn("p_norm_tag", norm_nfkc(F.col("p.riotIdTagLine")))
+    p = p.withColumn("p_norm_legacy", norm_nfkc(F.col("p.summonerName")))
+
+    s1 = p.join(F.broadcast(dim), p["p.puuid"] == dim.s_puuid).withColumn(
+        "resolve_stage", F.lit(1)
+    )
+    r1 = p.join(s1.select("matchId"), "matchId", "left_anti")
+    s2 = r1.join(
+        F.broadcast(dim),
+        (F.col("p_norm_name") == dim.s_norm_name)
+        & (
+            F.col("p_norm_tag").isNull()
+            | (F.col("p_norm_tag") == "")
+            | (F.col("p_norm_tag") == dim.s_norm_tag)
+        ),
+    ).withColumn("resolve_stage", F.lit(2))
+    r2 = r1.join(s2.select("matchId"), "matchId", "left_anti")
+    s3 = r2.join(
+        F.broadcast(dim), F.col("p_norm_legacy") == dim.s_norm_full
+    ).withColumn("resolve_stage", F.lit(3))
+
+    resolved = s1.unionByName(s2).unionByName(s3)
+    # one winner per match even if several participants matched
+    w = Window.partitionBy("matchId").orderBy("resolve_stage", F.col("p.puuid"))
+    return (
+        resolved.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def silver_from_bronze(bronze: DataFrame, summoners: DataFrame) -> DataFrame:
+    """matches_raw → matches_clean (one row per match × tracked player).
+
+    Null-safe validation drops envelope rows without info/participants
+    (the reference marks them processed and skips — P9/T2), then the
+    staged join finds the tracked player, then the clean projection
+    derives kda / cs / cs_min / items / participants summary."""
+    valid = bronze.filter(
+        F.col("raw.info").isNotNull()
+        & F.col("raw.info.participants").isNotNull()
+        & (F.size("raw.info.participants") > 0)
+    )
+    exploded = valid.select(
+        "matchId",
+        "timestamp",
+        F.col("raw.info.queueId").alias("queue_id"),
+        F.col("raw.info.gameDuration").alias("duration_s"),
+        # ts fallback chain (F8): gameEndTimestamp or gameCreation
+        F.coalesce(
+            F.col("raw.info.gameEndTimestamp"), F.col("raw.info.gameCreation")
+        ).alias("game_timestamp"),
+        F.col("raw.info.participants").alias("all_parts"),
+        F.explode("raw.info.participants").alias("p"),
+    )
+    resolved = _resolve_participant(exploded, summoners)
+
+    cs = F.coalesce(F.col("p.totalMinionsKilled"), F.lit(0)) + F.coalesce(
+        F.col("p.neutralMinionsKilled"), F.lit(0)
+    )
+    part_summary = F.transform(
+        "all_parts",
+        lambda q: F.struct(
+            q["championName"].alias("champion"),
+            F.coalesce(
+                F.when(
+                    q["riotIdTagLine"].isNotNull() & (q["riotIdTagLine"] != ""),
+                    F.concat_ws("#", q["riotIdGameName"], q["riotIdTagLine"]),
+                ),
+                q["riotIdGameName"],
+                q["summonerName"],
+                F.lit("Unknown"),
+            ).alias("summonerName"),
+            q["teamId"].alias("teamId"),
+            q["win"].alias("win"),
+            q["kills"].alias("kills"),
+            q["deaths"].alias("deaths"),
+            q["assists"].alias("assists"),
+            q["totalDamageDealtToChampions"].alias("total_damage"),
+            F.array(
+                *[F.coalesce(q[f"item{i}"], F.lit(0)) for i in range(7)]
+            ).alias("items"),
+        ),
+    )
+
+    return resolved.select(
+        "matchId",
+        F.col("s_puuid").alias("puuid"),
+        "queue_id",
+        F.col("p.championName").alias("champion"),
+        F.coalesce(F.col("p.win"), F.lit(False)).alias("win"),
+        F.coalesce(F.col("p.kills"), F.lit(0)).alias("kills"),
+        F.coalesce(F.col("p.deaths"), F.lit(0)).alias("deaths"),
+        F.coalesce(F.col("p.assists"), F.lit(0)).alias("assists"),
+        safe_div_kda(
+            F.coalesce(F.col("p.kills"), F.lit(0)),
+            F.coalesce(F.col("p.deaths"), F.lit(0)),
+            F.coalesce(F.col("p.assists"), F.lit(0)),
+        ).alias("kda"),
+        cs.alias("cs"),
+        cs_per_min(cs, F.coalesce(F.col("duration_s"), F.lit(0))).alias("cs_min"),
+        F.col("p.totalDamageDealtToChampions").alias("total_damage"),
+        F.col("p.goldEarned").alias("gold_earned"),
+        F.array(
+            *[F.coalesce(F.col(f"p.item{i}"), F.lit(0)) for i in range(7)]
+        ).alias("items"),
+        "game_timestamp",
+        part_summary.alias("participants"),
+        F.current_timestamp().alias("processed_at"),
+    )
+
+
+def gold_from_silver(silver: DataFrame) -> DataFrame:
+    """matches_clean → aggregated_stats: (puuid × champion) games /
+    wins / kda_sum — the full recompute that replaces the reference's
+    `$inc` upsert (streaming update-mode variant:
+    streaming/ops.incremental_gold)."""
+    return silver.groupBy("puuid", "champion").agg(
+        F.count("*").alias("games"),
+        F.sum(F.when(F.col("win"), 1).otherwise(0)).alias("wins"),
+        F.sum("kda").alias("kda_sum"),
+    )
+
+
+def retention_trim(df: DataFrame, ts_col: str, keep: int = 200) -> DataFrame:
+    """Keep newest N rows per user (api_service/main.py:237-249)."""
+    w = Window.partitionBy("puuid").orderBy(
+        F.col(ts_col).desc(), F.col("matchId").desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= keep)
+        .drop("_rn")
+    )
+
+
+def cascade_delete(facts: DataFrame, puuid: str) -> DataFrame:
+    """Delete one user's rows from a fact table (api_service/main.py:
+    199-202) — anti-join rewrite of delete_many."""
+    return facts.filter(F.col("puuid") != F.lit(puuid))
+
+
+def purge_orphans(facts: DataFrame, summoners: DataFrame) -> DataFrame:
+    """Drop facts whose puuid is no longer a tracked summoner
+    (api_service/main.py:220-223, `$nin` → left_anti)."""
+    return facts.join(
+        F.broadcast(summoners.select("puuid")), "puuid", "left_semi"
+    )
+
+
+def upsert_summoners(current: DataFrame, updates: DataFrame) -> DataFrame:
+    """SCD-1 dim upsert by puuid (api_service/main.py:151): updated
+    rows replace, new rows append."""
+    return current.join(updates, "puuid", "left_anti").unionByName(updates)

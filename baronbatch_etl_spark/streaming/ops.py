@@ -1,0 +1,118 @@
+"""Structured-Streaming operators — SURVEY §2.9 T1–T6.
+
+The reference is a micro-batch incremental pipeline built from an
+APScheduler timer + a `processed` flag + `$inc` upserts
+(transformer_loader/main.py:76-207). Here those semantics are the
+standard Spark streaming surface:
+
+  T1 micro-batch trigger   → trigger(processingTime=...) / availableNow
+  T2 progress tracking     → checkpoint offsets (no flag column)
+  T3 dedup on ingest       → dropDuplicatesWithinWatermark / dropDuplicates
+  T4 incremental aggregate → groupBy().agg() in update mode
+  T5 queue + backpressure  → source rate limits (maxFilesPerTrigger)
+  T6 batch splitting       → partition sizing, not engine-visible
+
+Batch twins of each computation live in queries/catalog_streaming.py
+(oracle-checked); these streaming versions are exercised by
+tests/test_streaming.py with a memory sink. Every query works on any
+additional files dropped into the source directory — at scale the
+source is a bucket prefix and nothing here changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: events.parquet stores TIMESTAMP(NANOS); streaming readers declare it
+#: LONG (with the nanosAsLong conf) and rebuild microsecond timestamps.
+EVENTS_DDL = (
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (S4's idiomatic form:
+    the `processed == False` incremental scan becomes checkpointed
+    file-source offsets)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)  # T5: bounded per micro-batch
+        # file source needs a directory; select just the events table
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """T4: hourly tumbling window aggregate with a 10-minute watermark
+    (late rows beyond it are dropped; state is bounded)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("value_sum"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def watermark_dedup(events: DataFrame) -> DataFrame:
+    """T3: idempotent ingest — the unique-index + exists-check of the
+    reference (extractor/main.py:413,513) as bounded-state streaming
+    dedup on the natural key."""
+    return events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def session_aggregate(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (gap-merged), the streaming twin of
+    catalog_windows.w_sessionize."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            "n_events",
+        )
+    )
+
+
+def incremental_gold(
+    events: DataFrame, merge_into: dict, query_name: str = "gold"
+):
+    """T4 exactly-once-ish gold maintenance: foreachBatch merges each
+    micro-batch's partial aggregate into the gold store — the Spark
+    rewrite of the reference's `$inc` upsert
+    (transformer_loader/main.py:184-190). `merge_into` is the demo
+    sink (a dict keyed by (user_id, event_type)); production swaps in
+    a MERGE against a table without touching the stream."""
+
+    def merge(batch: DataFrame, epoch_id: int) -> None:
+        rows = (
+            batch.groupBy("user_id", "event_type")
+            .agg(F.count("*").alias("games"), F.sum("value").alias("value_sum"))
+            .collect()
+        )
+        for r in rows:
+            k = (r.user_id, r.event_type)
+            g, v = merge_into.get(k, (0, 0.0))
+            merge_into[k] = (g + r.games, v + r.value_sum)
+
+    return (
+        events.writeStream.foreachBatch(merge)
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )

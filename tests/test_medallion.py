@@ -1,0 +1,244 @@
+"""Medallion pipeline tests on reference-shaped inline fixtures,
+covering the edge rows called out in FIXTURES.md §A (zero deaths,
+zero duration, missing riot-id fields, accented names, duplicate
+matchIds, orphan puuids, empty item slots)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+
+from baronbatch_etl_spark.pipeline import medallion as ml
+from baronbatch_etl_spark.schemas import MATCHES_RAW, SUMMONERS
+
+NOW = datetime(2025, 1, 1, tzinfo=timezone.utc)
+
+
+def participant(**over):
+    p = {
+        "puuid": "other",
+        "teamId": 100,
+        "championName": "Ahri",
+        "riotIdGameName": "Other",
+        "riotIdTagLine": "TAG",
+        "summonerName": "Other#TAG",
+        "win": False,
+        "kills": 1,
+        "deaths": 2,
+        "assists": 3,
+        "totalDamageDealtToChampions": 1000,
+        "goldEarned": 500,
+        "totalMinionsKilled": 100,
+        "neutralMinionsKilled": 10,
+    }
+    p.update({f"item{i}": 0 for i in range(7)})
+    p.update(over)
+    return p
+
+
+def bronze_row(match_id, puuid, parts, duration=1800, queue=420, **info_over):
+    info = {
+        "queueId": queue,
+        "gameDuration": duration,
+        "gameCreation": 1700000000000,
+        "gameEndTimestamp": 1700000100000,
+        "participants": parts,
+    }
+    info.update(info_over)
+    return {
+        "matchId": match_id,
+        "puuid": puuid,
+        "raw": {"info": info},
+        "processed": False,
+        "timestamp": NOW,
+    }
+
+
+def summoner(puuid, name):
+    return {
+        "puuid": puuid,
+        "summonerName": name,
+        "region": "europe",
+        "platform": "euw1",
+        "summonerLevel": 30,
+        "profileIconId": 29,
+        "encryptedSummonerId": "enc",
+        "solo_tier": "GOLD",
+        "solo_rank": "II",
+        "solo_lp": 50,
+        "solo_wins": 10,
+        "solo_losses": 10,
+        "last_rank_update": NOW,
+    }
+
+
+@pytest.fixture(scope="module")
+def summoners(spark):
+    return spark.createDataFrame(
+        [
+            summoner("p-faker", "Faker#KR1"),
+            summoner("p-ferro", "FerroiLlautó#EUW"),
+            summoner("p-legacy", "OldName"),
+        ],
+        SUMMONERS,
+    )
+
+
+def _silver(spark, summoners, rows):
+    bronze = spark.createDataFrame(rows, MATCHES_RAW)
+    return ml.silver_from_bronze(bronze, summoners)
+
+
+def test_stage1_puuid_and_derivations(spark, summoners):
+    parts = [
+        participant(),
+        participant(
+            puuid="p-faker",
+            championName="Azir",
+            win=True,
+            kills=10,
+            deaths=2,
+            assists=5,
+            totalMinionsKilled=270,
+            neutralMinionsKilled=30,
+            item0=1055,
+            item3=3006,
+        ),
+    ]
+    out = _silver(spark, summoners, [bronze_row("M1", "p-faker", parts)]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.puuid, r.champion, r.win) == ("p-faker", "Azir", True)
+    assert r.kda == 7.5  # (10+5)/2
+    assert r.cs == 300 and r.cs_min == 10.0  # 300/(1800/60)
+    assert r.items == [1055, 0, 0, 3006, 0, 0, 0]
+    assert r.queue_id == 420
+    assert r.game_timestamp == 1700000100000  # gameEnd preferred
+    assert len(r.participants) == 2
+    assert r.participants[0].summonerName == "Other#TAG"
+
+
+def test_zero_deaths_and_zero_duration(spark, summoners):
+    parts = [
+        participant(puuid="p-faker", kills=4, deaths=0, assists=2,
+                    totalMinionsKilled=50, neutralMinionsKilled=0),
+    ]
+    r = _silver(
+        spark, summoners, [bronze_row("M2", "p-faker", parts, duration=0)]
+    ).collect()[0]
+    assert r.kda == 6.0  # (4+2)/max(1,0)
+    assert r.cs_min == 0.0  # guarded division
+
+
+def test_stage2_riot_id_with_missing_tag(spark, summoners):
+    parts = [
+        participant(
+            puuid="someone-else",
+            riotIdGameName="Faker",
+            riotIdTagLine=None,  # tag missing → stage-2 null-tolerant
+            summonerName=None,
+        )
+    ]
+    r = _silver(spark, summoners, [bronze_row("M3", "p-faker", parts)]).collect()[0]
+    assert r.puuid == "p-faker"
+
+
+def test_stage2_nfkc_accent_fold(spark, summoners):
+    parts = [
+        participant(
+            puuid="someone-else",
+            riotIdGameName="  ferroillautó ",  # case+space fold
+            riotIdTagLine="euw",
+            summonerName=None,
+        )
+    ]
+    r = _silver(spark, summoners, [bronze_row("M4", "p-ferro", parts)]).collect()[0]
+    assert r.puuid == "p-ferro"
+
+
+def test_stage3_legacy_name_fallback(spark, summoners):
+    parts = [
+        participant(
+            puuid="someone-else",
+            riotIdGameName="Mismatch",
+            riotIdTagLine="XX",
+            summonerName="oldname",
+        )
+    ]
+    r = _silver(spark, summoners, [bronze_row("M5", "p-legacy", parts)]).collect()[0]
+    assert r.puuid == "p-legacy"
+
+
+def test_unresolvable_and_invalid_rows_dropped(spark, summoners):
+    rows = [
+        bronze_row("M6", "p-faker", [participant()]),  # nobody matches
+        {
+            "matchId": "M7",
+            "puuid": "p-faker",
+            "raw": {"info": None},  # invalid envelope (P9)
+            "processed": False,
+            "timestamp": NOW,
+        },
+    ]
+    assert _silver(spark, summoners, rows).count() == 0
+
+
+def test_ingest_dedup_skips_existing_and_batch_dupes(spark, summoners):
+    existing = spark.createDataFrame(
+        [bronze_row("M1", "p-faker", [participant()])], MATCHES_RAW
+    )
+    incoming = spark.createDataFrame(
+        [
+            bronze_row("M1", "p-faker", [participant()]),  # already stored
+            bronze_row("M8", "p-faker", [participant()]),
+            bronze_row("M8", "p-ferro", [participant()]),  # in-batch dupe
+        ],
+        MATCHES_RAW,
+    )
+    out = ml.ingest_dedup(incoming, existing).collect()
+    assert [r.matchId for r in out] == ["M8"]
+    assert out[0].puuid == "p-faker"  # deterministic first-writer
+
+
+def test_gold_rollup(spark, summoners):
+    rows = [
+        bronze_row("G1", "p-faker", [participant(puuid="p-faker", win=True,
+                   kills=10, deaths=2, assists=5, championName="Azir")]),
+        bronze_row("G2", "p-faker", [participant(puuid="p-faker", win=False,
+                   kills=2, deaths=4, assists=2, championName="Azir")]),
+        bronze_row("G3", "p-faker", [participant(puuid="p-faker", win=True,
+                   kills=1, deaths=1, assists=1, championName="Ahri")]),
+    ]
+    gold = {
+        (r.puuid, r.champion): (r.games, r.wins, r.kda_sum)
+        for r in ml.gold_from_silver(_silver(spark, summoners, rows)).collect()
+    }
+    assert gold[("p-faker", "Azir")] == (2, 1, 8.5)  # 7.5 + 1.0
+    assert gold[("p-faker", "Ahri")] == (1, 1, 2.0)
+
+
+def test_retention_upsert_purge(spark, summoners):
+    rows = [
+        bronze_row(f"R{i}", "p-faker",
+                   [participant(puuid="p-faker")],
+                   gameEndTimestamp=1700000000000 + i * 1000)
+        for i in range(5)
+    ]
+    silver = _silver(spark, summoners, rows)
+    trimmed = ml.retention_trim(silver, "game_timestamp", keep=3)
+    assert sorted(r.matchId for r in trimmed.collect()) == ["R2", "R3", "R4"]
+
+    dims = summoners
+    upd = spark.createDataFrame(
+        [summoner("p-faker", "Faker#T1"), summoner("p-new", "New#EU")], SUMMONERS
+    )
+    merged = ml.upsert_summoners(dims, upd)
+    assert merged.count() == 4
+    assert (
+        merged.filter("puuid = 'p-faker'").collect()[0].summonerName == "Faker#T1"
+    )
+
+    kept = ml.purge_orphans(silver, dims.filter("puuid != 'p-faker'"))
+    assert kept.count() == 0  # all facts were p-faker's
+    assert ml.cascade_delete(silver, "p-faker").count() == 0

@@ -1,0 +1,98 @@
+"""Live Structured-Streaming tests: each streaming op runs against the
+parquet file source with a memory sink and is checked against its
+batch twin (complete/update modes are exact; append mode holds back
+windows newer than the final watermark, so those assert containment)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from baronbatch_etl_spark.io import load_table
+from baronbatch_etl_spark.queries import load_all
+from baronbatch_etl_spark.streaming import ops
+
+REGISTRY = load_all()
+
+
+def _run_stream(df_writer, spark, name):
+    q = df_writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return ops.stream_events(spark, sf_dir)
+
+
+def test_tumbling_counts_complete_equals_batch(spark, sf_dir, events_stream):
+    out = _run_stream(
+        ops.tumbling_counts(events_stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_tumble"),
+        spark,
+        "t_tumble",
+    )
+    batch = REGISTRY["st_tumbling_agg"].fn(spark, sf_dir)
+    got = {(r.window_start_ms, r.event_type): r.n for r in out.collect()}
+    want = {(r.window_start_ms, r.event_type): r.n for r in batch.collect()}
+    assert got == want
+
+
+def test_watermark_dedup_removes_replays(spark, sf_dir, events_stream):
+    out = _run_stream(
+        ops.watermark_dedup(events_stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup"),
+        spark,
+        "t_dedup",
+    )
+    n_batch = load_table(spark, sf_dir, "events").count()
+    assert out.count() == n_batch  # source has unique ids; none dropped
+    assert out.select("event_id").distinct().count() == n_batch
+
+
+def test_session_aggregate_append_is_subset_of_batch(
+    spark, sf_dir, events_stream
+):
+    out = _run_stream(
+        ops.session_aggregate(events_stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sess"),
+        spark,
+        "t_sess",
+    )
+    batch = REGISTRY["st_session_window"].fn(spark, sf_dir)
+    got = {
+        (r.user_id, r.session_start_ms): r.n_events for r in out.collect()
+    }
+    want = {
+        (r.user_id, r.session_start_ms): r.n_events for r in batch.collect()
+    }
+    # append mode emits only sessions closed w.r.t. the final watermark
+    assert got, "no sessions emitted"
+    assert all(want.get(k) == v for k, v in got.items())
+    assert len(got) >= len(want) * 0.9
+
+
+def test_incremental_gold_foreachbatch_matches_batch(
+    spark, sf_dir, events_stream
+):
+    gold: dict = {}
+    q = ops.incremental_gold(events_stream, gold, "t_gold").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batch = {
+        (r.user_id, r.event_type): r.games
+        for r in REGISTRY["a2_grouped_rollup"].fn(spark, sf_dir).collect()
+    }
+    assert {k: g for k, (g, _) in gold.items()} == batch
