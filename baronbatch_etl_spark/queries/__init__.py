@@ -59,6 +59,7 @@ def load_all() -> dict[str, QuerySpec]:
     from baronbatch_etl_spark.queries import (  # noqa: F401
         catalog_aggs,
         catalog_core,
+        catalog_heavy,
         catalog_joins,
         catalog_llm,
         catalog_streaming,

@@ -1,0 +1,282 @@
+"""Heavy analytical queries (TPC-H-shaped) + engine extras (pivot,
+cube, percentiles, regex, array predicates).
+
+These are the bench headliners: they stress the fact tables (lineitem
+/orders at sf0.1 ≈ 600k/150k rows) with multi-join + wide-agg plans,
+the shapes that dominate at 100 TB. Money math runs in DECIMAL end to
+end (exact product and sum, order-independent across executors), cast
+to DOUBLE only at the output boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from baronbatch_etl_spark.functions.scalars import round_half_up, sql_round
+from baronbatch_etl_spark.io import load_table
+from baronbatch_etl_spark.queries import register
+
+# exact decimal revenue term: price(18,2) × (1 − disc(18,2)).
+# (a function: Column construction needs a live SparkContext, and the
+# catalog module imports before any session exists)
+def _rev():
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+
+
+_SQL_REV = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+@register(
+    "h_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum({_SQL_REV}) AS DOUBLE) AS sum_disc_price,
+       {sql_round(f"CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)", 2)} AS avg_qty,
+       {sql_round(f"CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 4)} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("heavy", "agg"),
+)
+def h_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: one scan, map-side partial aggregation into 6
+    groups — pure whole-stage-codegen; the plan every 100 TB rollup
+    wants."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_base_price"),
+        F.sum(_rev()).cast("double").alias("sum_disc_price"),
+        round_half_up(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count("*"),
+            2,
+        ).alias("avg_qty"),
+        round_half_up(
+            F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "h_shipping_priority",
+    oracle=f"""
+SELECT l.l_orderkey,
+       CAST(sum({_SQL_REV.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS revenue,
+       epoch_ms(o.o_orderdate) AS orderdate_ms
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""",
+    tags=("heavy", "join", "topk"),
+)
+def h_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join fact chain → agg →
+    top-k. The customer side broadcasts; lineitem never shuffles
+    before the aggregate."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    return (
+        li.join(
+            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_millis("o_orderdate").alias("orderdate_ms"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "h_local_supplier_volume",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       CAST(sum({_SQL_REV.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+GROUP BY n.n_name
+""",
+    tags=("heavy", "join"),
+)
+def h_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with a same-nation residual — all
+    dim sides broadcast, single shuffle for the final group."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_pivot_status",
+    oracle="""
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("pivot",),
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit category values (no category-discovery
+    pass — required at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
+@register(
+    "q_cube_status_priority",
+    oracle="""
+SELECT coalesce(o_orderstatus, '(all)') AS status,
+       coalesce(o_orderpriority, '(all)') AS priority,
+       count(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("cube",),
+)
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two categoricals with '(all)' level markers."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n",
+        )
+    )
+
+
+@register(
+    "p5_array_first_match",
+    oracle="""
+SELECT vec_id,
+       (list_filter(embedding, x -> x > 0.2))[1] AS first_big,
+       len(list_filter(embedding, x -> x > 0.2)) AS n_big
+FROM embeddings
+""",
+    tags=("array", "predicate"),
+)
+def p5_array_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-array-element-matching-predicate (SURVEY P5/F21: the
+    reference's next(p for p in ... if ...) as a higher-order filter)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    big = F.filter("embedding", lambda x: x > 0.2)
+    return e.select(
+        "vec_id",
+        # try_element_at: empty match list → NULL (DuckDB [1] agrees)
+        F.try_element_at(big, F.lit(1)).alias("first_big"),
+        F.size(big).alias("n_big"),
+    )
+
+
+@register(
+    "f_rlike_match",
+    oracle="""
+SELECT p_partkey, p_name, p_type
+FROM part
+WHERE regexp_matches(p_name, '^(cold|small) .*(bolt|widget)$')
+""",
+    tags=("regex",),
+)
+def f_rlike_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General (non-anchored-equality) regex predicate — SURVEY F6."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").rlike("^(cold|small) .*(bolt|widget)$"))
+        .select("p_partkey", "p_name", "p_type")
+    )
+
+
+@register(
+    "a_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.5) AS q50,
+       quantile_cont(l_quantity, 0.75) AS q75
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "percentile"),
+)
+def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the statistical
+    extras the reference lacks; approx_percentile is the at-scale
+    variant but is engine-specific, so the oracle checks the exact
+    form)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("q50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+    )

@@ -1,0 +1,90 @@
+"""Physical-plan audit for every registry query.
+
+For each query, captures the executed plan (AQE final where possible)
+and checks the scale posture:
+
+  * no CartesianProduct / BroadcastNestedLoopJoin (accidental cross
+    joins — the one intentional crossJoin is the broadcast 1-row
+    query vector in s_cosine_topk);
+  * parquet scans under a filter show PushedFilters;
+  * joins against dim tables are BroadcastHashJoin, not SortMerge;
+  * WholeStageCodegen is present (the expression path is JVM-side).
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+Writes a per-query summary and exits 1 on hard violations.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from baronbatch_etl_spark.queries import load_all
+from baronbatch_etl_spark.session import get_spark
+
+# Queries allowed to contain a broadcast nested-loop/cross shape:
+# a deliberately broadcast single-row query vector.
+CROSS_OK = {"s_cosine_topk", "s_ivf_topk"}
+# Global-window queries intentionally single-partition at tiny scale.
+SINGLE_PARTITION_OK = {"w2_recent_slice"}
+
+
+def audit(name: str, plan: str) -> list[str]:
+    problems = []
+    if "CartesianProduct" in plan and name not in CROSS_OK:
+        problems.append("CartesianProduct in plan")
+    if "BroadcastNestedLoopJoin" in plan and name not in CROSS_OK:
+        problems.append("BroadcastNestedLoopJoin in plan")
+    n_smj = plan.count("SortMergeJoin")
+    n_bhj = plan.count("BroadcastHashJoin")
+    if n_smj and not n_bhj and "lineitem" not in plan:
+        # dim-only joins should broadcast
+        problems.append(f"{n_smj} SortMergeJoin with no broadcast")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    registry = load_all()
+    spark = get_spark("plan-audit")
+
+    hard_failures = []
+    for name, spec in registry.items():
+        if only and name not in only:
+            continue
+        df = spec.fn(spark, sf_dir)
+        # collect() drives THIS DataFrame's QueryExecution, so the
+        # audited plan is AQE's final one with runtime join selections
+        # and codegen spans (a writer/count would clone the execution)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        joins = {
+            "BHJ": plan.count("BroadcastHashJoin"),
+            "SMJ": plan.count("SortMergeJoin"),
+            "SHJ": plan.count("ShuffledHashJoin"),
+        }
+        pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+        # codegen'd operators print as "*(n) Op" in the simple plan
+        wsc = len(set(re.findall(r"\*\((\d+)\)", plan)))
+        problems = audit(name, plan)
+        flag = "!!" if problems else "ok"
+        print(
+            f"{flag} {name:28s} joins={joins['BHJ']}/{joins['SMJ']}/{joins['SHJ']}"
+            f" (bhj/smj/shj) pushed-scans={pushed} codegen={wsc}"
+            + ("  " + "; ".join(problems) if problems else "")
+        )
+        if problems:
+            hard_failures.append(name)
+    if hard_failures:
+        print("\nVIOLATIONS:", ", ".join(hard_failures))
+        return 1
+    print("\nall plans clean")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
