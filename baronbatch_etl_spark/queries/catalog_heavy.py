@@ -259,6 +259,43 @@ def f_rlike_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific — rows-only check;
+    # the exact co-column is oracle-covered via a_count_distinct
+    tags=("agg", "approx"),
+)
+def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) next to the exact count — the
+    at-scale cardinality path (no expand, one pass, bounded memory)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+""",
+    tags=("unpivot",),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack(): wide numeric columns → (metric, value)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'p_size', CAST(p_size AS DOUBLE), "
+            "'p_retailprice', p_retailprice) AS (metric, value)"
+        ),
+    )
+
+
+@register(
     "a_percentiles",
     oracle="""
 SELECT l_returnflag,

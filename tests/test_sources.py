@@ -1,0 +1,130 @@
+"""Source/sink tests: format round-trips, permissive JSON, partitioned
+writes with pruning, bucketed shuffle-free joins, salted skew joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from baronbatch_etl_spark.io import load_table
+from baronbatch_etl_spark.sources import (
+    read_csv,
+    read_json,
+    salted_join,
+    write_bucketed_table,
+    write_partitioned,
+)
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [Row(k=1, name="a"), Row(k=2, name="b")]
+    )
+    csv_dir, json_dir = str(tmp_path / "c"), str(tmp_path / "j")
+    df.write.mode("overwrite").option("header", "true").csv(csv_dir)
+    df.write.mode("overwrite").json(json_dir)
+    back_csv = read_csv(spark, csv_dir, "k LONG, name STRING")
+    back_json = read_json(spark, json_dir, "k LONG, name STRING")
+    want = {(1, "a"), (2, "b")}
+    assert {tuple(r) for r in back_csv.collect()} == want
+    assert {tuple(r) for r in back_json.collect()} == want
+
+
+def test_permissive_json_quarantines_bad_rows(spark, tmp_path):
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"k": 1, "name": "ok"}\n{"k": broken\n{"k": 3, "name": "ok2"}\n')
+    df = read_json(
+        spark,
+        str(p),
+        "k LONG, name STRING, _corrupt_record STRING",
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {r.k for r in good} == {1, 3}
+    assert len(bad) == 1  # quarantined, job not failed
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "by_status")
+    orders = load_table(spark, sf_dir, "orders")
+    write_partitioned(orders, out, ["o_orderstatus"])
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    assert back.count() == orders.filter("o_orderstatus = 'F'").count()
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the status predicate must be a partition filter, not a data filter
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan or (
+        "PartitionFilters: [" in plan and "o_orderstatus" in
+        plan.split("PartitionFilters:")[1].split("]")[0]
+    )
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    # bucketed tables are managed → they land in the default
+    # warehouse dir (spark-warehouse/, gitignored); dropped below.
+    # Clean both catalog entries and any orphaned locations from
+    # earlier aborted runs.
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    write_bucketed_table(
+        orders.select("o_orderkey", "o_totalprice"), "b_orders", "o_orderkey"
+    )
+    write_bucketed_table(
+        lineitem.select("l_orderkey", "l_quantity"), "b_lineitem", "l_orderkey"
+    )
+    # at fixture sizes the planner prefers a broadcast (and skips the
+    # bucketed layout entirely); disable it to observe the bucketed
+    # co-located join — the at-scale shape where neither side fits in
+    # a broadcast
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # co-located buckets: no shuffle of either side
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert j.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE b_orders")
+        spark.sql("DROP TABLE b_lineitem")
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.createDataFrame(
+        [Row(k="hot", v=i) for i in range(1000)]
+        + [Row(k="cold", v=i) for i in range(10)]
+    )
+    small = spark.createDataFrame(
+        [Row(k="hot", name="H"), Row(k="cold", name="C")]
+    )
+    plain = big.join(small, "k")
+    salted = salted_join(big, small, "k", salt_buckets=8)
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # the hot key actually spreads across salt values
+    spread = (
+        big.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8)),
+        )
+        .filter("k = 'hot'")
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert spread == 8
