@@ -32,18 +32,21 @@ EVENTS_DDL = (
 )
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
     """File-source stream over the events table (S4's idiomatic form:
     the `processed == False` incremental scan becomes checkpointed
-    file-source offsets)."""
+    file-source offsets). `glob` selects the event files within the
+    directory (the fixture dir holds all ten tables; a dedicated
+    multi-file source dir streams with glob='*.parquet')."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
         spark.readStream.format("parquet")
         .schema(EVENTS_DDL)
         .option("maxFilesPerTrigger", 1)  # T5: bounded per micro-batch
-        # file source needs a directory; select just the events table
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .load(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
