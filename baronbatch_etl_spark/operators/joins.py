@@ -1,0 +1,102 @@
+"""Join operators Spark lacks natively, composed from built-ins
+(prompt/guide pattern list: as-of join, range join).
+
+as-of join — for each left row, the latest right row at-or-before its
+timestamp (per key). Spark has no ASOF JOIN; the scalable composition
+is the union trick: tag both sides, union, sort per key by (ts, side)
+with a window, carry the last seen right value forward, keep left
+rows. ONE shuffle on the key — same cost as a regular join, no
+range-explosion. (The applyInPandas + pd.merge_asof per-group variant
+is the fallback when per-key data fits in memory; this one never
+materializes a group.)
+
+range join — equi-bucketize the range key, join on bucket, residual
+filter. Turns an O(n·m) inequality join into a banded equi-join;
+bucket width = the query interval so each left row probes ≤2 buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_value_cols: list[str] | None = None,
+) -> DataFrame:
+    """For each left row: the most recent right row with
+    right.on <= left.on, matched within `by` groups (left join
+    semantics — unmatched left rows keep nulls).
+
+    Output: all left columns + `right_value_cols` (prefixed asof_).
+    """
+    right_value_cols = right_value_cols or [
+        c for c in right.columns if c not in (on, by)
+    ]
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.select(
+        by,
+        on,
+        *[F.col(c).alias(f"asof_{c}") for c in right_value_cols],
+    ).withColumn("_side", F.lit(0))
+
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    # right rows sort before left rows at equal ts (side 0 < 1), so a
+    # right row AT the left timestamp is eligible ("at-or-before")
+    w = (
+        Window.partitionBy(by)
+        .orderBy(on, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"_carry_{c}")
+            for c in right_value_cols
+        ],
+    )
+    return (
+        carried.filter(F.col("_side") == 1)
+        .drop("_side", *[f"asof_{c}" for c in right_value_cols])
+        .select(
+            *left.columns,
+            *[
+                F.col(f"_carry_{c}").alias(f"asof_{c}")
+                for c in right_value_cols
+            ],
+        )
+    )
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    interval_ms: int,
+    bucket_ms: int | None = None,
+) -> DataFrame:
+    """Pairs (left, right) with 0 <= left_ts − right_ts < interval_ms,
+    as a banded equi-join: both sides bucketed at interval width, each
+    left row probes its own and the previous bucket, residual filter
+    exact. Cross-join never materializes."""
+    bucket_ms = bucket_ms or interval_ms
+    lb = left.withColumn(
+        "_lbucket", (F.unix_millis(F.col(left_ts)) / bucket_ms).cast("long")
+    )
+    rb = right.withColumn(
+        "_rbucket", (F.unix_millis(F.col(right_ts)) / bucket_ms).cast("long")
+    )
+    probe = lb.withColumn(
+        "_probe", F.explode(F.array(F.col("_lbucket"), F.col("_lbucket") - 1))
+    )
+    delta = F.unix_millis(F.col(left_ts)) - F.unix_millis(F.col(right_ts))
+    return (
+        probe.join(rb, probe._probe == rb._rbucket)
+        .filter((delta >= 0) & (delta < interval_ms))
+        .drop("_lbucket", "_rbucket", "_probe")
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from baronbatch_etl_spark.io import load_table
+from baronbatch_etl_spark.operators.joins import asof_join, range_join_bucketed
 from baronbatch_etl_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -303,3 +304,79 @@ def j7_membership_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# As-of join — an operator Spark lacks natively (guide: "As-of / range
+# join"), composed as union + per-key ordered window carry-forward
+# (operators/joins.py). DuckDB has a native ASOF JOIN → exact oracle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j_asof_join",
+    oracle="""
+SELECT l.event_id, l.user_id, epoch_ms(CAST(l.ts AS TIMESTAMP)) AS ts_ms,
+       r.event_id AS asof_event_id, r.value AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+    tags=("join", "asof"),
+)
+def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the user's most recent view at-or-
+    before it. One shuffle on the key; no per-group materialization."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(left, right, on="ts", by="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("asof_event_id"),
+        F.col("asof_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join — banded equi-join composition (bucketize, probe own +
+# previous bucket, exact residual). Oracle: plain inequality join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j_range_join",
+    oracle="""
+SELECT l.event_id AS purchase_id, r.event_id AS click_id,
+       epoch_ms(CAST(l.ts AS TIMESTAMP)) - epoch_ms(CAST(r.ts AS TIMESTAMP)) AS delta_ms
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.ts >= r.ts
+ AND epoch_ms(CAST(l.ts AS TIMESTAMP)) - epoch_ms(CAST(r.ts AS TIMESTAMP)) < 300000
+""",
+    tags=("join", "range"),
+)
+def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases paired with any click in the preceding 5 minutes —
+    the bucketed band join replaces the O(n·m) inequality scan."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("r_event_id"), F.col("ts").alias("r_ts")
+    )
+    joined = range_join_bucketed(
+        purchases, clicks, "ts", "r_ts", interval_ms=300000
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+        (F.unix_millis("ts") - F.unix_millis("r_ts")).alias("delta_ms"),
+    )

@@ -389,3 +389,113 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing real — see operators/multimodal.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return M.extract_features(M.documents_as_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish subword token counting (north-star text analysis: whitespace
+# + a BPE-ish regex). Same regex class semantics in Java regex / RE2.
+# ---------------------------------------------------------------------------
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "t_bpe_tokens",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS n_subwords,
+       CASE WHEN length(text) = 0 THEN 0
+            ELSE len(string_split(text, ' ')) END AS n_whitespace,
+       len(list_filter(regexp_extract_all(text, '{_BPE_RE}'),
+                       t -> length(t) >= 4)) AS n_long
+FROM documents
+""",
+    tags=("llm", "text", "tokenize"),
+)
+def t_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style token counts via a BPE-ish regex (letter runs /
+    digit runs / single punctuation) next to whitespace counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    sub = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(sub).alias("n_subwords"),
+        X.token_count("text").alias("n_whitespace"),
+        F.size(F.filter(sub, lambda t: F.length(t) >= 4)).alias("n_long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Signed-random-projection (SRP) LSH codes over embeddings — the
+# bucketed ANN scale path beside the IVF variant. Hyperplanes are ±1
+# vectors derived from a deterministic integer mix, so DuckDB replays
+# the identical arithmetic (sequential double fold per plane).
+# ---------------------------------------------------------------------------
+
+_SRP_PLANES = 16
+
+
+def _srp_weight_sql(j: int) -> str:
+    # ±1 from bit 16 of a Knuth multiplicative hash of (plane, dim).
+    # NB: parity of any linear mix is itself linear in (j, d) — it
+    # collapses all planes onto 2 distinct hyperplanes (observed: all
+    # 500 vectors in 2 buckets). A middle bit of a multiplicative
+    # hash is properly mixed.
+    return (
+        f"(((((({j} * 65537) + d + 1) * 2654435761) % 4294967296 >> 16) & 1) "
+        "* 2 - 1)"
+    )
+
+
+@register(
+    "s_srp_codes",
+    oracle=f"""
+WITH proj AS (
+    SELECT vec_id, label,
+           [{", ".join(
+               "list_reduce(list_prepend(0.0::DOUBLE, "
+               "list_transform(range(0, 64), d -> "
+               f"{_srp_weight_sql(j)} * embedding[d + 1]::DOUBLE)), "
+               "(acc, v) -> acc + v)"
+               for j in range(_SRP_PLANES)
+           )}] AS dots
+    FROM embeddings
+)
+SELECT vec_id, label,
+       CAST({" + ".join(
+           f"(CASE WHEN dots[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+           for j in range(_SRP_PLANES)
+       )} AS BIGINT) AS srp_code
+FROM proj
+""",
+    tags=("llm", "similarity", "lsh"),
+)
+def s_srp_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SRP-LSH code per embedding: sign of the dot product with
+    16 deterministic ±1 hyperplanes, packed into a bucket key. At
+    scale the table is bucketed by this code and ANN probes one (or a
+    few hamming-adjacent) buckets instead of scanning all vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def plane_dot(j: int):
+        c1 = j * 65537
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(63)),
+            F.lit(0.0),
+            lambda acc, d: acc
+            + (
+                F.shiftright(
+                    ((F.lit(c1) + d + 1) * F.lit(2654435761)) % F.lit(4294967296),
+                    16,
+                ).bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            ).cast("double")
+            * F.element_at("embedding", d + 1).cast("double"),
+        )
+
+    code = None
+    for j in range(_SRP_PLANES):
+        bit = F.when(plane_dot(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        code = bit if code is None else code + bit
+    return e.select("vec_id", "label", code.cast("bigint").alias("srp_code"))

@@ -36,14 +36,25 @@ def main() -> None:
     registry = load_all()
     spark = get_spark("bench")
 
-    # JVM/codegen warm-up on a trivial plan so q1 isn't charged for it.
+    # Warm-up: JVM/codegen on a trivial plan + one pandas-UDF plan so
+    # no query is charged for JVM bring-up or Python worker startup.
     _force(registry["p1_projection"].fn(spark, sf_dir))
+    _force(registry["f_norm_concat"].fn(spark, sf_dir))
 
+    # min of two runs per query: the steady-state number, insulated
+    # from GC pauses / first-touch page faults (round-over-round
+    # BENCH comparisons need stable values).
     timings: dict[str, float] = {}
     for name, spec in registry.items():
-        t0 = time.perf_counter()
-        _force(spec.fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            # cached frames (dedup signature tables) plan-match across
+            # invocations — clear so each run pays full cost
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            _force(spec.fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(
