@@ -419,3 +419,27 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.from_json("props", "k BIGINT").getField("k").alias("k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P12 as a standalone query: explode a nested array with position
+# (the reference walks participants[i] by index; posexplode is the
+# set-oriented form).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p12_posexplode",
+    oracle="""
+SELECT vec_id, u.d - 1 AS pos, embedding[u.d] AS val
+FROM embeddings, LATERAL (SELECT unnest(range(1, 9)) AS d) u
+""",
+    tags=("array", "explode"),
+)
+def p12_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode of the first 8 embedding slots → (row, pos, value)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "val"),
+    )

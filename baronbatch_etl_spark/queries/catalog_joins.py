@@ -113,9 +113,11 @@ SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
 def j2_staged_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-stage fallback resolution: key equality → normalized name with
     null-tolerant tag residual → name only; anti-join remainders,
-    unionByName of the stages. Dim side broadcast at every stage, so
-    the fact table is never shuffled — three parquet re-scans of the
-    fact are cheaper than one shuffle at 100 TB (columnar + pruned)."""
+    unionByName of the stages. The dim side broadcasts at every match
+    stage; the remainder anti-joins shuffle on the fact key (their
+    matched-id sides grow with the facts, so they can't broadcast) —
+    that's the correct at-scale trade: sort-merge anti on ids only,
+    broadcast for every dim lookup."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
 
