@@ -176,9 +176,11 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     least one untouched byte, so it collides in ≥1 block), then verify
     candidates with popcount(xor) ≤ max_hamming."""
     base = docs.select("doc_id", simhash_fast(F.col("text")).alias("sh")).cache()
+    # block on ids only (slim rows through the bucket join + distinct),
+    # then join fingerprints back for verification — same
+    # block-then-verify shape as ngram_jaccard_pairs
     blocks = base.select(
         "doc_id",
-        "sh",
         F.posexplode(
             F.array(
                 *[
@@ -199,16 +201,25 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
         )
         .distinct()
     )
-    return cand.select(
-        "doc_a",
-        "doc_b",
-        F.bit_count(F.expr("sh_a ^ sh_b").cast("long")).alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
+    return (
+        cand.join(
+            base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.expr("sh_a ^ sh_b").cast("long")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def ngram_jaccard_pairs(

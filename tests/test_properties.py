@@ -1,0 +1,129 @@
+"""Property-style checks (hypothesis) for the invariants the oracle
+harness depends on: engine-portable rounding, hash parity across
+arbitrary unicode, as-of join vs pandas merge_asof, safe-division
+totality."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from baronbatch_etl_spark.operators.joins import asof_join
+from baronbatch_etl_spark.operators.text import POLY_P
+
+# NB: one Spark job per hypothesis example is too slow — each property
+# collects the generated batch into ONE DataFrame and checks per-row.
+
+
+def _poly_py(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % POLY_P
+    return h
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), min_codepoint=1
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_char_poly_hash_matches_python_reference(spark, strings):
+    """Spark's fold over split('') must equal the plain Python fold
+    over code points for arbitrary non-surrogate unicode."""
+    from baronbatch_etl_spark.operators.text import char_poly_hash
+
+    df = spark.createDataFrame([Row(s=x) for x in strings], "s string")
+    out = {r.s: r.h for r in df.select("s", char_poly_hash(F.col("s")).alias("h")).collect()}
+    for s in strings:
+        assert out[s] == _poly_py(s), repr(s)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(min_value=0, max_value=4),
+)
+def test_round_half_up_scale_bound(spark, xs, scale):
+    """round_half_up output is within half an ulp-of-scale of the
+    input and idempotent at the same scale."""
+    from baronbatch_etl_spark.functions.scalars import round_half_up
+
+    df = spark.createDataFrame([Row(x=float(v)) for v in xs], "x double")
+    out = df.select(
+        "x",
+        round_half_up("x", scale).alias("r"),
+        round_half_up(round_half_up("x", scale), scale).alias("rr"),
+    ).collect()
+    tol = 0.5 * 10**-scale + 1e-9
+    for row in out:
+        assert abs(row.r - row.x) <= tol
+        assert row.rr == row.r  # idempotent
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left_offsets, right_offsets):
+    """asof_join == pd.merge_asof (backward, inclusive) on one key."""
+    base = datetime(2024, 1, 1)
+    lt = sorted({base + timedelta(seconds=o) for o in left_offsets})
+    rt = sorted({base + timedelta(seconds=o) for o in right_offsets})
+    left = spark.createDataFrame(
+        [Row(k="u", ts=t, lid=i) for i, t in enumerate(lt)]
+    )
+    right = spark.createDataFrame(
+        [Row(k="u", ts=t, rid=i) for i, t in enumerate(rt)]
+    )
+    got = {
+        r.lid: r.asof_rid
+        for r in asof_join(left, right, on="ts", by="k").collect()
+    }
+    want_df = pd.merge_asof(
+        pd.DataFrame({"ts": lt, "lid": range(len(lt))}),
+        pd.DataFrame({"ts": rt, "rid": range(len(rt))}),
+        on="ts",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in want_df.itertuples()
+    }
+    assert got == want
+
+
+def test_safe_div_kda_total(spark):
+    """KDA never divides by zero for any int inputs (F9 invariant)."""
+    from baronbatch_etl_spark.functions.scalars import safe_div_kda
+
+    rows = [
+        Row(k=k, d=d, a=a)
+        for k in (0, 1, 7)
+        for d in (0, 1, 3)
+        for a in (0, 2, 9)
+    ]
+    df = spark.createDataFrame(rows)
+    out = df.select("k", "d", "a", safe_div_kda("k", "d", "a").alias("kda")).collect()
+    for r in out:
+        assert r.kda == round((r.k + r.a) / max(1, r.d), 2)
