@@ -121,7 +121,11 @@ def minhash_lsh_pairs(
         minhash_signature_fast(F.col("text")).alias("sig"),
         shingle_hashes_fast(F.col("text")).alias("sh"),
     ).cache()
-    banded = base.select(
+    # docs with no shingles (< n tokens) all share the sentinel
+    # signature — banding them would make every short doc a candidate
+    # pair with every other (O(n²) on that subset); they can never
+    # verify (empty shingle sets), so exclude them up front
+    banded = base.filter(F.size("sh") > 0).select(
         "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("band", "key")
     )
     left = banded.alias("l")
@@ -175,6 +179,12 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     32-bit fingerprint (pigeonhole: any pair within hamming ≤ 3 has at
     least one untouched byte, so it collides in ≥1 block), then verify
     candidates with popcount(xor) ≤ max_hamming."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-byte blocking is only complete for max_hamming <= 3; "
+            f"got {max_hamming} — pairs differing in every byte would be "
+            "silently missed (use more/smaller blocks for larger radii)"
+        )
     base = docs.select("doc_id", simhash_fast(F.col("text")).alias("sh")).cache()
     # block on ids only (slim rows through the bucket join + distinct),
     # then join fingerprints back for verification — same

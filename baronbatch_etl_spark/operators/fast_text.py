@@ -145,8 +145,12 @@ def jaccard_fast(a: pd.Series, b: pd.Series) -> pd.Series:
     size(array_intersect)/size(array_distinct(concat))."""
     out = np.empty(len(a), dtype=np.float64)
     for i, (xs, ys) in enumerate(zip(a, b)):
-        xa = np.asarray(xs, dtype=np.int64)
-        ya = np.asarray(ys, dtype=np.int64)
+        # np.unique first: the inputs are distinct as SHINGLES but a
+        # polynomial-hash collision can duplicate a hash value within
+        # one doc; set sizes must be over distinct hashes to match
+        # size(array_intersect)/size(array_distinct(concat)) exactly
+        xa = np.unique(np.asarray(xs, dtype=np.int64))
+        ya = np.unique(np.asarray(ys, dtype=np.int64))
         ni = np.intersect1d(xa, ya, assume_unique=True).size
         out[i] = ni * 1.0 / (xa.size + ya.size - ni) if (xa.size + ya.size) else 0.0
     return pd.Series(out)

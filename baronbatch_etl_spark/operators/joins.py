@@ -38,10 +38,14 @@ def asof_join(
         c for c in right.columns if c not in (on, by)
     ]
     lt = left.withColumn("_side", F.lit(1))
+    # ALL right values ride in ONE struct: the carry-forward then picks
+    # whole right ROWS atomically. (Carrying columns independently with
+    # ignorenulls would tear rows: a legitimately-NULL value in the
+    # matched row would be back-filled from an older row.)
     rt = right.select(
         by,
         on,
-        *[F.col(c).alias(f"asof_{c}") for c in right_value_cols],
+        F.struct(*[F.col(c) for c in right_value_cols]).alias("_rrow"),
     ).withColumn("_side", F.lit(0))
 
     unioned = lt.unionByName(rt, allowMissingColumns=True)
@@ -52,20 +56,15 @@ def asof_join(
         .orderBy(on, "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"_carry_{c}")
-            for c in right_value_cols
-        ],
+    carried = unioned.withColumn(
+        "_carry", F.last("_rrow", ignorenulls=True).over(w)
     )
     return (
         carried.filter(F.col("_side") == 1)
-        .drop("_side", *[f"asof_{c}" for c in right_value_cols])
         .select(
             *left.columns,
             *[
-                F.col(f"_carry_{c}").alias(f"asof_{c}")
+                F.col("_carry").getField(c).alias(f"asof_{c}")
                 for c in right_value_cols
             ],
         )
@@ -81,18 +80,26 @@ def range_join_bucketed(
     bucket_ms: int | None = None,
 ) -> DataFrame:
     """Pairs (left, right) with 0 <= left_ts − right_ts < interval_ms,
-    as a banded equi-join: both sides bucketed at interval width, each
-    left row probes its own and the previous bucket, residual filter
-    exact. Cross-join never materializes."""
+    as a banded equi-join: both sides bucketed, each left row probes
+    every bucket its lookback window can touch (⌈interval/bucket⌉ + 1
+    of them), residual filter exact. Cross-join never materializes.
+    Bucketing uses floor division so pre-1970 timestamps band
+    correctly."""
     bucket_ms = bucket_ms or interval_ms
+    n_back = -(-interval_ms // bucket_ms)  # ceil: full lookback coverage
     lb = left.withColumn(
-        "_lbucket", (F.unix_millis(F.col(left_ts)) / bucket_ms).cast("long")
+        "_lbucket",
+        F.floor(F.unix_millis(F.col(left_ts)) / F.lit(bucket_ms)).cast("long"),
     )
     rb = right.withColumn(
-        "_rbucket", (F.unix_millis(F.col(right_ts)) / bucket_ms).cast("long")
+        "_rbucket",
+        F.floor(F.unix_millis(F.col(right_ts)) / F.lit(bucket_ms)).cast("long"),
     )
     probe = lb.withColumn(
-        "_probe", F.explode(F.array(F.col("_lbucket"), F.col("_lbucket") - 1))
+        "_probe",
+        F.explode(
+            F.array(*[F.col("_lbucket") - i for i in range(n_back + 1)])
+        ),
     )
     delta = F.unix_millis(F.col(left_ts)) - F.unix_millis(F.col(right_ts))
     return (

@@ -37,7 +37,7 @@ def ingest_dedup(incoming: DataFrame, existing: DataFrame) -> DataFrame:
     """Insert-if-absent on matchId (unique-index semantics,
     extractor/main.py:413 + :513): keep incoming rows whose key is not
     already stored, then first-writer-wins within the batch."""
-    w = Window.partitionBy("matchId").orderBy("puuid", "timestamp")
+    w = Window.partitionBy("matchId").orderBy("timestamp", "puuid")
     return (
         incoming.join(existing.select("matchId"), "matchId", "left_anti")
         .withColumn("_rn", F.row_number().over(w))
@@ -54,17 +54,13 @@ def _resolve_participant(exploded: DataFrame, summoners: DataFrame) -> DataFrame
                AND (tag equal OR participant tag missing/empty)
       stage 3  norm(legacy p.summonerName) == norm(full summonerName)
     First stage that matches wins; one participant row per match."""
+    from baronbatch_etl_spark.functions.scalars import split_name_tag
+
+    dim_name, dim_tag = split_name_tag("summonerName")
     dim = summoners.select(
         F.col("puuid").alias("s_puuid"),
-        norm_nfkc(
-            F.element_at(F.split("summonerName", "#"), 1)
-        ).alias("s_norm_name"),
-        norm_nfkc(
-            F.when(
-                F.size(F.split("summonerName", "#")) > 1,
-                F.element_at(F.split("summonerName", "#"), -1),
-            ).otherwise(F.lit(""))
-        ).alias("s_norm_tag"),
+        norm_nfkc(dim_name).alias("s_norm_name"),
+        norm_nfkc(dim_tag).alias("s_norm_tag"),
         norm_nfkc(F.col("summonerName")).alias("s_norm_full"),
     )
 

@@ -15,6 +15,7 @@ from baronbatch_etl_spark.functions.scalars import (
     cond_flag,
     cs_per_min,
     epoch_ms_to_ddmm,
+    full_riot_id,
     map_lookup_with_default,
     norm_nfkc,
     round_half_up,
@@ -244,19 +245,23 @@ def f_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_norm_concat",
     oracle="""
 SELECT c_custkey,
-       concat(split_part(c_name, '#', 1), '#', split_part(c_name, '#', -1)) AS riot_id,
+       CASE WHEN strpos(c_name, '#') > 0
+            THEN concat(split_part(c_name, '#', 1), '#',
+                        split_part(c_name, '#', -1))
+            ELSE c_name END AS riot_id,
        trim(lower(c_name)) AS name_norm
 FROM customer
 """,
     tags=("string", "udf"),
 )
 def f_norm_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """concat_ws('#') recompose (F2) + NFKC fold UDF (F4)."""
+    """Riot-id recompose with optional tag (F2 semantics: tagless
+    names stay bare, no trailing '#') + NFKC fold UDF (F4)."""
     c = load_table(spark, sf_dir, "customer")
     game_name, tag = split_name_tag("c_name")
     return c.select(
         "c_custkey",
-        F.concat_ws("#", game_name, tag).alias("riot_id"),
+        full_riot_id(game_name, tag).alias("riot_id"),
         norm_nfkc(F.col("c_name")).alias("name_norm"),
     )
 

@@ -194,7 +194,7 @@ WITH sh AS (
     SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM documents
 ),
 sig AS (SELECT doc_id, hs, [{mins}] AS sig FROM sh),
-keyed0 AS (SELECT doc_id, hs, {keys} FROM sig),
+keyed0 AS (SELECT doc_id, hs, {keys} FROM sig WHERE len(hs) > 0),
 keyed AS (
     SELECT doc_id, hs, u.band, u.key
     FROM keyed0, LATERAL (

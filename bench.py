@@ -20,6 +20,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from baronbatch_etl_spark.io import DEFAULT_SF_DIR  # noqa: E402
 from baronbatch_etl_spark.queries import load_all  # noqa: E402
 from baronbatch_etl_spark.session import get_spark  # noqa: E402
 
@@ -29,7 +30,7 @@ def _force(df) -> None:
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 

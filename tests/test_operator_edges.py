@@ -1,0 +1,80 @@
+"""Regression tests for the code-review findings: as-of row atomicity
+under NULL right values, range-join probe coverage with small buckets,
+SimHash radius guard, MinHash short-doc exclusion, first-writer dedup
+ordering."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+
+from baronbatch_etl_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
+from baronbatch_etl_spark.operators.joins import asof_join, range_join_bucketed
+
+
+def _t(s):
+    return datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_join_carries_whole_rows_not_columns(spark):
+    # matched right row has value=NULL; a per-column carry would tear
+    # in value=5.0 from the older row — the struct carry must not
+    left = spark.createDataFrame([Row(k="u", ts=_t(30), lid=1)])
+    right = spark.createDataFrame(
+        [
+            Row(k="u", ts=_t(10), rid=100, value=5.0),
+            Row(k="u", ts=_t(20), rid=200, value=None),
+        ],
+        "k string, ts timestamp, rid long, value double",
+    )
+    out = asof_join(left, right, on="ts", by="k").collect()
+    assert len(out) == 1
+    assert out[0].asof_rid == 200
+    assert out[0].asof_value is None  # NOT 5.0
+
+
+def test_range_join_small_buckets_full_coverage(spark):
+    # right row 250 s back, interval 300 s, buckets of 100 s: the left
+    # row must probe 3+ buckets back to find it
+    left = spark.createDataFrame([Row(ts=datetime(2024, 1, 1, 0, 5, 0), lid=1)])
+    right = spark.createDataFrame(
+        [Row(r_ts=datetime(2024, 1, 1, 0, 0, 50), rid=9)]
+    )
+    out = range_join_bucketed(
+        left, right, "ts", "r_ts", interval_ms=300_000, bucket_ms=100_000
+    ).collect()
+    assert [r.rid for r in out] == [9]
+
+
+def test_range_join_pre_epoch_timestamps(spark):
+    left = spark.createDataFrame([Row(ts=datetime(1969, 12, 31, 23, 59, 59), lid=1)])
+    right = spark.createDataFrame(
+        [Row(r_ts=datetime(1969, 12, 31, 23, 59, 30), rid=7)]
+    )
+    out = range_join_bucketed(
+        left, right, "ts", "r_ts", interval_ms=60_000
+    ).collect()
+    assert [r.rid for r in out] == [7]
+
+
+def test_simhash_radius_guard():
+    # the guard fires before any DataFrame work
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_pairs(None, max_hamming=4)
+
+
+def test_minhash_short_docs_never_pair(spark):
+    # five sub-shingle docs share the sentinel signature; they must NOT
+    # become candidates of each other (O(n²) degeneration guard)
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+            for i, t in enumerate(["a b", "c d", "e", "f g", ""])
+        ]
+    )
+    assert minhash_lsh_pairs(docs, threshold=0.0).count() == 0
