@@ -186,11 +186,13 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             "silently missed (use more/smaller blocks for larger radii)"
         )
     base = docs.select("doc_id", simhash_fast(F.col("text")).alias("sh")).cache()
-    # block on ids only (slim rows through the bucket join + distinct),
-    # then join fingerprints back for verification — same
-    # block-then-verify shape as ngram_jaccard_pairs
+    # Fingerprints ride WITH the candidate rows through the distinct:
+    # unlike the array-carrying pair operators, the payload here is a
+    # single long, and measurements at sf0.1 showed the ids-only
+    # variant (distinct + two join-backs) 3× slower than carrying it.
     blocks = base.select(
         "doc_id",
+        "sh",
         F.posexplode(
             F.array(
                 *[
@@ -211,25 +213,16 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
         )
         .distinct()
     )
-    return (
-        cand.join(
-            base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
-            "doc_a",
-        )
-        .join(
-            base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.expr("sh_a ^ sh_b").cast("long")).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.expr("sh_a ^ sh_b").cast("long")).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(

@@ -81,10 +81,16 @@ def _per_doc_hashes(
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def shingle_hashes_fast(texts: pd.Series) -> pd.Series:
-    """Vectorized twin of text.shingle_hashes (distinct word-3-grams)."""
+    """Vectorized twin of text.shingle_hashes (distinct word-3-grams).
+
+    Hash values are np.unique'd per doc (sorted, collision-deduped):
+    every consumer is set-semantic (min / intersect / distinct-union),
+    so order is free — and downstream pair math may then assume
+    uniqueness without a per-pair dedup pass.
+    """
     flat, offs = _per_doc_hashes(texts, _doc_shingles)
     return pd.Series(
-        [flat[offs[i] : offs[i + 1]].tolist() for i in range(len(texts))]
+        [np.unique(flat[offs[i] : offs[i + 1]]).tolist() for i in range(len(texts))]
     )
 
 
@@ -145,15 +151,37 @@ def jaccard_fast(a: pd.Series, b: pd.Series) -> pd.Series:
     size(array_intersect)/size(array_distinct(concat))."""
     out = np.empty(len(a), dtype=np.float64)
     for i, (xs, ys) in enumerate(zip(a, b)):
-        # np.unique first: the inputs are distinct as SHINGLES but a
-        # polynomial-hash collision can duplicate a hash value within
-        # one doc; set sizes must be over distinct hashes to match
-        # size(array_intersect)/size(array_distinct(concat)) exactly
-        xa = np.unique(np.asarray(xs, dtype=np.int64))
-        ya = np.unique(np.asarray(ys, dtype=np.int64))
+        # inputs come from shingle_hashes_fast, which dedupes hash
+        # values per doc (collision-safe) — uniqueness holds
+        xa = np.asarray(xs, dtype=np.int64)
+        ya = np.asarray(ys, dtype=np.int64)
         ni = np.intersect1d(xa, ya, assume_unique=True).size
         out[i] = ni * 1.0 / (xa.size + ya.size - ni) if (xa.size + ya.size) else 0.0
     return pd.Series(out)
+
+
+def make_srp_udf(planes: int = 16, dims: int = 64):
+    """SRP-LSH codes: sign of dot products with ±1 hyperplanes whose
+    entries come from bit 16 of a Knuth multiplicative hash of
+    (plane, dim). Accumulation runs dimension-by-dimension in float64
+    (the fold order of the SQL oracle), vectorized across rows."""
+    j = np.arange(planes, dtype=np.int64)[:, None]
+    d = np.arange(dims, dtype=np.int64)[None, :]
+    w = (((((j * 65537) + d + 1) * 2654435761) % 4294967296 >> 16) & 1) * 2 - 1
+    w = w.astype(np.float64)  # (planes × dims)
+    weights = np.int64(1) << np.arange(planes, dtype=np.int64)
+
+    @F.pandas_udf(T.LongType())
+    def srp_code_fast(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in embs])
+        acc = np.zeros((m.shape[0], planes))
+        for di in range(dims):  # sequential over dims == fold order
+            acc += m[:, di, None] * w[None, :, di]
+        return pd.Series(((acc > 0) * weights[None, :]).sum(axis=1))
+
+    return srp_code_fast
 
 
 def make_simhash_udf(bits: int = 32):

@@ -62,6 +62,7 @@ def load_all() -> dict[str, QuerySpec]:
         catalog_heavy,
         catalog_joins,
         catalog_llm,
+        catalog_sql,
         catalog_streaming,
         catalog_windows,
     )

@@ -1,0 +1,101 @@
+"""Spark SQL surface — the same engine through ``spark.sql`` over
+registered views (io.register_views): correlated subqueries, grouping
+sets, and the remaining window battery. Catalyst compiles these to
+the same plans as the DataFrame API; the point is the SQL entry point
+itself (subqueries especially have no direct DataFrame spelling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from baronbatch_etl_spark.io import register_views
+from baronbatch_etl_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# Correlated EXISTS — decorrelated by Catalyst into a semi join.
+# ---------------------------------------------------------------------------
+
+_EXISTS_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+"""
+
+
+@register("q_sql_exists", oracle=_EXISTS_SQL, tags=("sql", "subquery"))
+def q_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through spark.sql (plans as left-semi)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery + NOT IN — both decorrelated.
+# ---------------------------------------------------------------------------
+
+_SCALAR_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders)
+  AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+"""
+
+
+@register("q_sql_scalar_subquery", oracle=_SCALAR_SQL, tags=("sql", "subquery"))
+def q_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar aggregate subquery + NOT IN anti subquery.
+
+    NB: avg() here is a single global double aggregate — identical
+    accumulation order is not guaranteed across engines in general,
+    but a *threshold* use only drifts hash results if a row sits
+    within 1 ulp of the boundary; row values are 2-decimal prices, so
+    the comparison is stable.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (beyond the rollup/cube queries).
+# ---------------------------------------------------------------------------
+
+_GSETS_SQL = """
+SELECT coalesce(o_orderstatus, '(all)') AS status,
+       coalesce(o_orderpriority, '(all)') AS priority,
+       count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("q_sql_grouping_sets", oracle=_GSETS_SQL, tags=("sql", "groupingsets"))
+def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: per-status, per-priority, grand total."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GSETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Remaining window battery: ntile / percent_rank / cume_dist.
+# ---------------------------------------------------------------------------
+
+_NTILE_SQL = """
+SELECT c_custkey,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register("w_ntile_battery", oracle=_NTILE_SQL, tags=("sql", "window"))
+def w_ntile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist over a deterministic ordering
+    (unique tiebreaker keeps ranks engine-identical)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_NTILE_SQL)
