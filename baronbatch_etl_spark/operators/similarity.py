@@ -89,24 +89,40 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs, blocked by coarse cell
     (only same-label pairs are scored — the IVF blocking that keeps
     the pair space sub-quadratic)."""
-    from baronbatch_etl_spark.operators.fast_text import cosine_fast
+    import numpy as np
+    import pandas as pd
 
-    base = embeddings.select("vec_id", "label", "embedding")
-    a, b = base.alias("a"), base.alias("b")
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # All pairs within one coarse cell, scored with a
+        # dimension-sequential accumulation (the oracle's fold order —
+        # a BLAS matmul would differ in the last ulp). Vectors cross
+        # the Arrow boundary once per cell, not once per pair.
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        n = m.shape[0]
+        dot = np.zeros((n, n))
+        sq = np.zeros(n)
+        for d in range(m.shape[1]):
+            col = m[:, d]
+            dot += col[:, None] * col[None, :]
+            sq += col * col
+        norm_ = np.sqrt(sq)
+        cos = dot / (norm_[:, None] * norm_[None, :])
+        ia, ib = np.triu_indices(n, k=1)
+        keep = cos[ia, ib] >= threshold
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "cos_sim": cos[ia, ib][keep],
+            }
+        )
+
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cosine_fast(F.col("a.embedding"), F.col("b.embedding")).alias(
-                "cos_sim"
-            ),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+        embeddings.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(cell_pairs, "vec_a long, vec_b long, cos_sim double")
     )
 
 
