@@ -89,6 +89,47 @@ def extract_features(media: DataFrame, use_real_decoder: bool = False) -> DataFr
     return media.mapInPandas(op, FEATURES_SCHEMA)
 
 
+def frame_sample_offsets(
+    media: DataFrame, n_frames: int = 4
+) -> DataFrame:
+    """Video frame-sampling plumbing: evenly spaced sample timestamps
+    from the duration metadata (first/…/last-exclusive convention,
+    offset_i = i·duration/n). The actual frame decode is the stubbed
+    step (`_decode_image_stub`); offset planning — the distributed
+    part — is a pure column expression, so a 100 TB video corpus
+    plans its sampling at scan speed and only the decoder fans out."""
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0).cast("long"))
+    offsets = F.transform(
+        F.sequence(F.lit(0), F.lit(n_frames - 1)),
+        lambda i: F.floor(i * dur / F.lit(n_frames)).cast("long"),
+    )
+    return media.select(
+        "media_id",
+        dur.alias("duration_ms"),
+        offsets.alias("frame_offsets_ms"),
+    )
+
+
+def resize_spec(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize planning from width/height metadata: target dimensions
+    preserving aspect ratio, longest side capped at ``max_side``
+    (integer math only — portable). The pixel work is the stubbed
+    decoder's job; this computes the plan column-side."""
+    w = F.coalesce(F.col("meta.width"), F.lit(0))
+    h = F.coalesce(F.col("meta.height"), F.lit(0))
+    longest = F.greatest(w, h)
+    scale_num = F.when(longest > max_side, F.lit(max_side)).otherwise(longest)
+    tw = F.when(longest > 0, F.floor(w * scale_num / longest)).otherwise(F.lit(0))
+    th = F.when(longest > 0, F.floor(h * scale_num / longest)).otherwise(F.lit(0))
+    return media.select(
+        "media_id",
+        w.alias("width"),
+        h.alias("height"),
+        tw.cast("int").alias("target_width"),
+        th.cast("int").alias("target_height"),
+    )
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as a binary payload (the
     fixture tables carry no real media; this exercises the identical

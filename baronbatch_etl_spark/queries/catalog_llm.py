@@ -484,3 +484,31 @@ def s_srp_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id", "label", srp(F.col("embedding")).alias("srp_code")
     )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+SELECT doc_id AS media_id,
+       n_chars * 40 AS duration_ms,
+       list_transform(range(0, 4),
+                      i -> (i * (n_chars * 40)) // 4) AS frame_offsets_ms
+FROM documents
+""",
+    tags=("llm", "multimodal"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan over media metadata (durations synthesized
+    from n_chars since the fixtures carry no real video; the offset
+    math is the real distributed step, decode stays stubbed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 40).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return M.frame_sample_offsets(media, n_frames=4)

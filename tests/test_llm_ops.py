@@ -112,3 +112,26 @@ def test_multimodal_features_deterministic(spark):
 def test_multimodal_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         M._decode_image_stub(b"\x89PNG")
+
+
+def test_frame_sample_and_resize_plans(spark):
+    from pyspark.sql import Row as R
+
+    media = spark.createDataFrame(
+        [
+            R(media_id=1, payload=None,
+              meta=R(mime="video/mp4", width=1920, height=1080, duration_ms=10000)),
+            R(media_id=2, payload=None,
+              meta=R(mime="image/png", width=100, height=400, duration_ms=None)),
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    frames = {r.media_id: r.frame_offsets_ms
+              for r in M.frame_sample_offsets(media, 4).collect()}
+    assert frames[1] == [0, 2500, 5000, 7500]
+    assert frames[2] == [0, 0, 0, 0]  # no duration → all offsets 0
+
+    sizes = {r.media_id: (r.target_width, r.target_height)
+             for r in M.resize_spec(media, max_side=256).collect()}
+    assert sizes[1] == (256, 144)  # aspect preserved, longest side capped
+    assert sizes[2] == (64, 256)
