@@ -155,6 +155,63 @@ def minhash_lsh_pairs(
     return verified
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: (node, component) where
+    component = min doc_id reachable through the pair graph — the
+    standard keep-one-per-cluster dedup contract.
+
+    Min-label propagation: each round every node takes the minimum of
+    its own label and its neighbors' labels; converges in O(graph
+    diameter) rounds (dedup clusters are shallow — near-clique, tiny
+    diameter). The driver loop is the legitimate iterative-algorithm
+    exception to "no driver-side loops": each iteration is a fully
+    distributed join+agg, `localCheckpoint` truncates the growing
+    lineage, and the loop exits on a converged (zero-change) round.
+    At 100 TB the same loop holds — GraphFrames/GraphX use exactly
+    this alternating-join shape.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(
+        F.col("s").alias("node"), F.col("s").alias("comp")
+    ).distinct()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.d == labels.node)
+            .groupBy("s")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        stepped = (
+            labels.join(neigh, labels.node == neigh.s, "left")
+            .select(
+                "node",
+                F.col("comp").alias("old_comp"),
+                F.least("comp", "ncomp").alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.filter(F.col("comp") < F.col("old_comp")).count()
+        labels = stepped.select("node", "comp")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "— pathological chain-shaped dup graph; raise max_iter"
+        )
+    edges.unpersist()
+    return labels
+
+
 def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
     """SimHash fingerprint over token hashes (row-local).
 

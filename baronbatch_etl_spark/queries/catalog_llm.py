@@ -173,7 +173,9 @@ def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_survivors(load_table(spark, sf_dir, "documents"))
 
 
-def _minhash_sql() -> str:
+def _minhash_ctes() -> str:
+    """CTE chain ending in ``pairs(doc_a, doc_b, jaccard)`` — shared by
+    the pair query and the recursive clustering oracle."""
     mins = ", ".join(
         f"CASE WHEN len(hs) > 0 THEN list_aggregate("
         f"list_transform(hs, h -> ({a}::BIGINT * h + {b}) % {X.POLY_P}), 'min') "
@@ -189,8 +191,7 @@ def _minhash_sql() -> str:
         for b in range(D.LSH_BANDS)
     )
     key_list = ", ".join(f"key_{b}" for b in range(D.LSH_BANDS))
-    return f"""
-WITH sh AS (
+    return f"""sh AS (
     SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM documents
 ),
 sig AS (SELECT doc_id, hs, [{mins}] AS sig FROM sh),
@@ -206,16 +207,21 @@ cand AS (
     SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
     FROM keyed l JOIN keyed r
       ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
-)
-SELECT c.doc_a, c.doc_b,
-       len(list_intersect(a.hs, b.hs)) * 1.0
-         / len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
-FROM cand c
-JOIN sh a ON c.doc_a = a.doc_id
-JOIN sh b ON c.doc_b = b.doc_id
-WHERE len(list_intersect(a.hs, b.hs)) * 1.0
-        / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.8
-"""
+),
+pairs AS (
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(a.hs, b.hs)) * 1.0
+             / len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
+    FROM cand c
+    JOIN sh a ON c.doc_a = a.doc_id
+    JOIN sh b ON c.doc_b = b.doc_id
+    WHERE len(list_intersect(a.hs, b.hs)) * 1.0
+            / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.8
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"WITH {_minhash_ctes()}\nSELECT doc_a, doc_b, jaccard FROM pairs"
 
 
 @register("d_minhash_lsh", oracle=_minhash_sql(), tags=("llm", "dedup", "lsh"))
@@ -225,6 +231,49 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan (row-local signatures, shuffle only on band buckets)."""
     return D.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+@register(
+    "d_dup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION
+    SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(s, d) AS (
+    SELECT s, d FROM edges
+    UNION
+    SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    WHERE e.d <> r.s
+),
+comp AS (
+    SELECT s AS doc_id, least(s, min(d)) AS component
+    FROM reach GROUP BY s
+)
+SELECT c.doc_id, c.component, z.csize
+FROM comp c
+JOIN (SELECT component, count(*) AS csize FROM comp GROUP BY component) z
+  ON c.component = z.component
+""",
+    tags=("llm", "dedup", "iterative"),
+)
+def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified MinHash-LSH pair graph
+    (min-label propagation; DuckDB oracle replays it as a recursive
+    transitive closure) + per-cluster size — the keep-one-per-cluster
+    contract of a production dedup pass."""
+    pairs = D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+    comp = D.connected_components(pairs)
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("csize"))
+    return comp.join(sizes, "comp").select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("component"),
+        "csize",
     )
 
 

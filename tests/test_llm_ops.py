@@ -135,3 +135,22 @@ def test_frame_sample_and_resize_plans(spark):
              for r in M.resize_spec(media, max_side=256).collect()}
     assert sizes[1] == (256, 144)  # aspect preserved, longest side capped
     assert sizes[2] == (64, 256)
+
+
+def test_connected_components_chain(spark):
+    # chain 1-2-3-4 plus isolated pair (10,11): two components, min-id
+    # labels require multi-round propagation to reach the chain tail
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"]
+    )
+    out = {r.node: r.comp for r in D.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_order_invariant(spark):
+    # same graph, edges reversed and shuffled — identical labels
+    pairs = spark.createDataFrame(
+        [(4, 3), (2, 1), (3, 2), (11, 10)], ["doc_a", "doc_b"]
+    )
+    out = {r.node: r.comp for r in D.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
