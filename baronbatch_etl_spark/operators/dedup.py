@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from baronbatch_etl_spark.operators.fast_text import (
     jaccard_fast,
     make_minhash_udf,
+    make_sig_and_shingles_udf,
     make_simhash_udf,
     shingle_hashes_fast,
 )
@@ -51,6 +52,7 @@ SIMHASH_BITS = 32
 # Arrow-vectorized signature UDFs (same arithmetic as the expression
 # versions below — see operators/fast_text.py; parity is tested).
 minhash_signature_fast = make_minhash_udf(MINHASH_A, MINHASH_B)
+sig_and_shingles_fast = make_sig_and_shingles_udf(MINHASH_A, MINHASH_B)
 simhash_fast = make_simhash_udf(SIMHASH_BITS)
 
 
@@ -112,15 +114,17 @@ def minhash_lsh_pairs(
     → self-join on (band, key) for candidates → join shingle sets back
     → exact-verify. Shuffle only on band keys and candidate doc ids.
     """
-    # Signatures + shingle hashes in one Arrow pass; the frame is
-    # cached because three plan branches (banding + both verification
-    # sides) reuse it — at 100 TB you'd materialize the signature
-    # table the same way.
-    base = docs.select(
-        "doc_id",
-        minhash_signature_fast(F.col("text")).alias("sig"),
-        shingle_hashes_fast(F.col("text")).alias("sh"),
-    ).cache()
+    # Signatures + shingle hashes in one Arrow pass (shared tokenize/
+    # shingle/hash work); the frame is cached because three plan
+    # branches (banding + both verification sides) reuse it — at
+    # 100 TB you'd materialize the signature table the same way.
+    base = (
+        docs.select(
+            "doc_id", sig_and_shingles_fast(F.col("text")).alias("x")
+        )
+        .select("doc_id", F.col("x.sig").alias("sig"), F.col("x.sh").alias("sh"))
+        .cache()
+    )
     # docs with no shingles (< n tokens) all share the sentinel
     # signature — banding them would make every short doc a candidate
     # pair with every other (O(n²) on that subset); they can never
@@ -175,9 +179,18 @@ def connected_components(
     At 100 TB the same loop holds — GraphFrames/GraphX use exactly
     this alternating-join shape.
     """
+    # symmetrize with one explode, not a 2-branch union — the union
+    # form scans (and for LSH input, recomputes) the pair plan twice
     edges = (
-        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                    F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
         .distinct()
         .cache()
     )
@@ -243,10 +256,14 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             "silently missed (use more/smaller blocks for larger radii)"
         )
     base = docs.select("doc_id", simhash_fast(F.col("text")).alias("sh")).cache()
-    # Fingerprints ride WITH the candidate rows through the distinct:
-    # unlike the array-carrying pair operators, the payload here is a
-    # single long, and measurements at sf0.1 showed the ids-only
-    # variant (distinct + two join-backs) 3× slower than carrying it.
+    # SimHash bits are CORRELATED across similar-vocabulary docs, so
+    # byte buckets are heavily skewed — the candidate multiset is far
+    # larger than uniform hashing suggests (sf0.1: 15.8M candidate
+    # rows from 5k docs). Everything therefore evaluates INLINE in the
+    # join condition — popcount verification plus a first-colliding-
+    # block predicate that makes each qualifying pair come out exactly
+    # once — so no candidate row ever hits an exchange or a distinct:
+    # the whole operator is one broadcast/hash join probe in codegen.
     blocks = base.select(
         "doc_id",
         "sh",
@@ -260,26 +277,41 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         ).alias("block", "key"),
     )
     l, r = blocks.alias("l"), blocks.alias("r")
-    cand = (
+
+    def byte(side: str, i) -> Column:
+        return F.shiftright(F.col(f"{side}.sh"), 8 * i).bitwiseAND(F.lit(255))
+
+    # block is the FIRST index where the two fingerprints agree on the
+    # byte: all earlier blocks must differ (dedup without distinct)
+    diff = [byte("l", i) != byte("r", i) for i in range(4)]
+    earlier_differ = (
+        (F.col("l.block") == 0)
+        | ((F.col("l.block") == 1) & diff[0])
+        | ((F.col("l.block") == 2) & diff[0] & diff[1])
+        | ((F.col("l.block") == 3) & diff[0] & diff[1] & diff[2])
+    )
+    return (
         l.join(
             r,
             (F.col("l.block") == F.col("r.block"))
             & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+            & (F.col("l.doc_id") < F.col("r.doc_id"))
+            & (
+                F.bit_count(
+                    (F.col("l.sh").bitwiseXOR(F.col("r.sh"))).cast("long")
+                )
+                <= max_hamming
+            )
+            & earlier_differ,
         )
         .select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
+            F.bit_count(
+                (F.col("l.sh").bitwiseXOR(F.col("r.sh"))).cast("long")
+            ).alias("hamming"),
         )
-        .distinct()
     )
-    return cand.select(
-        "doc_a",
-        "doc_b",
-        F.bit_count(F.expr("sh_a ^ sh_b").cast("long")).alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(

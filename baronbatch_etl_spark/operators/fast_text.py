@@ -125,6 +125,43 @@ def make_minhash_udf(a: tuple, b: tuple, p: int = POLY_P):
     return minhash_fast
 
 
+def make_sig_and_shingles_udf(a: tuple, b: tuple, p: int = POLY_P):
+    """MinHash signature AND distinct shingle-hash set in ONE Arrow
+    pass — the LSH pair operator needs both, and tokenizing/shingling/
+    hashing every document twice was the dominant cost of the separate
+    UDFs (the two signature columns share all their work)."""
+    av = np.asarray(a, dtype=np.int64)[None, :]
+    bv = np.asarray(b, dtype=np.int64)[None, :]
+    sentinel = np.full(len(a), p, dtype=np.int64)
+
+    # explicit StructType: a DDL-string returnType would be parsed at
+    # import time, which requires a live SparkContext
+    ret = T.StructType(
+        [
+            T.StructField("sig", T.ArrayType(T.LongType())),
+            T.StructField("sh", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    @F.pandas_udf(ret)
+    def sig_and_shingles(texts: pd.Series) -> pd.DataFrame:
+        flat, offs = _per_doc_hashes(texts, _doc_shingles)
+        perms = (flat[:, None] * av + bv) % p
+        sigs, shs = [], []
+        for i in range(len(texts)):
+            lo, hi = offs[i], offs[i + 1]
+            if hi == lo:
+                sigs.append(sentinel.tolist())
+                shs.append([])
+            else:
+                sigs.append(perms[lo:hi].min(axis=0).tolist())
+                # same contract as shingle_hashes_fast: sorted, deduped
+                shs.append(np.unique(flat[lo:hi]).tolist())
+        return pd.DataFrame({"sig": sigs, "sh": shs})
+
+    return sig_and_shingles
+
+
 @F.pandas_udf(T.DoubleType())
 def cosine_fast(a: pd.Series, b: pd.Series) -> pd.Series:
     """Vectorized twin of similarity.cosine: dot and norms accumulate

@@ -67,3 +67,16 @@ def test_simhash_parity(spark):
     ).collect()
     for r in out:
         assert r.expr == r.fast
+
+
+def test_sig_and_shingles_parity(spark):
+    # the fused UDF must agree with both single-output fast paths
+    df = _df(spark)
+    out = df.select(
+        D.minhash_signature_fast(F.col("text")).alias("sig1"),
+        shingle_hashes_fast(F.col("text")).alias("sh1"),
+        D.sig_and_shingles_fast(F.col("text")).alias("x"),
+    ).collect()
+    for r in out:
+        assert r.sig1 == r.x.sig
+        assert r.sh1 == r.x.sh
