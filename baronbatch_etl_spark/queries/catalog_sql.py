@@ -80,6 +80,33 @@ def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LATERAL correlated subquery — per-row top-k without a window pass.
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT n.n_name AS nation, t.c_custkey, t.c_acctbal
+FROM nation n, LATERAL (
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 3
+) t
+"""
+
+
+@register("q_sql_lateral", oracle=_LATERAL_SQL, tags=("sql", "lateral"))
+def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL subquery with per-group ORDER BY + LIMIT (top-3
+    customers by balance per nation; unique tiebreaker keeps both
+    engines identical). Catalyst plans the correlation as a join —
+    the same result as a row_number window but expressed as SQL
+    lateral, which the DataFrame API cannot spell."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
 # Remaining window battery: ntile / percent_rank / cume_dist.
 # ---------------------------------------------------------------------------
 

@@ -132,6 +132,53 @@ def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_stream_join",
+    oracle="""
+SELECT c.event_id AS click_id, b.event_id AS buy_id, c.user_id,
+       epoch_ms(CAST(c.ts AS TIMESTAMP)) AS click_ts_ms,
+       epoch_ms(CAST(b.ts AS TIMESTAMP)) AS buy_ts_ms,
+       b.value AS buy_value
+FROM events c
+JOIN events b
+  ON c.user_id = b.user_id
+ AND c.event_type = 'click' AND b.event_type = 'purchase'
+ AND CAST(b.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+ AND CAST(b.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL '30 minutes'
+""",
+    tags=("streaming", "join"),
+)
+def st_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution interval join (batch twin of
+    streaming.ops.click_purchase_join: equi-join on user with a
+    30-minute event-time range residual)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("buy_ts"),
+        F.col("value").alias("buy_value"),
+    )
+    return clicks.join(
+        buys,
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "click_id",
+        "buy_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_millis("click_ts").alias("click_ts_ms"),
+        F.unix_millis("buy_ts").alias("buy_ts_ms"),
+        "buy_value",
+    )
+
+
+@register(
     "st_dedup_ingest",
     oracle="""
 SELECT event_id, user_id, event_type, value

@@ -165,6 +165,42 @@ def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w_range_frame",
+    oracle="""
+SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS ts_ms,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY epoch(o_orderdate)
+           RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       AS spend_7d
+FROM orders
+""",
+    tags=("window", "frame", "range"),
+)
+def w_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: each order's trailing-7-day per-customer
+    spend. Unlike a rows frame, peers at the same timestamp aggregate
+    together regardless of tie order — so no unique tiebreaker is
+    needed for determinism. Ordering on epoch seconds keeps the frame
+    bound numeric in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_millis("o_orderdate").alias("ts_ms"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_7d"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sessionization — gap-based sessions via lag + cumulative flag (the
 # batch twin of streaming session_window; SURVEY §2.9 / guide pattern).

@@ -92,6 +92,47 @@ def session_aggregate(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def click_purchase_join(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join: each purchase attributed to the same
+    user's clicks in the preceding 30 minutes. Both sides carry
+    watermarks and the join has an explicit event-time range bound, so
+    state is provably droppable — the shape Spark requires for
+    unbounded stream-stream joins (and the shape that stays bounded at
+    any scale)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    buys = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("buy_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("buy_ts"),
+            F.col("value").alias("buy_value"),
+        )
+        .withWatermark("buy_ts", "10 minutes")
+    )
+    return clicks.join(
+        buys,
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "click_id",
+        "buy_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_millis("click_ts").alias("click_ts_ms"),
+        F.unix_millis("buy_ts").alias("buy_ts_ms"),
+        "buy_value",
+    )
+
+
 def incremental_gold(
     events: DataFrame, merge_into: dict, query_name: str = "gold"
 ):

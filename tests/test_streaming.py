@@ -96,3 +96,21 @@ def test_incremental_gold_foreachbatch_matches_batch(
         for r in REGISTRY["a2_grouped_rollup"].fn(spark, sf_dir).collect()
     }
     assert {k: g for k, (g, _) in gold.items()} == batch
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, events_stream):
+    # inner stream-stream join with watermarks + time bound: with the
+    # whole fixture processed, every match must appear (inner joins
+    # emit on match; nothing is held back for this data)
+    out = _run_stream(
+        ops.click_purchase_join(events_stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ssjoin"),
+        spark,
+        "t_ssjoin",
+    )
+    batch = REGISTRY["st_stream_join"].fn(spark, sf_dir)
+    got = {(r.click_id, r.buy_id) for r in out.collect()}
+    want = {(r.click_id, r.buy_id) for r in batch.collect()}
+    assert got == want
