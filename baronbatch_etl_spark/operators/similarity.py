@@ -83,6 +83,74 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)
 
 
+def batch_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k for a SET of query vectors at once — the
+    realistic retrieval shape (N queries × corpus). The bounded query
+    set broadcasts, scoring is one map-only pass over the corpus, and
+    per-query top-k is a window partitioned by query id. At 100 TB the
+    corpus never shuffles; only (q_id, vec_id, score) survivors do."""
+    from pyspark.sql import Window
+
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid vectors (the E-step of distributed k-means /
+    the IVF coarse-quantizer trainer): posexplode to (label, dim, v),
+    sum per dimension, rebuild the centroid array ordered by dimension.
+
+    Accumulation is FIXED-POINT: each component quantizes to 1e-9 via
+    the engine's half-up convention (floor(x·1e9 + 0.5), pure double
+    ops — bit-identical cross-engine) and sums as BIGINT — exact and
+    executor-order-independent. (A DECIMAL cast is NOT portable here:
+    Spark rounds the double's shortest string repr, DuckDB rounds its
+    exact binary expansion — they disagree in the last digit.)
+    Headroom: |v| < 1 ⇒ per-row ≤ 1e9; int64 holds ~9e18 ⇒ safe to
+    ~9e9 members per cell."""
+    ex = embeddings.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    per_dim = ex.groupBy("label", "dim").agg(
+        F.sum(
+            F.floor(F.col("v").cast("double") * 1.0e9 + 0.5).cast("long")
+        ).alias("s"),
+        F.count("*").alias("n"),
+    )
+    return (
+        per_dim.select(
+            "label",
+            "dim",
+            "n",
+            ((F.col("s").cast("double") / 1.0e9) / F.col("n")).alias("c"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda x: x.c,
+            ).alias("centroid"),
+            F.max("n").alias("n_vectors"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float
 ) -> DataFrame:

@@ -173,9 +173,10 @@ def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_survivors(load_table(spark, sf_dir, "documents"))
 
 
-def _minhash_ctes() -> str:
+def _minhash_ctes(src: str = "documents") -> str:
     """CTE chain ending in ``pairs(doc_a, doc_b, jaccard)`` — shared by
-    the pair query and the recursive clustering oracle."""
+    the pair query, the recursive clustering oracle, and the corpus
+    pipeline (which runs it over a filtered survivor set)."""
     mins = ", ".join(
         f"CASE WHEN len(hs) > 0 THEN list_aggregate("
         f"list_transform(hs, h -> ({a}::BIGINT * h + {b}) % {X.POLY_P}), 'min') "
@@ -192,7 +193,7 @@ def _minhash_ctes() -> str:
     )
     key_list = ", ".join(f"key_{b}" for b in range(D.LSH_BANDS))
     return f"""sh AS (
-    SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM documents
+    SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hs FROM {src}
 ),
 sig AS (SELECT doc_id, hs, [{mins}] AS sig FROM sh),
 keyed0 AS (SELECT doc_id, hs, {keys} FROM sig WHERE len(hs) > 0),
@@ -275,6 +276,70 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("component"),
         "csize",
     )
+
+
+_QUALITY_SQL = """
+SELECT doc_id, text, lang, n_chars
+FROM (
+    SELECT doc_id, text, lang, n_chars,
+           CASE WHEN len(string_split(text, ' ')) > 0
+                THEN len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the','a','and','of','to','in'))) * 1.0
+                     / len(string_split(text, ' '))
+                ELSE 0.0 END AS stop
+    FROM documents
+)
+WHERE least(1.0, n_chars / 400.0) * (1.0 - least(1.0, stop * 2.0)) >= 0.35
+"""
+
+
+@register(
+    "t_corpus_dedup",
+    oracle=f"""
+WITH RECURSIVE
+qual AS ({_QUALITY_SQL}),
+surv AS (SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(text)),
+sdocs AS (SELECT q.* FROM qual q JOIN surv s ON q.doc_id = s.doc_id),
+{_minhash_ctes(src="sdocs")},
+edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION
+    SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(s, d) AS (
+    SELECT s, d FROM edges
+    UNION
+    SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    WHERE e.d <> r.s
+),
+removed AS (
+    SELECT s AS doc_id FROM reach GROUP BY s
+    HAVING least(s, min(d)) <> s
+)
+SELECT doc_id FROM sdocs
+WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+""",
+    tags=("llm", "dedup", "pipeline"),
+)
+def t_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus dedup pipeline: quality filter →
+    exact dedup (min doc_id per content hash) → MinHash-LSH near-dup
+    clustering → keep one doc per cluster. The composite the
+    individual operators exist FOR — one declarative plan, verified
+    against a recursive-CTE oracle of the whole chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    qual = docs.filter(X.quality_score("text", "n_chars") >= 0.35)
+    keep = (
+        qual.select("doc_id", F.md5("text").alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    sdocs = qual.join(keep.select("doc_id"), "doc_id").cache()
+    comp = D.connected_components(D.minhash_lsh_pairs(sdocs, threshold=0.8))
+    removed = comp.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    return sdocs.join(removed, "doc_id", "left_anti").select("doc_id")
 
 
 def _simhash_expr_sql() -> str:
@@ -376,6 +441,64 @@ def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against stored vector 0 (broadcast
     query row, map-only scoring, distributed top-k)."""
     return S.brute_force_topk(load_table(spark, sf_dir, "embeddings"), 0, 10)
+
+
+@register(
+    "s_batch_topk",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id AS q_id, embedding AS q_emb
+    FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+scored AS (
+    SELECT q.q_id, e.vec_id,
+           {S.sql_cosine("e.embedding", "q.q_emb")} AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, cos_sim, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored
+) WHERE rank <= 5
+""",
+    tags=("llm", "similarity"),
+)
+def s_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched retrieval: top-5 neighbors for a query SET in one
+    corpus pass (broadcast queries, map-side scoring, per-query
+    window top-k)."""
+    return S.batch_topk(
+        load_table(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], 5
+    )
+
+
+@register(
+    "s_label_centroids",
+    oracle="""
+WITH ex AS (
+    SELECT label, d.dim, embedding[d.dim] AS v
+    FROM embeddings,
+         LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS dim) d
+),
+per_dim AS (
+    SELECT label, dim,
+           (CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000000.0 + 0.5)
+                          AS BIGINT)) AS DOUBLE) / 1000000000.0)
+               / count(*) AS c,
+           count(*) AS n
+    FROM ex GROUP BY label, dim
+)
+SELECT label, list(c ORDER BY dim) AS centroid, max(n) AS n_vectors
+FROM per_dim GROUP BY label
+""",
+    tags=("llm", "similarity", "centroid"),
+)
+def s_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell centroids (distributed k-means E-step / IVF coarse
+    trainer): explode → per-dimension DECIMAL sums (executor-order-
+    independent) → rebuild ordered centroid arrays."""
+    return S.label_centroids(load_table(spark, sf_dir, "embeddings"))
 
 
 @register(
