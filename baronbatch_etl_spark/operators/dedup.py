@@ -132,7 +132,9 @@ def minhash_lsh_pairs(
     banded = base.filter(F.size("sh") > 0).select(
         "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("band", "key")
     )
-    left = banded.alias("l")
+    # probe side repartitioned: single-file inputs otherwise run the
+    # whole band join in one task (see simhash_near_pairs)
+    left = banded.repartition(F.col("doc_id")).alias("l")
     right = banded.alias("r")
     cand = (
         left.join(
@@ -276,7 +278,14 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("block", "key"),
     )
-    l, r = blocks.alias("l"), blocks.alias("r")
+    # The probe side repartitions by doc_id so the heavy probe work
+    # spreads across every core even when the input arrives as one
+    # small file (one file → one task, all other cores idle). The
+    # build side stays unhinted: under the broadcast threshold Spark
+    # broadcasts it; beyond, AQE falls back to a shuffle join with
+    # skew splitting — both correct at their scale.
+    l = blocks.repartition(F.col("doc_id")).alias("l")
+    r = blocks.alias("r")
 
     def byte(side: str, i) -> Column:
         return F.shiftright(F.col(f"{side}.sh"), 8 * i).bitwiseAND(F.lit(255))
@@ -327,7 +336,11 @@ def ngram_jaccard_pairs(
     # single self-join Catalyst pushes the Jaccard filter into the
     # join condition and evaluates it for every same-lang pair.
     keys = docs.select("doc_id", "lang", "n_chars")
-    a, b = keys.alias("a"), keys.alias("b")
+    # the only equi-key is lang (a handful of groups): repartition the
+    # probe side by doc_id so the near-cross probe within each lang
+    # block parallelizes instead of running in one or five tasks
+    a = keys.repartition(F.col("doc_id")).alias("a")
+    b = keys.alias("b")
     cand = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
