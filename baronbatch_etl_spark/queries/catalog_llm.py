@@ -278,6 +278,32 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t_token_topk",
+    oracle=f"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest({_SQL_TOKENS}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 50
+""",
+    tags=("llm", "text", "topk"),
+)
+def t_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: the distributed word count (explode →
+    partial/final hash agg → TakeOrderedAndProject). Map-side partial
+    aggregation absorbs the Zipf head before any shuffle, which is
+    what makes this shape safe on a 100 TB corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(50)
+    )
+
+
 _QUALITY_SQL = """
 SELECT doc_id, text, lang, n_chars
 FROM (
