@@ -127,3 +127,45 @@ def test_safe_div_kda_total(spark):
     out = df.select("k", "d", "a", safe_div_kda("k", "d", "a").alias("kda")).collect()
     for r in out:
         assert r.kda == round((r.k + r.a) / max(1, r.d), 2)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation must agree with a plain
+    union-find over arbitrary small graphs (self-loops, dup edges,
+    chains, cliques)."""
+    from baronbatch_etl_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {}
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        comp_min[find(n)] = min(comp_min.get(find(n), n), n)
+    for n in parent:
+        want[n] = comp_min[find(n)]
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r.node: r.comp for r in connected_components(df).collect()}
+    assert got == want
