@@ -196,9 +196,11 @@ def connected_components(
         .distinct()
         .cache()
     )
-    labels = edges.select(
-        F.col("s").alias("node"), F.col("s").alias("comp")
-    ).distinct()
+    # seed with round 1 directly: label(node) = min(node, neighbors)
+    # — one distributed agg instead of a full join round
+    labels = edges.groupBy(F.col("s").alias("node")).agg(
+        F.least(F.min("s"), F.min("d")).alias("comp")
+    )
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges.d == labels.node)

@@ -304,6 +304,28 @@ def t_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t_hash_sample",
+    oracle="""
+SELECT doc_id, lang
+FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10
+""",
+    tags=("llm", "text", "sample"),
+)
+def t_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% corpus sample via a Knuth multiplicative hash
+    of the key — the production alternative to rand()-based sampling:
+    deterministic across engines, runs, and partitionings (a rerun or
+    a backfill selects the SAME rows), and purely row-local, so it
+    costs a scan at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ) % 100
+    return docs.filter(bucket < 10).select("doc_id", "lang")
+
+
 _QUALITY_SQL = """
 SELECT doc_id, text, lang, n_chars
 FROM (
