@@ -107,3 +107,60 @@ def range_join_bucketed(
         .filter((delta >= 0) & (delta < interval_ms))
         .drop("_lbucket", "_rbucket", "_probe")
     )
+
+
+def resample_ffill(
+    obs: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Resample an irregular time series onto a fixed grid with
+    forward fill: per key, one grid point every `step` from the
+    truncated first to the truncated last observation, each carrying
+    the latest observed value at-or-before it (NULL before the first
+    observation).
+
+    Same union trick as asof_join — observations and grid points
+    union, one shuffle on the key, a `last(ignorenulls)` running
+    window carries values onto the grid. Grid size is bounded per key
+    (span/step), so a 100 TB event table resamples with exactly one
+    wide exchange. Duplicate (key, ts) observations collapse to
+    max(value) first so the fill is deterministic.
+    """
+    o = obs.groupBy(
+        F.col(key).alias("k"), F.col(ts).alias("t")
+    ).agg(F.max(value).alias("v"))
+    bounds = o.groupBy("k").agg(
+        F.date_trunc("hour", F.min("t")).alias("t0"),
+        F.date_trunc("hour", F.max("t")).alias("t1"),
+    )
+    grid = bounds.select(
+        "k",
+        F.explode(
+            F.sequence("t0", "t1", F.expr(f"INTERVAL {step}"))
+        ).alias("t"),
+    )
+    unioned = o.select(
+        "k", "t", "v", F.lit(0).alias("is_grid")
+    ).unionByName(
+        grid.select(
+            "k", "t", F.lit(None).cast("double").alias("v"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("fv", F.last("v", ignorenulls=True).over(w))
+        .filter(F.col("is_grid") == 1)
+        .select(
+            F.col("k").alias(key),
+            F.unix_millis("t").alias("grid_ts_ms"),
+            F.col("fv").alias("filled_value"),
+        )
+    )

@@ -166,6 +166,41 @@ def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_resample_ffill",
+    oracle="""
+WITH obs AS (
+    SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS t, max(value) AS v
+    FROM events GROUP BY 1, 2
+),
+b AS (
+    SELECT k, date_trunc('hour', min(t)) AS t0,
+           date_trunc('hour', max(t)) AS t1
+    FROM obs GROUP BY k
+),
+grid AS (
+    SELECT k, g.g AS gts
+    FROM b, LATERAL (
+        SELECT unnest(generate_series(t0, t1, INTERVAL '1 hour')) AS g
+    ) g
+)
+SELECT grid.k AS user_id, epoch_ms(grid.gts) AS grid_ts_ms,
+       obs.v AS filled_value
+FROM grid ASOF LEFT JOIN obs
+  ON grid.k = obs.k AND grid.gts >= obs.t
+""",
+    tags=("window", "timeseries", "resample"),
+)
+def w_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular→hourly-grid resampling with forward fill (per-user
+    carry-forward of the latest value; the DuckDB oracle replays it
+    as a native ASOF LEFT JOIN against the generated grid)."""
+    from baronbatch_etl_spark.operators.joins import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_ffill(ev, key="user_id", ts="ts", value="value")
+
+
+@register(
     "w_range_frame",
     oracle="""
 SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS ts_ms,

@@ -78,3 +78,26 @@ def test_minhash_short_docs_never_pair(spark):
         ]
     )
     assert minhash_lsh_pairs(docs, threshold=0.0).count() == 0
+
+
+def test_resample_ffill_semantics(spark):
+    from baronbatch_etl_spark.operators.joins import resample_ffill
+
+    # user u: obs at 00:30 (v=1) and 02:15 (v=2, plus a same-ts dup 9
+    # that max-collapses); grid 00:00..02:00 hourly.
+    rows = [
+        Row(user_id=1, ts=datetime(2024, 1, 1, 0, 30), value=1.0),
+        Row(user_id=1, ts=datetime(2024, 1, 1, 2, 15), value=2.0),
+        Row(user_id=1, ts=datetime(2024, 1, 1, 2, 15), value=9.0),
+    ]
+    out = {
+        r.grid_ts_ms: r.filled_value
+        for r in resample_ffill(
+            spark.createDataFrame(rows), "user_id", "ts", "value"
+        ).collect()
+    }
+    h = 3600_000
+    base = 1704067200000  # 2024-01-01T00:00Z
+    # 00:00 precedes every obs -> NULL; 01:00 and 02:00 carry v=1
+    # (the 02:15 obs is after the 02:00 grid point)
+    assert out == {base: None, base + h: 1.0, base + 2 * h: 1.0}
