@@ -103,6 +103,32 @@ def token_hashes_fast(texts: pd.Series) -> pd.Series:
     )
 
 
+@F.pandas_udf(T.LongType())
+def doc_fingerprint_fast(texts: pd.Series) -> pd.Series:
+    """Vectorized twin of text.doc_fingerprint: Horner fold
+    (acc·131 + token_hash) % P over the token stream.
+
+    Same padded-matrix fold as _hash_strings, one level up: rows are
+    documents, columns are token positions, masked by doc length.
+    Intermediates stay < 2^38 (P ≈ 2^30, ×131, +hash<P) — int64-exact.
+    """
+    flat, offs = _per_doc_hashes(texts, _tokenize)
+    n = len(texts)
+    lens = np.diff(offs)
+    max_len = int(lens.max(initial=0))
+    if max_len == 0:
+        return pd.Series(np.zeros(n, dtype=np.int64))
+    mat = np.zeros((n, max_len), dtype=np.int64)
+    col = np.arange(max_len)
+    mask = col[None, :] < lens[:, None]
+    mat[mask] = flat
+    h = np.zeros(n, dtype=np.int64)
+    for j in range(max_len):
+        step = (h * 131 + mat[:, j]) % POLY_P
+        h = np.where(mask[:, j], step, h)
+    return pd.Series(h)
+
+
 def make_minhash_udf(a: tuple, b: tuple, p: int = POLY_P):
     """MinHash signatures from text: shingle-hash then per-permutation
     min, all in one Arrow batch. (A·h+B) ≤ 2^61 — no overflow."""

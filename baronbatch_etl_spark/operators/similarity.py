@@ -152,11 +152,26 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float
+    embeddings: DataFrame,
+    threshold: float,
+    cell_cap: int = 2048,
+    salt: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by coarse cell
     (only same-label pairs are scored — the IVF blocking that keeps
-    the pair space sub-quadratic)."""
+    the pair space sub-quadratic).
+
+    Two physical paths, one logical result:
+      * cells ≤ ``cell_cap`` vectors: applyInPandas all-pairs — the
+        vectors cross the Arrow boundary once per cell, and the n²
+        score matrix stays small (cap² · 8 B ≈ 33 MB at 2048).
+      * cells > ``cell_cap``: a SALTED pair join — the left side is
+        replicated across ``salt`` partner buckets so one hot cell
+        spreads over salt× tasks instead of OOMing one executor; the
+        cosine is the expression fold, which adds terms in the same
+        dimension order as the numpy loop, so both paths (and the
+        oracle) are bit-identical.
+    """
     import numpy as np
     import pandas as pd
 
@@ -187,11 +202,48 @@ def embedding_near_dup_pairs(
             }
         )
 
-    return (
-        embeddings.select("vec_id", "label", "embedding")
+    e = embeddings.select("vec_id", "label", "embedding")
+    sizes = e.groupBy("label").agg(F.count("*").alias("_cell_n"))
+    # one row per coarse cell — tiny next to the corpus; broadcast so
+    # the size tag is a map-side lookup, not a shuffle of the vectors
+    e = e.join(F.broadcast(sizes), "label")
+
+    small = (
+        e.filter(F.col("_cell_n") <= cell_cap)
+        .drop("_cell_n")
         .groupBy("label")
         .applyInPandas(cell_pairs, "vec_a long, vec_b long, cos_sim double")
     )
+
+    # Hot cells: pair generation as a salted self-join. Each vector
+    # gets a stable bucket (pmod of vec_id); the left side replicates
+    # across all partner buckets, so the join key (label, bucket)
+    # splits one cell's pair space into `salt` independent tasks.
+    # vec_a < vec_b keeps each unordered pair exactly once.
+    big = e.filter(F.col("_cell_n") > cell_cap).drop("_cell_n")
+    left = big.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_bucket"),
+    )
+    right = big.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.pmod(F.col("vec_id"), F.lit(salt)).alias("_bucket"),
+    )
+    big_pairs = (
+        left.join(right, ["label", "_bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("emb_a"), F.col("emb_b")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return small.unionByName(big_pairs)
 
 
 def sql_dot(a: str, b: str) -> str:

@@ -31,7 +31,9 @@ from baronbatch_etl_spark.queries import register
     "a1_dup_finder",
     oracle="""
 SELECT l_orderkey, count(*) AS c,
-       list_sort(list(l_linenumber)) AS ids
+       array_to_string(
+           list_transform(list_sort(list(l_linenumber)),
+                          x -> CAST(x AS VARCHAR)), ',') AS ids
 FROM lineitem
 GROUP BY l_orderkey
 HAVING count(*) > 1
@@ -39,15 +41,27 @@ HAVING count(*) > 1
     tags=("agg", "having", "collect"),
 )
 def a1_dup_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """groupBy + count + collect_list + HAVING — dup detection shape."""
+    """groupBy + count + collect_list + HAVING — dup detection shape.
+
+    The id list is emitted as a comma-joined string (numeric sort
+    first, then stringify) so downstream hashers that can't order
+    array cells still get a scalar, hashable column.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_orderkey")
         .agg(
             F.count("*").alias("c"),
-            F.sort_array(F.collect_list("l_linenumber")).alias("ids"),
+            F.sort_array(F.collect_list("l_linenumber")).alias("_ids"),
         )
         .filter(F.col("c") > 1)
+        .select(
+            "l_orderkey",
+            "c",
+            F.array_join(
+                F.expr("transform(_ids, x -> cast(x AS string))"), ","
+            ).alias("ids"),
+        )
     )
 
 

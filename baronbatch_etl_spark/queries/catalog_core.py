@@ -427,6 +427,40 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F7 — URL-encode (reference: dashboard/app.py:249 builds API URLs with
+# urllib.parse.quote). Spark ≥3.5 has url_encode/url_decode built in
+# (application/x-www-form-urlencoded: space → '+', reserved → %XX upper
+# hex over UTF-8 bytes). DuckDB 1.0 has no url_encode, so the oracle
+# re-derives the encoding for the known charset: p_name is [a-z ] and
+# the appended literal contributes '&', '/', and a multibyte '№'.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f_url_encode",
+    oracle="""
+SELECT p_partkey,
+       replace(replace(replace(replace(
+           p_name || ' & co/№',
+           '&', '%26'), '/', '%2F'), '№', '%E2%84%96'), ' ', '+') AS enc,
+       p_name || ' & co/№' AS roundtrip
+FROM part
+""",
+    tags=("function", "url"),
+)
+def f_url_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """url_encode + url_decode roundtrip (F7) over a string with
+    spaces, reserved ASCII, and a multibyte codepoint."""
+    p = load_table(spark, sf_dir, "part")
+    raw = F.concat(F.col("p_name"), F.lit(" & co/№"))
+    return p.select(
+        "p_partkey",
+        F.url_encode(raw).alias("enc"),
+        F.url_decode(F.url_encode(raw)).alias("roundtrip"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # P12 as a standalone query: explode a nested array with position
 # (the reference walks participants[i] by index; posexplode is the
 # set-oriented form).

@@ -662,17 +662,40 @@ def f_rlike_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific — rows-only check;
-    # the exact co-column is oracle-covered via a_count_distinct
+    # HLL sketches are engine-specific, so the estimate itself can't be
+    # hash-matched; the oracle instead checks the invariant the sketch
+    # guarantees (rsd default 5%) next to the exact count.
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       true AS approx_ok
+FROM lineitem
+GROUP BY l_returnflag
+""",
     tags=("agg", "approx"),
 )
 def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) next to the exact count — the
-    at-scale cardinality path (no expand, one pass, bounded memory)."""
+    at-scale cardinality path (no expand, one pass, bounded memory).
+
+    Emits ``approx_ok`` = |approx − exact| ≤ 7.5% · exact (1.5× the
+    default 5% rsd) so the sketch is oracle-checkable as an invariant.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("_approx"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                <= 0.075 * F.col("exact_parts")
+            ).alias("approx_ok"),
+        )
     )
 
 

@@ -150,9 +150,18 @@ FROM documents
     tags=("llm", "text"),
 )
 def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive rolling fingerprint of the token stream."""
+    """Order-sensitive rolling fingerprint of the token stream.
+
+    Uses the Arrow-vectorized twin of text.doc_fingerprint (same
+    integer fold, parity-tested) — higher-order-function lambdas
+    don't whole-stage-codegen, so the expression version pays ~10×.
+    """
+    from baronbatch_etl_spark.operators.fast_text import doc_fingerprint_fast
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", X.doc_fingerprint("text").alias("fingerprint"))
+    return docs.select(
+        "doc_id", doc_fingerprint_fast("text").alias("fingerprint")
+    )
 
 
 # ---------------------------------------------------------------------------

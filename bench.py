@@ -57,17 +57,27 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # Per-query detail first (its own line, may be long), then the
+    # compact summary as the FINAL line — tail-capture tools that slice
+    # the last N bytes must still see one complete, parseable JSON
+    # object with the headline value.
+    print(json.dumps({"queries_detail": timings}))
+    sys.stdout.flush()
     print(
         json.dumps(
             {
                 "metric": "catalog_total_runtime",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": {
+                    n: timings[n]
+                    for n in sorted(timings, key=timings.get, reverse=True)[:10]
+                },
                 "sf": sf,
             }
         )
     )
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

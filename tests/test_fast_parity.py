@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from baronbatch_etl_spark.operators import dedup as D
 from baronbatch_etl_spark.operators import text as X
 from baronbatch_etl_spark.operators.fast_text import (
+    doc_fingerprint_fast,
     shingle_hashes_fast,
     token_hashes_fast,
 )
@@ -44,6 +45,16 @@ def test_token_hash_parity(spark):
     out = df.select(
         X.token_hashes(F.col("text")).alias("expr"),
         token_hashes_fast(F.col("text")).alias("fast"),
+    ).collect()
+    for r in out:
+        assert r.expr == r.fast
+
+
+def test_fingerprint_parity(spark):
+    df = _df(spark)
+    out = df.select(
+        X.doc_fingerprint(F.col("text")).alias("expr"),
+        doc_fingerprint_fast(F.col("text")).alias("fast"),
     ).collect()
     for r in out:
         assert r.expr == r.fast

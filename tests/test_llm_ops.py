@@ -100,6 +100,39 @@ def test_cosine_topk_orders_by_similarity(spark):
     assert out[0].cos_sim > 0.99
 
 
+def test_neardup_hot_cell_paths_agree(spark):
+    # One deliberately hot cell (label 0, 8 vectors) + one small cell.
+    # cell_cap=4 forces label 0 through the salted pair join while
+    # label 1 stays on the Arrow all-pairs path; both must produce the
+    # same pairs with bit-identical scores as the unsplit baseline.
+    import math
+
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[math.cos(i / 10.0), math.sin(i / 10.0), 0.1 * i],
+            label=0,
+        )
+        for i in range(8)
+    ] + [
+        Row(vec_id=100 + i, embedding=[1.0, 0.0, float(i)], label=1)
+        for i in range(3)
+    ]
+    emb = spark.createDataFrame(rows)
+    baseline = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in S.embedding_near_dup_pairs(emb, 0.5, cell_cap=100).collect()
+    }
+    split = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in S.embedding_near_dup_pairs(
+            emb, 0.5, cell_cap=4, salt=3
+        ).collect()
+    }
+    assert baseline, "fixture must produce at least one near-dup pair"
+    assert split == baseline  # exact float equality — same fold order
+
+
 def test_multimodal_features_deterministic(spark):
     docs = _docs(spark, ["abcd", "xy"])
     out = {r.media_id: r for r in
