@@ -117,10 +117,11 @@ def resample_ffill(
     step: str = "1 hour",
 ) -> DataFrame:
     """Resample an irregular time series onto a fixed grid with
-    forward fill: per key, one grid point every `step` from the
-    truncated first to the truncated last observation, each carrying
-    the latest observed value at-or-before it (NULL before the first
-    observation).
+    forward fill: per key, one grid point every `step` from the first
+    to the last observation (both truncated to the step's UNIT — e.g.
+    step '15 minutes' anchors the grid on a whole minute, '1 day' on
+    midnight), each carrying the latest observed value at-or-before it
+    (NULL before the first observation).
 
     Same union trick as asof_join — observations and grid points
     union, one shuffle on the key, a `last(ignorenulls)` running
@@ -132,9 +133,12 @@ def resample_ffill(
     o = obs.groupBy(
         F.col(key).alias("k"), F.col(ts).alias("t")
     ).agg(F.max(value).alias("v"))
+    # anchor the grid on the step's unit ("15 minutes" → minute,
+    # "1 day" → midnight) so non-hour steps aren't hour-misaligned
+    unit = step.split()[-1].rstrip("s").lower()
     bounds = o.groupBy("k").agg(
-        F.date_trunc("hour", F.min("t")).alias("t0"),
-        F.date_trunc("hour", F.max("t")).alias("t1"),
+        F.date_trunc(unit, F.min("t")).alias("t0"),
+        F.date_trunc(unit, F.max("t")).alias("t1"),
     )
     grid = bounds.select(
         "k",

@@ -48,12 +48,19 @@ def ingest_dedup(incoming: DataFrame, existing: DataFrame) -> DataFrame:
 
 def _resolve_participant(exploded: DataFrame, summoners: DataFrame) -> DataFrame:
     """J2 staged resolution of the tracked player among the 10
-    participants (transformer_loader/main.py:102-131):
-      stage 1  p.puuid == summoner.puuid
-      stage 2  norm(riotIdGameName) == norm(name part of summonerName)
+    participants, keyed to the BRONZE row's own puuid — the reference
+    looks up only the match's db_puuid summoner and matches against
+    that one target (transformer_loader/main.py:99-131):
+      stage 1  participant.puuid == bronze.puuid
+      stage 2  norm(riotIdGameName) == norm(target name part)
                AND (tag equal OR participant tag missing/empty)
-      stage 3  norm(legacy p.summonerName) == norm(full summonerName)
-    First stage that matches wins; one participant row per match."""
+      stage 3  norm(legacy p.summonerName) == norm(target name part)
+               (Strategy B compares against the game name only)
+    First stage that matches wins; one participant row per match.
+
+    One broadcast join attaches the single target summoner per bronze
+    row; the stages are then a CASE over that row — no per-stage
+    joins, so the whole resolution is map-side at any scale."""
     from baronbatch_etl_spark.functions.scalars import split_name_tag
 
     dim_name, dim_tag = split_name_tag("summonerName")
@@ -61,32 +68,30 @@ def _resolve_participant(exploded: DataFrame, summoners: DataFrame) -> DataFrame
         F.col("puuid").alias("s_puuid"),
         norm_nfkc(dim_name).alias("s_norm_name"),
         norm_nfkc(dim_tag).alias("s_norm_tag"),
-        norm_nfkc(F.col("summonerName")).alias("s_norm_full"),
     )
 
-    p = exploded.withColumn("p_norm_name", norm_nfkc(F.col("p.riotIdGameName")))
-    p = p.withColumn("p_norm_tag", norm_nfkc(F.col("p.riotIdTagLine")))
-    p = p.withColumn("p_norm_legacy", norm_nfkc(F.col("p.summonerName")))
-
-    s1 = p.join(F.broadcast(dim), p["p.puuid"] == dim.s_puuid).withColumn(
-        "resolve_stage", F.lit(1)
+    p = (
+        exploded.join(F.broadcast(dim), exploded["puuid"] == dim["s_puuid"])
+        .withColumn("p_norm_name", norm_nfkc(F.col("p.riotIdGameName")))
+        .withColumn("p_norm_tag", norm_nfkc(F.col("p.riotIdTagLine")))
+        .withColumn("p_norm_legacy", norm_nfkc(F.col("p.summonerName")))
     )
-    r1 = p.join(s1.select("matchId"), "matchId", "left_anti")
-    s2 = r1.join(
-        F.broadcast(dim),
-        (F.col("p_norm_name") == dim.s_norm_name)
-        & (
-            F.col("p_norm_tag").isNull()
-            | (F.col("p_norm_tag") == "")
-            | (F.col("p_norm_tag") == dim.s_norm_tag)
-        ),
-    ).withColumn("resolve_stage", F.lit(2))
-    r2 = r1.join(s2.select("matchId"), "matchId", "left_anti")
-    s3 = r2.join(
-        F.broadcast(dim), F.col("p_norm_legacy") == dim.s_norm_full
-    ).withColumn("resolve_stage", F.lit(3))
-
-    resolved = s1.unionByName(s2).unionByName(s3)
+    stage = (
+        F.when(F.col("p.puuid") == F.col("puuid"), 1)
+        .when(
+            (F.col("p_norm_name") == F.col("s_norm_name"))
+            & (
+                F.col("p_norm_tag").isNull()
+                | (F.col("p_norm_tag") == "")
+                | (F.col("p_norm_tag") == F.col("s_norm_tag"))
+            ),
+            2,
+        )
+        .when(F.col("p_norm_legacy") == F.col("s_norm_name"), 3)
+    )
+    resolved = p.withColumn("resolve_stage", stage).filter(
+        F.col("resolve_stage").isNotNull()
+    )
     # one winner per match even if several participants matched
     w = Window.partitionBy("matchId").orderBy("resolve_stage", F.col("p.puuid"))
     return (
@@ -110,6 +115,7 @@ def silver_from_bronze(bronze: DataFrame, summoners: DataFrame) -> DataFrame:
     )
     exploded = valid.select(
         "matchId",
+        "puuid",
         "timestamp",
         F.col("raw.info.queueId").alias("queue_id"),
         F.col("raw.info.gameDuration").alias("duration_s"),
@@ -152,7 +158,7 @@ def silver_from_bronze(bronze: DataFrame, summoners: DataFrame) -> DataFrame:
 
     return resolved.select(
         "matchId",
-        F.col("s_puuid").alias("puuid"),
+        "puuid",  # the bronze key, not the matched dim row's
         "queue_id",
         F.col("p.championName").alias("champion"),
         F.coalesce(F.col("p.win"), F.lit(False)).alias("win"),
@@ -203,8 +209,10 @@ def retention_trim(df: DataFrame, ts_col: str, keep: int = 200) -> DataFrame:
 
 def cascade_delete(facts: DataFrame, puuid: str) -> DataFrame:
     """Delete one user's rows from a fact table (api_service/main.py:
-    199-202) — anti-join rewrite of delete_many."""
-    return facts.filter(F.col("puuid") != F.lit(puuid))
+    199-202) — anti-join rewrite of delete_many. Null-safe: rows with
+    NULL puuid are KEPT (delete_many({'puuid': x}) removes only
+    matching rows; a plain != would silently drop nulls too)."""
+    return facts.filter(~F.col("puuid").eqNullSafe(F.lit(puuid)))
 
 
 def purge_orphans(facts: DataFrame, summoners: DataFrame) -> DataFrame:

@@ -134,29 +134,44 @@ def click_purchase_join(events: DataFrame) -> DataFrame:
 
 
 def incremental_gold(
-    events: DataFrame, merge_into: dict, query_name: str = "gold"
+    events: DataFrame, gold_path: str, query_name: str = "gold"
 ):
-    """T4 exactly-once-ish gold maintenance: foreachBatch merges each
-    micro-batch's partial aggregate into the gold store — the Spark
-    rewrite of the reference's `$inc` upsert
-    (transformer_loader/main.py:184-190). `merge_into` is the demo
-    sink (a dict keyed by (user_id, event_type)); production swaps in
-    a MERGE against a table without touching the stream."""
+    """T4 exactly-once gold maintenance: foreachBatch writes each
+    micro-batch's PARTIAL aggregate to ``{gold_path}/epoch=<id>`` —
+    the Spark rewrite of the reference's `$inc` upsert
+    (transformer_loader/main.py:184-190).
+
+    Idempotence comes from the epoch key: a retried batch overwrites
+    its own epoch directory, so at-least-once foreachBatch delivery
+    folds to exactly-once gold totals. The partials are commutative
+    (count + sum), so ``read_gold`` recombines them with a second
+    groupBy — no driver-side state, and at scale the same shape is a
+    MERGE into a transactional table keyed by epoch."""
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
-        rows = (
+        (
             batch.groupBy("user_id", "event_type")
             .agg(F.count("*").alias("games"), F.sum("value").alias("value_sum"))
-            .collect()
+            .write.mode("overwrite")
+            .parquet(f"{gold_path}/epoch={epoch_id}")
         )
-        for r in rows:
-            k = (r.user_id, r.event_type)
-            g, v = merge_into.get(k, (0, 0.0))
-            merge_into[k] = (g + r.games, v + r.value_sum)
 
     return (
         events.writeStream.foreachBatch(merge)
         .queryName(query_name)
         .outputMode("update")
         .trigger(availableNow=True)
+    )
+
+
+def read_gold(spark: SparkSession, gold_path: str) -> DataFrame:
+    """Fold the per-epoch partial aggregates into current gold totals
+    (the read side of incremental_gold)."""
+    return (
+        spark.read.parquet(gold_path)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum("games").alias("games"),
+            F.sum("value_sum").alias("value_sum"),
+        )
     )

@@ -1,0 +1,83 @@
+"""Physical-plan regression battery (tools/explain_audit.py as pytest).
+
+Locks in the plans we actually want — broadcast joins for dim lookups,
+TakeOrderedAndProject for top-k, pushed filters at the scan, codegen
+on the expression path — so a refactor that silently degrades one of
+them (e.g. a broadcast turning into a sort-merge exchange) fails CI
+instead of surfacing as a 100×-scale bench regression.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from baronbatch_etl_spark.queries import load_all
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def _plan(spark, registry, name: str, sf_dir: str) -> str:
+    df = registry[name].fn(spark, sf_dir)
+    # collect() drives this DataFrame's QueryExecution → the audited
+    # plan is AQE's FINAL one (runtime join strategy, codegen spans)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_broadcasts_dims(spark, registry, sf_dir):
+    plan = _plan(spark, registry, "flagship_player_stats", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_j1_dim_lookup_is_broadcast(spark, registry, sf_dir):
+    plan = _plan(spark, registry, "j1_broadcast_dim_lookup", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_o1_topk_is_take_ordered(spark, registry, sf_dir):
+    # sort desc + limit must fuse into TakeOrderedAndProject — a
+    # global Sort + CollectLimit would materialize the full sort
+    plan = _plan(spark, registry, "o1_topk_orders", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "\nSort " not in plan
+
+
+def test_p2_filter_reaches_the_scan(spark, registry, sf_dir):
+    plan = _plan(spark, registry, "p2_filter_eq", sf_dir)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "equality predicate must push down"
+
+
+def test_p1_projection_prunes_columns(spark, registry, sf_dir):
+    plan = _plan(spark, registry, "p1_projection", sf_dir)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    read_cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert len(read_cols) <= 3, f"scan reads too many columns: {read_cols}"
+
+
+def test_expression_path_is_codegen(spark, registry, sf_dir):
+    # derived-metrics math must stay inside whole-stage codegen
+    plan = _plan(spark, registry, "f_derived_metrics", sf_dir)
+    assert re.search(r"\*\(\d+\)", plan), "no WholeStageCodegen span"
+
+
+def test_anti_join_broadcasts(spark, registry, sf_dir):
+    plan = _plan(spark, registry, "j3_anti_orphans", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_topk_plan(spark, registry, sf_dir):
+    # broadcast 1-row query vector + TakeOrderedAndProject top-k
+    plan = _plan(spark, registry, "s_cosine_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

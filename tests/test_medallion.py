@@ -170,6 +170,39 @@ def test_stage3_legacy_name_fallback(spark, summoners):
     assert r.puuid == "p-legacy"
 
 
+def test_resolution_keyed_to_bronze_puuid(spark, summoners):
+    # A match fetched for p-faker whose participants include ANOTHER
+    # tracked summoner (p-ferro by puuid) but not p-faker: the row
+    # must NOT be attributed to p-ferro — the reference resolves only
+    # against the match's own db_puuid summoner and drops the rest.
+    parts = [participant(puuid="p-ferro", riotIdGameName="FerroiLlautó",
+                         riotIdTagLine="EUW")]
+    assert (
+        _silver(spark, summoners, [bronze_row("MX1", "p-faker", parts)]).count()
+        == 0
+    )
+
+    # Same participants plus a name-only match for p-faker: resolves
+    # to the bronze puuid via stage 2, never to the other summoner.
+    parts2 = parts + [
+        participant(puuid="someone-else", riotIdGameName="Faker",
+                    riotIdTagLine="KR1", summonerName=None)
+    ]
+    r = _silver(spark, summoners, [bronze_row("MX2", "p-faker", parts2)]).collect()
+    assert len(r) == 1 and r[0].puuid == "p-faker"
+    assert r[0].champion == "Ahri"
+
+
+def test_cascade_delete_keeps_null_puuid_rows(spark):
+    from pyspark.sql import Row
+
+    facts = spark.createDataFrame(
+        [Row(puuid="a", v=1), Row(puuid=None, v=2), Row(puuid="b", v=3)]
+    )
+    kept = ml.cascade_delete(facts, "a").collect()
+    assert sorted(r.v for r in kept) == [2, 3]  # null row survives
+
+
 def test_unresolvable_and_invalid_rows_dropped(spark, summoners):
     rows = [
         bronze_row("M6", "p-faker", [participant()]),  # nobody matches

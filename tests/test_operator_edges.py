@@ -101,3 +101,24 @@ def test_resample_ffill_semantics(spark):
     # 00:00 precedes every obs -> NULL; 01:00 and 02:00 carry v=1
     # (the 02:15 obs is after the 02:00 grid point)
     assert out == {base: None, base + h: 1.0, base + 2 * h: 1.0}
+
+
+def test_resample_ffill_non_hour_step_alignment(spark):
+    from baronbatch_etl_spark.operators.joins import resample_ffill
+
+    # 15-minute step: grid anchors on the MINUTE of the first obs
+    # (00:07), not on the hour — 00:07, 00:22, 00:37 …
+    rows = [
+        Row(user_id=1, ts=datetime(2024, 1, 1, 0, 7, 30), value=1.0),
+        Row(user_id=1, ts=datetime(2024, 1, 1, 0, 40), value=2.0),
+    ]
+    out = {
+        r.grid_ts_ms: r.filled_value
+        for r in resample_ffill(
+            spark.createDataFrame(rows), "user_id", "ts", "value",
+            step="15 minutes",
+        ).collect()
+    }
+    m = 60_000
+    t0 = 1704067200000 + 7 * m  # 00:07:00 (second truncated away)
+    assert out == {t0: None, t0 + 15 * m: 1.0, t0 + 30 * m: 1.0}

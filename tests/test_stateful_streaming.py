@@ -73,12 +73,12 @@ def test_checkpoint_restart_does_not_reprocess(spark, event_files, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     shutil.os.makedirs(src)
 
-    gold: dict = {}
+    gold_path = str(tmp_path / "gold")
 
     def run_once():
         stream = ops.stream_events(spark, src, glob="*.parquet")
         q = (
-            ops.incremental_gold(stream, gold, "ckpt_gold")
+            ops.incremental_gold(stream, gold_path, "ckpt_gold")
             .option("checkpointLocation", ckpt)
             .start()
         )
@@ -87,18 +87,23 @@ def test_checkpoint_restart_does_not_reprocess(spark, event_files, tmp_path):
         finally:
             q.stop()
 
+    def gold_total() -> int:
+        return sum(
+            r.games for r in ops.read_gold(spark, gold_path).collect()
+        )
+
     # phase 1: two files
     shutil.copy(event_files[0], f"{src}/a.parquet")
     shutil.copy(event_files[1], f"{src}/b.parquet")
     run_once()
-    phase1_total = sum(g for g, _ in gold.values())
+    phase1_total = gold_total()
 
-    # phase 2: two more files arrive; SAME checkpoint, SAME gold dict.
-    # If the restart re-read a+b, the merge would double-count them.
+    # phase 2: two more files arrive; SAME checkpoint, SAME gold dir.
+    # If the restart re-read a+b, their epochs would double-count.
     shutil.copy(event_files[2], f"{src}/c.parquet")
     shutil.copy(event_files[3], f"{src}/d.parquet")
     run_once()
-    total = sum(g for g, _ in gold.values())
+    total = gold_total()
 
     n_all = sum(
         spark.read.parquet(f).count() for f in event_files

@@ -83,10 +83,10 @@ def test_session_aggregate_append_is_subset_of_batch(
 
 
 def test_incremental_gold_foreachbatch_matches_batch(
-    spark, sf_dir, events_stream
+    spark, sf_dir, events_stream, tmp_path
 ):
-    gold: dict = {}
-    q = ops.incremental_gold(events_stream, gold, "t_gold").start()
+    gold_path = str(tmp_path / "gold")
+    q = ops.incremental_gold(events_stream, gold_path, "t_gold").start()
     try:
         q.processAllAvailable()
     finally:
@@ -95,7 +95,11 @@ def test_incremental_gold_foreachbatch_matches_batch(
         (r.user_id, r.event_type): r.games
         for r in REGISTRY["a2_grouped_rollup"].fn(spark, sf_dir).collect()
     }
-    assert {k: g for k, (g, _) in gold.items()} == batch
+    got = {
+        (r.user_id, r.event_type): r.games
+        for r in ops.read_gold(spark, gold_path).collect()
+    }
+    assert got == batch
 
 
 def test_stream_stream_join_equals_batch(spark, sf_dir, events_stream):

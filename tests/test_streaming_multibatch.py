@@ -27,10 +27,12 @@ def split_events_dir(spark, sf_dir, tmp_path_factory):
     return out
 
 
-def test_multibatch_incremental_gold_converges(spark, sf_dir, split_events_dir):
+def test_multibatch_incremental_gold_converges(
+    spark, sf_dir, split_events_dir, tmp_path
+):
     stream = ops.stream_events(spark, split_events_dir, glob="*.parquet")
-    gold: dict = {}
-    q = ops.incremental_gold(stream, gold, "mb_gold").start()
+    gold_path = str(tmp_path / "gold")
+    q = ops.incremental_gold(stream, gold_path, "mb_gold").start()
     try:
         # availableNow: the query drains all files then stops itself
         q.awaitTermination(120)
@@ -43,7 +45,11 @@ def test_multibatch_incremental_gold_converges(spark, sf_dir, split_events_dir):
         "user_id", "event_type"
     ).agg(F.count("*").alias("games"))
     want = {(r.user_id, r.event_type): r.games for r in batch.collect()}
-    assert {k: g for k, (g, _) in gold.items()} == want
+    got = {
+        (r.user_id, r.event_type): r.games
+        for r in ops.read_gold(spark, gold_path).collect()
+    }
+    assert got == want
 
 
 def test_multibatch_dedup_replayed_file(spark, split_events_dir, tmp_path):
