@@ -83,6 +83,46 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)
 
 
+def srp_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    planes: int = 6,
+    radius: int = 1,
+) -> DataFrame:
+    """LSH-bucketed ANN: candidates are vectors whose SRP code is
+    within hamming distance ``radius`` of the query's code
+    (multi-probe), re-ranked by exact cosine.
+
+    The scale path next to ivf_topk: at 100 TB the table is written
+    bucketed by srp_code, the query's probe set is `radius+1 choose
+    planes` bucket ids, and only those buckets are scanned — here the
+    probe is the equivalent bit_count(xor) predicate against a
+    broadcast 1-row query, so the shape (no shuffle of the corpus,
+    candidate set ≪ corpus) is the same."""
+    from baronbatch_etl_spark.operators.fast_text import make_srp_udf
+
+    srp = make_srp_udf(planes, 64)
+    coded = embeddings.withColumn("_code", srp(F.col("embedding")))
+    q = coded.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb"), F.col("_code").alias("q_code")
+    )
+    cand = (
+        coded.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .filter(
+            F.bit_count(F.col("_code").bitwiseXOR(F.col("q_code")))
+            <= radius
+        )
+    )
+    scored = cand.select(
+        "vec_id",
+        "label",
+        cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)
+
+
 def batch_topk(
     embeddings: DataFrame, query_ids: list[int], k: int = 5
 ) -> DataFrame:

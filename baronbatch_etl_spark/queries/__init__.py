@@ -81,6 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "s_batch_topk",
     "s_label_centroids",
     "s_ivf_topk",
+    "s_srp_topk",
     "d_embedding_neardup",
     "mm_features",
     "t_bpe_tokens",
@@ -117,7 +118,6 @@ _PRIORITY: tuple[str, ...] = (
     "j_asof_join",
     "j_range_join",
     "h_pricing_summary",
-    "j1_broadcast_dim_lookup",
 )
 
 # Redundant TPC-H shapes: same §2 operators as the five kept

@@ -715,6 +715,53 @@ def s_srp_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _srp_code_sql(planes: int) -> str:
+    """DuckDB expression for the packed SRP code of `embedding`
+    (same fold order as make_srp_udf)."""
+    dots = ", ".join(
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        "list_transform(range(0, 64), d -> "
+        f"{_srp_weight_sql(j)} * embedding[d + 1]::DOUBLE)), "
+        "(acc, v) -> acc + v)"
+        for j in range(planes)
+    )
+    code = " + ".join(
+        f"(CASE WHEN dots[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(planes)
+    )
+    return dots, code
+
+
+_SRP_TOPK_DOTS, _SRP_TOPK_CODE = _srp_code_sql(6)
+
+
+@register(
+    "s_srp_topk",
+    oracle=f"""
+WITH coded AS (
+    SELECT vec_id, label, embedding, CAST({_SRP_TOPK_CODE} AS BIGINT) AS code
+    FROM (SELECT vec_id, label, embedding, [{_SRP_TOPK_DOTS}] AS dots
+          FROM embeddings)
+),
+q AS (SELECT embedding AS q_emb, code AS q_code FROM coded WHERE vec_id = 0)
+SELECT vec_id, label, {S.sql_cosine("embedding", "q_emb")} AS cos_sim
+FROM coded, q
+WHERE vec_id <> 0 AND bit_count(xor(code, q_code)) <= 1
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+    tags=("llm", "similarity", "lsh"),
+)
+def s_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP-LSH ANN: hamming-≤1 bucket probe on a 6-plane
+    code, exact-cosine re-rank — the LSH-bucketed scale path beside
+    s_ivf_topk (at 100 TB the table is bucketed by code and only the
+    probed buckets are scanned)."""
+    return S.srp_topk(
+        load_table(spark, sf_dir, "embeddings"), 0, k=10, planes=6, radius=1
+    )
+
+
 @register(
     "mm_frame_sample",
     oracle="""

@@ -27,7 +27,13 @@ from baronbatch_etl_spark.session import get_spark
 
 # Queries allowed to contain a broadcast nested-loop/cross shape:
 # a deliberately broadcast single-row query vector.
-CROSS_OK = {"s_cosine_topk", "s_ivf_topk", "s_batch_topk", "h_top_supplier"}
+CROSS_OK = {
+    "s_cosine_topk",
+    "s_ivf_topk",
+    "s_batch_topk",
+    "s_srp_topk",
+    "h_top_supplier",
+}
 # Global-window queries intentionally single-partition at tiny scale.
 SINGLE_PARTITION_OK = {"w2_recent_slice"}
 
