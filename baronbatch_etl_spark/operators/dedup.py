@@ -328,32 +328,54 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float, n: int = 3, max_char_delta: int = 10
 ) -> DataFrame:
-    """Exact n-gram Jaccard over length-blocked candidate pairs: only
-    same-language docs within max_char_delta chars are compared (the
-    blocking that keeps the self-join sub-quadratic)."""
-    # Block-then-verify, in two physically separated joins. Building
-    # candidates on the slim (id, lang, n_chars) frame and only then
-    # joining the shingle arrays back by id forces the expensive
-    # Jaccard math to run AFTER the cheap blocking predicates — in a
-    # single self-join Catalyst pushes the Jaccard filter into the
-    # join condition and evaluates it for every same-lang pair.
-    keys = docs.select("doc_id", "lang", "n_chars")
-    # the only equi-key is lang (a handful of groups): repartition the
-    # probe side by doc_id so the near-cross probe within each lang
-    # block parallelizes instead of running in one or five tasks
-    a = keys.repartition(F.col("doc_id")).alias("a")
-    b = keys.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= max_char_delta),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-    )
+    """Exact n-gram Jaccard over blocked candidate pairs: only
+    same-language docs within max_char_delta chars are compared, and a
+    POSITIONAL PREFIX FILTER (AllPairs/PPJoin) prunes the pair space
+    before any Jaccard math.
+
+    Prefix principle: shingle sets are sorted ascending (the global
+    canonical order); Jaccard(A,B) ≥ τ implies |A∩B| ≥ ⌈τ·|A|⌉, so A
+    and B must share a hash within their first |·| − ⌈τ·|·|⌉ + 1
+    elements. Candidates therefore come from an equi-join on
+    (lang, prefix_hash) — high-cardinality keys that hash-distribute
+    evenly — instead of a near-cross probe within each language
+    block. Lossless for τ > 0: the survivor set is identical, so the
+    exact-verify stage (and the oracle) are unchanged. At 100 TB this
+    is the difference between O(pairs-in-stratum) and
+    O(pairs-sharing-a-rare-prefix-token).
+    """
+    if threshold <= 0:
+        raise ValueError("prefix filter requires threshold > 0")
     hashed = docs.select(
-        "doc_id", shingle_hashes_fast(F.col("text")).alias("sh")
-    ).cache()  # one Arrow hashing pass feeds both verification sides
+        "doc_id", "lang", "n_chars",
+        shingle_hashes_fast(F.col("text")).alias("sh"),
+    ).cache()  # one Arrow hashing pass feeds prefixes AND verification
+    # first (len − ⌈τ·len⌉ + 1) of the ascending-sorted distinct hashes
+    pref_len = F.size("sh") - F.ceil(
+        F.lit(float(threshold)) * F.size("sh")
+    ).cast("int") + 1
+    pref = hashed.select(
+        "doc_id", "lang", "n_chars",
+        F.explode(F.slice("sh", F.lit(1), pref_len)).alias("tok"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
+                <= max_char_delta
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()  # a pair can share several prefix hashes
+    )
     return (
         cand.join(hashed.select(F.col("doc_id").alias("doc_a"),
                                 F.col("sh").alias("sh_a")), "doc_a")
