@@ -546,16 +546,22 @@ per_dim AS (
            count(*) AS n
     FROM ex GROUP BY label, dim
 )
-SELECT label, list(c ORDER BY dim) AS centroid, max(n) AS n_vectors
-FROM per_dim GROUP BY label
+SELECT label, dim - 1 AS dim, c, n AS n_vectors FROM per_dim
 """,
     tags=("llm", "similarity", "centroid"),
 )
 def s_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell centroids (distributed k-means E-step / IVF coarse
-    trainer): explode → per-dimension DECIMAL sums (executor-order-
-    independent) → rebuild ordered centroid arrays."""
-    return S.label_centroids(load_table(spark, sf_dir, "embeddings"))
+    trainer): explode → per-dimension fixed-point sums (executor-
+    order-independent) → centroid components.
+
+    Emitted one row per (label, dim) — scalar columns only, since
+    value-hash canonicalizers can't sort array cells; the operator
+    itself (`S.label_centroids`) still returns the assembled arrays."""
+    cent = S.label_centroids(load_table(spark, sf_dir, "embeddings"))
+    return cent.select(
+        "label", "n_vectors", F.posexplode("centroid").alias("dim", "c")
+    )
 
 
 @register(
@@ -605,9 +611,9 @@ def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT doc_id AS media_id,
        octet_length(encode(text)) AS byte_len,
-       list_transform(range(0, {M.FEATURE_DIM}),
-           i -> ((octet_length(encode(text)) * (i + 7)) % 256)::DOUBLE)
-       AS features
+       array_to_string(list_transform(range(0, {M.FEATURE_DIM}),
+           i -> ((octet_length(encode(text)) * (i + 7)) % 256)::VARCHAR),
+           ',') AS features_csv
 FROM documents
 """,
     tags=("llm", "multimodal"),
@@ -615,9 +621,23 @@ FROM documents
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column media path end-to-end: text→binary payload adapter
     → Arrow-batched mapInPandas feature extraction (decoder stubbed,
-    plumbing real — see operators/multimodal.py)."""
+    plumbing real — see operators/multimodal.py).
+
+    The feature vector is emitted comma-joined (its components are
+    exact small integers) — scalar columns only for the value-hash
+    gate; the operator itself returns the array."""
     docs = load_table(spark, sf_dir, "documents")
-    return M.extract_features(M.documents_as_media(docs))
+    feats = M.extract_features(M.documents_as_media(docs))
+    return feats.select(
+        "media_id",
+        "byte_len",
+        F.array_join(
+            F.expr(
+                "transform(features, x -> cast(cast(x AS bigint) AS string))"
+            ),
+            ",",
+        ).alias("features_csv"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -767,8 +787,9 @@ def s_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id AS media_id,
        n_chars * 40 AS duration_ms,
-       list_transform(range(0, 4),
-                      i -> (i * (n_chars * 40)) // 4) AS frame_offsets_ms
+       array_to_string(list_transform(range(0, 4),
+           i -> ((i * (n_chars * 40)) // 4)::VARCHAR), ',')
+       AS frame_offsets_csv
 FROM documents
 """,
     tags=("llm", "multimodal"),
@@ -776,7 +797,8 @@ FROM documents
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plan over media metadata (durations synthesized
     from n_chars since the fixtures carry no real video; the offset
-    math is the real distributed step, decode stays stubbed)."""
+    math is the real distributed step, decode stays stubbed).
+    Offsets comma-joined — scalar columns only for the hash gate."""
     docs = load_table(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -787,4 +809,12 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_chars") * 40).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
-    return M.frame_sample_offsets(media, n_frames=4)
+    out = M.frame_sample_offsets(media, n_frames=4)
+    return out.select(
+        "media_id",
+        "duration_ms",
+        F.array_join(
+            F.expr("transform(frame_offsets_ms, x -> cast(x AS string))"),
+            ",",
+        ).alias("frame_offsets_csv"),
+    )
