@@ -42,17 +42,19 @@ def full_riot_id(name: ColumnOrName, tag: ColumnOrName) -> Column:
 
 
 # --- F4: NFKC fold — the one true UDF -------------------------------------
-# Reference norm(): unicodedata.normalize("NFKC", s).casefold().strip()
-# with whitespace collapse — transformer_loader/main.py:62-73.
+# Byte-exact twin of the reference norm():
+# `unicodedata.normalize('NFKC', s).lower().strip() if s else ""` —
+# transformer_loader/main.py:62-73. lower(), not casefold() (they
+# differ on ß/ſ); strip() only (internal whitespace preserved); falsy
+# input → "" exactly like the reference.
 @F.pandas_udf(T.StringType())
 def norm_nfkc(s: pd.Series) -> pd.Series:
     import unicodedata
 
-    def _norm(x: str | None) -> str | None:
-        if x is None:
-            return None
-        folded = unicodedata.normalize("NFKC", x).casefold().strip()
-        return " ".join(folded.split())
+    def _norm(x: str | None) -> str:
+        if not x:
+            return ""
+        return unicodedata.normalize("NFKC", x).lower().strip()
 
     return s.map(_norm)
 

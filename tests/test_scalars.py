@@ -51,16 +51,19 @@ def test_split_and_recompose_name_tag(spark):
 
 
 def test_norm_nfkc_accents_and_case(spark):
-    # reference norm(): NFKC + casefold + strip + ws collapse
-    # (transformer_loader/main.py:62-73); "ﬁ" ligature → "fi"
+    # byte-exact reference norm(): NFKC + lower() + strip(), "" on
+    # falsy (transformer_loader/main.py:62-73); "ﬁ" ligature → "fi";
+    # internal whitespace is PRESERVED (strip only, no collapse)
     df = spark.createDataFrame(
-        [Row(s="  Ferro iLlautó "), Row(s="ﬁsh"), Row(s=None)],
+        [Row(s="  Ferro iLlautó "), Row(s="ﬁsh"), Row(s=None),
+         Row(s="a  b")],
         "s string",
     )
     out = df.select(norm_nfkc("s").alias("n")).collect()
     assert out[0].n == "ferro illautó"
     assert out[1].n == "fish"
-    assert out[2].n is None
+    assert out[2].n == ""
+    assert out[3].n == "a  b"
 
 
 def test_drop_empty_items(spark):
