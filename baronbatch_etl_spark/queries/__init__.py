@@ -65,6 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     "flagship_player_stats",
     # LLM-data family (SURVEY north star)
     "t_token_stats",
+    "t_repetition",
     "t_lang_id",
     "t_quality_score",
     "t_fingerprint",
@@ -117,7 +118,6 @@ _PRIORITY: tuple[str, ...] = (
     # representative already-green anchors (one per batch family)
     "j_asof_join",
     "j_range_join",
-    "h_pricing_summary",
 )
 
 # Redundant TPC-H shapes: same §2 operators as the five kept

@@ -68,6 +68,48 @@ def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t_repetition",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS (
+    SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       count(*) AS n_distinct,
+       count(*)::DOUBLE / CAST(sum(c) AS BIGINT)::DOUBLE AS distinct_ratio,
+       max(c)::DOUBLE / CAST(sum(c) AS BIGINT)::DOUBLE AS top_token_frac
+FROM cnt GROUP BY doc_id
+""",
+    tags=("llm", "text", "quality"),
+)
+def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/diversity quality signals (the Gopher-style filters
+    a training-data pipeline cuts boilerplate with): distinct-token
+    ratio and most-frequent-token fraction per document.
+
+    Explode → (doc, token) counts → per-doc agg: two map-side-combined
+    shuffles keyed by doc_id — linear, skew-free, no HOF quadratics,
+    scan-speed at 100 TB. Ratios divide exact longs cast to double, so
+    both engines produce identical bits."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+    cnt = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        (
+            F.count("*").cast("double") / F.sum("c").cast("double")
+        ).alias("distinct_ratio"),
+        (
+            F.max("c").cast("double") / F.sum("c").cast("double")
+        ).alias("top_token_frac"),
+    )
+
+
+@register(
     "t_lang_id",
     oracle="""
 WITH s AS (
