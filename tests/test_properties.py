@@ -169,3 +169,51 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
     got = {r.node: r.comp for r in connected_components(df).collect()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=2,
+        max_size=15,
+    ),
+    st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_ngram_jaccard_prefix_filter_is_lossless(spark, texts, threshold):
+    """The AllPairs prefix filter must find EXACTLY the pairs a brute
+    force over all same-block combinations finds — tiny vocab forces
+    heavy shingle overlap, the prefix pruning's hardest case."""
+    from itertools import combinations
+
+    from baronbatch_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+            for i, t in enumerate(texts)
+        ]
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=threshold).collect()
+    }
+
+    def shingles(t: str) -> set:
+        toks = t.split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+
+    want = set()
+    for (i, a), (j, b) in combinations(enumerate(texts), 2):
+        if abs(len(a) - len(b)) > 10:
+            continue
+        sa, sb = shingles(a), shingles(b)
+        if not (sa | sb):
+            continue
+        if len(sa & sb) / len(sa | sb) >= threshold:
+            want.add((i, j))
+    assert got == want
