@@ -111,13 +111,13 @@ _PRIORITY: tuple[str, ...] = (
     "q_sql_grouping_sets",
     "q_sql_lateral",
     "w_ntile_battery",
+    "q_sql_recursive",
     # shape changed this round — needs a fresh row
     "a1_dup_finder",
     "a_approx_distinct",
     "f_url_encode",
-    # representative already-green anchors (one per batch family)
+    # representative already-green anchor
     "j_asof_join",
-    "j_range_join",
 )
 
 # Redundant TPC-H shapes: same §2 operators as the five kept

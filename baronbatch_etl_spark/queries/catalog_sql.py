@@ -126,3 +126,46 @@ def w_ntile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unique tiebreaker keeps ranks engine-identical)."""
     register_views(spark, sf_dir)
     return spark.sql(_NTILE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark ≥4.0): iterative SQL inside the engine — the
+# hierarchy/graph-walk shape (the reference walks parent references in
+# Python loops; dup-cluster closure does the same walk over pair
+# graphs). Synthetic binary-heap hierarchy over supplier keys
+# (parent = key DIV 2): acyclic, depth ⌈log2 n⌉, engine-terminated.
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_SPARK = """
+WITH RECURSIVE chain AS (
+    SELECT s_suppkey AS key, s_suppkey AS anc, 0 AS depth FROM supplier
+    UNION ALL
+    SELECT key, anc DIV 2, depth + 1 FROM chain WHERE anc > 1
+)
+SELECT key AS s_suppkey,
+       CAST(max(depth) AS BIGINT) AS chain_len,
+       count(*) AS n_ancestors
+FROM chain GROUP BY key
+"""
+
+_RECURSIVE_DUCK = """
+WITH RECURSIVE chain AS (
+    SELECT s_suppkey AS key, s_suppkey AS anc, 0 AS depth FROM supplier
+    UNION ALL
+    SELECT key, anc // 2, depth + 1 FROM chain WHERE anc > 1
+)
+SELECT key AS s_suppkey,
+       CAST(max(depth) AS BIGINT) AS chain_len,
+       count(*) AS n_ancestors
+FROM chain GROUP BY key
+"""
+
+
+@register("q_sql_recursive", oracle=_RECURSIVE_DUCK, tags=("sql", "recursive"))
+def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE ancestor walk over a synthetic binary-heap
+    hierarchy (parent = key DIV 2): per-key chain length to the root.
+    Each recursion step is a distributed self-union — the SQL spelling
+    of the iterative join loop in operators/dedup.connected_components."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SPARK)
