@@ -116,8 +116,9 @@ _PRIORITY: tuple[str, ...] = (
     "a1_dup_finder",
     "a_approx_distinct",
     "f_url_encode",
-    # representative already-green anchor
-    "j_asof_join",
+    # new this round — needs a fresh row (j_asof_join and the other
+    # join-family queries were driver-green in round 1 and sit after)
+    "j_salted_skew_join",
 )
 
 # Redundant TPC-H shapes: same §2 operators as the five kept

@@ -382,3 +382,43 @@ def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_id").alias("click_id"),
         (F.unix_millis("ts") - F.unix_millis("r_ts")).alias("delta_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join — event_type has only a handful of values, so a
+# plain shuffle join on it is maximal skew (each key = one giant
+# partition). The salted form spreads every hot key over N buckets
+# deterministically; results are identical to the plain join, which
+# is exactly what the oracle checks.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j_salted_skew_join",
+    oracle="""
+SELECT e.event_id, e.event_type,
+       upper(e.event_type) AS display, e.value
+FROM events e JOIN (SELECT DISTINCT event_type FROM events) d
+  ON e.event_type = d.event_type
+""",
+    tags=("join", "skew"),
+)
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join on a pathologically hot key (few-valued
+    event_type): the big side is salted by full-row hash, the small
+    side exploded across the salt range — the hot key's rows spread
+    over 8 buckets instead of one straggler task. Same rows as the
+    unsalted join (the oracle's plain-join check)."""
+    from baronbatch_etl_spark.sources import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.select("event_type").distinct()
+    out = salted_join(
+        ev.select("event_id", "event_type", "value"), dim, "event_type", 8
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.upper("event_type").alias("display"),
+        "value",
+    )
