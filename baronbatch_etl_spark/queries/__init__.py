@@ -73,7 +73,6 @@ _PRIORITY: tuple[str, ...] = (
     "d_minhash_lsh",
     "d_dup_clusters",
     "t_token_topk",
-    "t_hash_sample",
     "t_corpus_dedup",
     "d_simhash",
     "d_simhash_pairs",
@@ -86,19 +85,22 @@ _PRIORITY: tuple[str, ...] = (
     "d_embedding_neardup",
     "mm_features",
     "t_bpe_tokens",
-    "s_srp_codes",
-    "mm_frame_sample",
+    # corpus-curation family (new this round — needs driver rows)
+    "t_contamination",
+    "t_pack_sequences",
+    "t_mixture_sample",
+    "t_pii_redact",
+    "t_length_filter",
     # windows / ordering / set ops
     "w1_retention_trim",
     "o1_topk_orders",
     "w2_recent_slice",
-    "w_rank_lag_lead",
+    "w_rank_lag_lead",  # also covers the ntile battery's ranking shapes
     "w_running_sum",
     "w_resample_ffill",
     "w_range_frame",
     "w_sessionize",
     "set_ops",
-    "set_intersect",
     # streaming batch-twins
     "st_tumbling_agg",
     "st_sliding_agg",
@@ -110,7 +112,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_sql_scalar_subquery",
     "q_sql_grouping_sets",
     "q_sql_lateral",
-    "w_ntile_battery",
     "q_sql_recursive",
     # shape changed this round — needs a fresh row
     "a1_dup_finder",
@@ -141,6 +142,7 @@ def load_all() -> dict[str, QuerySpec]:
     from baronbatch_etl_spark.queries import (  # noqa: F401
         catalog_aggs,
         catalog_core,
+        catalog_curation,
         catalog_heavy,
         catalog_joins,
         catalog_llm,

@@ -1,0 +1,337 @@
+"""Corpus-curation catalog: the dataset-construction passes a
+training-data pipeline runs AFTER per-document analysis — benchmark
+decontamination, token-budget sequence packing, target-mixture
+stratified sampling, PII redaction, and per-stratum length-band
+filtering.
+
+Like ``operators/text.py`` these have no reference twin (the reference
+does no document processing — SURVEY §2.10 note); they extend the
+LLM-data family with the passes that turn a scored corpus into a
+training set. Every query is oracle-checked against a DuckDB twin
+that replays the identical arithmetic (portable polynomial hash,
+exact integer window sums, shared regex dialect subset).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from baronbatch_etl_spark.io import load_table
+from baronbatch_etl_spark.operators import text as X
+from baronbatch_etl_spark.queries import register
+
+_SQL_TOKENS = "string_split(text, ' ')"
+_SQL_TOKEN_COUNT = (
+    "CASE WHEN length(text) = 0 THEN 0 "
+    f"ELSE len({_SQL_TOKENS}) END"
+)
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+#: Shingle width for contamination checks. 4-grams are the sweet spot
+#: for this fixture vocabulary (3-grams over-fire, 5-grams under-fire);
+#: production corpora typically use 8-13.
+_CONTAM_N = 4
+
+_CONTAM_SHINGLES = (
+    f"list_transform({X.sql_word_ngrams(_SQL_TOKENS, _CONTAM_N)}, "
+    f"g -> {X.sql_char_poly_hash('g')})"
+)
+
+
+@register(
+    "t_contamination",
+    oracle=f"""
+WITH sh AS (
+    SELECT doc_id, unnest({_CONTAM_SHINGLES}) AS h FROM documents
+),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
+train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+SELECT t.doc_id, count(*) AS n_shared
+FROM train t JOIN bench b USING (h)
+GROUP BY t.doc_id
+""",
+    tags=("llm", "curation", "dedup"),
+)
+def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any word 4-gram with a held-out benchmark set (here the
+    deterministic ``doc_id % 97 == 0`` slice stands in for the eval
+    suite).
+
+    Plan shape for 100 TB: the benchmark shingle set is tiny relative
+    to the corpus, so it is distinct-ed and **broadcast** — the
+    training side is a pure map-side semi-probe at scan speed, no
+    shuffle of corpus data. Shingles travel as 8-byte polynomial
+    hashes, not strings, to keep the broadcast map small. The only
+    exchange is the final per-doc count, keyed by doc_id (skew-free).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(X.shingle_hashes("text", _CONTAM_N)).alias("h")
+    )
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
+    train = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sequence packing
+# ---------------------------------------------------------------------------
+
+#: Tokens per packed training sequence (fixture-sized; 2048-8192 in
+#: production).
+_PACK_BUDGET = 256
+
+#: Deterministic sub-streams per source. Packing is inherently
+#: sequential within a stream (each bin depends on the running token
+#: total), so at 100 TB a single per-source stream would serialize into
+#: one task. Sharding the stream by ``doc_id % _PACK_SHARDS`` bounds
+#: every window partition to ~1/shards of a source while keeping the
+#: assignment deterministic and oracle-replayable.
+_PACK_SHARDS = 8
+
+
+@register(
+    "t_pack_sequences",
+    oracle=f"""
+WITH t AS (
+    SELECT source, doc_id, doc_id % {_PACK_SHARDS} AS pack_shard,
+           {_SQL_TOKEN_COUNT} AS n_tok
+    FROM documents
+),
+c AS (
+    SELECT source, pack_shard, doc_id, n_tok,
+           (sum(n_tok) OVER (PARTITION BY source, pack_shard
+                             ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tok)::BIGINT
+               AS cum_before
+    FROM t
+)
+SELECT source, pack_shard, cum_before // {_PACK_BUDGET} AS bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c
+GROUP BY 1, 2, 3
+""",
+    tags=("llm", "curation", "window"),
+)
+def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: assign documents to fixed-budget
+    training bins by running token count within a (source, shard)
+    stream, then summarize each bin.
+
+    A document lands in bin ``floor(tokens_before_it / budget)`` —
+    contiguous greedy packing where a straddling document opens the
+    next bin's count (split-on-boundary semantics, the common choice
+    when the tokenizer truncates at sequence end). One window sort per
+    (source, shard) partition — bounded by the shard count at any
+    corpus size (see ``_PACK_SHARDS``) — then a skew-free grouped agg
+    on (source, shard, bin).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("pack_shard"),
+        X.token_count("text").cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source", "pack_shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_before", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return (
+        c.withColumn(
+            "bin_id", F.floor(F.col("cum_before") / F.lit(_PACK_BUDGET))
+        )
+        .groupBy("source", "pack_shard", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Target-mixture stratified sampling
+# ---------------------------------------------------------------------------
+
+#: Per-language keep-rates out of 100 (the target mixture): downsample
+#: the dominant language, keep more of the rest.
+_MIX_RATES: dict[str, int] = {"en": 10, "de": 30, "es": 30, "fr": 30, "zh": 20}
+
+_SQL_MIX_BUCKET = (
+    X.sql_char_poly_hash("concat('mix:', doc_id::VARCHAR)") + " % 100"
+)
+
+_SQL_MIX_RATE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_RATES.items())
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "t_mixture_sample",
+    oracle=f"""
+SELECT doc_id, lang, ({_SQL_MIX_BUCKET}) AS bucket
+FROM documents
+WHERE ({_SQL_MIX_BUCKET}) < {_SQL_MIX_RATE}
+""",
+    tags=("llm", "curation", "sampling"),
+)
+def t_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture stratified sampling: keep each document with a
+    per-language rate (en 10%, de/es/fr 30%, zh 20%) decided by a
+    deterministic hash bucket of the doc_id — the rebalancing pass
+    that turns a crawl's natural language skew into a training
+    mixture.
+
+    Pure map-side filter: the keep/drop decision is a row-local hash
+    against a broadcast-free literal rate table, so it runs at scan
+    speed on 100 TB with zero shuffles — the scale-safe alternative to
+    exact per-stratum quotas (which need a per-stratum sort). Rates
+    are reproducible across runs and engines (portable polynomial
+    hash, salted 'mix:' so it is independent of other hash-samplers).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        X.char_poly_hash(
+            F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+        )
+        % 100
+    )
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in _MIX_RATES.items() for x in kv]
+    )
+    rate = F.coalesce(
+        F.element_at(rate_map, F.col("lang")), F.lit(0)
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: Regex subset chosen to behave identically under Java regex (Spark)
+#: and RE2 (DuckDB): character classes, bounded repetition — no
+#: lookaround, no backrefs.
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "t_pii_redact",
+    oracle=f"""
+WITH aug AS (
+    SELECT doc_id,
+           concat(text, ' contact user', doc_id::VARCHAR,
+                  '@example.com or call 555-',
+                  lpad((doc_id % 10000)::VARCHAR, 4, '0')) AS full_text
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(full_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       len(regexp_extract_all(full_text, '{_EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(full_text, '{_PHONE_RE}'))::BIGINT AS n_phones
+FROM aug
+""",
+    tags=("llm", "curation", "text"),
+)
+def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: mask email addresses and phone-shaped digit runs,
+    reporting per-document match counts alongside the cleaned text.
+
+    The fixture corpus contains no natural PII, so both engines first
+    append the same deterministic synthetic contact line (derived from
+    doc_id) — the redaction then genuinely fires and the differential
+    check exercises real matches, not a vacuous all-zero pass.
+
+    Row-local regexp_replace/regexp_count only — scan speed at any
+    scale, stays inside whole-stage codegen. Patterns are restricted
+    to the Java-regex ∩ RE2 subset so the oracle replays them exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    full_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(full_text, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.regexp_count(full_text, F.lit(_EMAIL_RE))
+        .cast("long")
+        .alias("n_emails"),
+        F.regexp_count(full_text, F.lit(_PHONE_RE))
+        .cast("long")
+        .alias("n_phones"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-stratum length-band filtering
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_length_filter",
+    oracle="""
+SELECT doc_id, lang, n_chars, pr FROM (
+    SELECT doc_id, lang, n_chars,
+           percent_rank() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS pr
+    FROM documents
+)
+WHERE pr >= 0.05 AND pr <= 0.95
+""",
+    tags=("llm", "curation", "quality", "window"),
+)
+def t_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-band filter: drop each language's shortest
+    and longest 5% of documents by character count (outlier trimming —
+    truncated fragments and concatenation blobs both hurt training).
+
+    percent_rank over a total order (n_chars, doc_id tiebreak) is
+    deterministic and bit-identical across engines — (rank-1)/(n-1)
+    in exact integers, divided once as doubles. One window sort keyed
+    by lang; language strata are few and large, so at 100 TB the
+    scale path is the two-pass variant: exact per-lang length
+    histograms (tiny agg, broadcast) → map-side band filter. The
+    windowed form here is the semantic contract the two-pass variant
+    must reproduce.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        docs.select(
+            "doc_id", "lang", "n_chars", F.percent_rank().over(w).alias("pr")
+        )
+        .filter((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95))
+    )
