@@ -81,3 +81,27 @@ def test_cosine_topk_plan(spark, registry, sf_dir):
     plan = _plan(spark, registry, "s_cosine_topk", sf_dir)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_probe_is_broadcast(spark, registry, sf_dir):
+    # the benchmark shingle set must broadcast: corpus-side semi-probe
+    # with no shuffle of training data through the join
+    plan = _plan(spark, registry, "t_contamination", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mixture_sample_is_shuffle_free(spark, registry, sf_dir):
+    # the whole point of hash-threshold mixture sampling: a row-local
+    # map with zero exchanges at any corpus size
+    plan = _plan(spark, registry, "t_mixture_sample", sf_dir)
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_single_bounded_exchange(spark, registry, sf_dir):
+    # one hash exchange on (source, pack_shard); AQE may coalesce it
+    # (AQEShuffleRead) but must not add a second shuffle or a sort-
+    # merge join
+    plan = _plan(spark, registry, "t_pack_sequences", sf_dir)
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + agg reuse
+    assert "SortMergeJoin" not in plan
