@@ -79,19 +79,32 @@ def _per_doc_hashes(
     return _hash_strings(pieces), np.concatenate(([0], np.cumsum(counts)))
 
 
-@F.pandas_udf(T.ArrayType(T.LongType()))
-def shingle_hashes_fast(texts: pd.Series) -> pd.Series:
-    """Vectorized twin of text.shingle_hashes (distinct word-3-grams).
+def make_shingle_hashes_udf(n: int = 3):
+    """Vectorized twin of text.shingle_hashes for any shingle width.
 
     Hash values are np.unique'd per doc (sorted, collision-deduped):
     every consumer is set-semantic (min / intersect / distinct-union),
     so order is free — and downstream pair math may then assume
     uniqueness without a per-pair dedup pass.
     """
-    flat, offs = _per_doc_hashes(texts, _doc_shingles)
-    return pd.Series(
-        [np.unique(flat[offs[i] : offs[i + 1]]).tolist() for i in range(len(texts))]
-    )
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def shingle_hashes_n(texts: pd.Series) -> pd.Series:
+        flat, offs = _per_doc_hashes(
+            texts, lambda t: _doc_shingles(t, n)
+        )
+        return pd.Series(
+            [
+                np.unique(flat[offs[i] : offs[i + 1]]).tolist()
+                for i in range(len(texts))
+            ]
+        )
+
+    return shingle_hashes_n
+
+
+#: The width-3 instance (the MinHash input).
+shingle_hashes_fast = make_shingle_hashes_udf(3)
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))

@@ -286,6 +286,93 @@ def embedding_near_dup_pairs(
     return small.unionByName(big_pairs)
 
 
+def ivf_recall_at_k(
+    embeddings: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Recall@k of IVF cell-pruned search against exact brute force,
+    per query — the instrumentation an ANN deployment runs on a held-
+    out query sample before trusting the pruned index at full scale.
+
+    One shared scoring pass (broadcast query set, map-only cosine)
+    feeds BOTH rankings: brute force ranks everything, the IVF ranking
+    filters to the query's coarse cell first — so the comparison costs
+    one corpus scan, not two. Per-query top-k is a window over the
+    (q_id, score) survivors; the recall join touches only 2·k rows per
+    query. At 100 TB the query sample is the only thing that grows the
+    cost linearly — the corpus is still read once.
+    """
+    from pyspark.sql import Window
+
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            "q_label",
+            cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    brute = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id")
+    )
+    ivf = (
+        scored.filter(F.col("label") == F.col("q_label"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        brute.join(ivf, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits")
+        )
+        .select(
+            "q_id",
+            "n_hits",
+            (F.col("n_hits") / F.lit(float(k))).alias("recall_at_k"),
+        )
+    )
+
+
+def quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """L2-normalize each embedding and quantize to symmetric int8
+    (−127…127) — the storage/transfer compression pass that runs
+    before writing an ANN index (4× smaller than float32, dot products
+    become integer SIMD ops downstream).
+
+    Row-local expressions only: the L2 norm is the house DOUBLE fold,
+    the quantizer is round-half-up (``floor(x·127/‖v‖ + 0.5)``, the
+    engine-portable rounding — see label_centroids) — so the exact
+    codes are oracle-checkable and the pass runs at scan speed on any
+    corpus. Zero-norm vectors emit NULL codes rather than ±Inf.
+    """
+    n = norm(F.col("embedding"))
+    code = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            x.cast("double") / n * 127.0 + 0.5
+        ).cast("long"),
+    )
+    return embeddings.select(
+        "vec_id",
+        n.alias("l2_norm"),
+        F.when(n > 0.0, code).alias("q_codes"),
+    )
+
+
 def sql_dot(a: str, b: str) -> str:
     """DuckDB twin of dot() — same sequential fold from 0.0."""
     return (

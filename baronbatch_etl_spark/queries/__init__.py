@@ -61,6 +61,11 @@ def register(
 # set ops, the streaming batch-twins, the SQL surface, and any query
 # whose shape changed this round. Redundant TPC-H variants (same §2
 # operator shapes as the five kept) sit at the very end.
+#
+# The first 50 names are the checker window. The family variants in
+# ``WINDOW_EXEMPT`` sit immediately after it (positions 51+): each one's
+# machinery is exercised by a named in-window sibling, so they give up
+# their slot — but still run first if the budget turns out larger.
 _PRIORITY: tuple[str, ...] = (
     "flagship_player_stats",
     # LLM-data family (SURVEY north star)
@@ -74,14 +79,14 @@ _PRIORITY: tuple[str, ...] = (
     "d_dup_clusters",
     "t_token_topk",
     "t_corpus_dedup",
-    "d_simhash",
     "d_simhash_pairs",
     "d_ngram_jaccard",
-    "s_cosine_topk",
     "s_batch_topk",
     "s_label_centroids",
     "s_ivf_topk",
     "s_srp_topk",
+    "s_ivf_recall",
+    "s_quantize_int8",
     "d_embedding_neardup",
     "mm_features",
     "t_bpe_tokens",
@@ -121,6 +126,22 @@ _PRIORITY: tuple[str, ...] = (
     # join-family queries were driver-green in round 1 and sit after)
     "j_salted_skew_join",
 )
+
+#: Family variants parked just outside the ~50-slot checker window:
+#: variant → the in-window sibling that exercises the same machinery.
+#: (Each variant still has a full oracle and runs in pytest/the local
+#: checker — it only yields its driver slot.)
+WINDOW_EXEMPT: dict[str, str] = {
+    "d_simhash": "d_simhash_pairs",  # pairs consume the same fingerprint
+    "s_cosine_topk": "s_batch_topk",  # same brute-force cosine, N queries
+    "t_hash_sample": "t_mixture_sample",  # same hash-mod sampling core
+    "s_srp_codes": "s_srp_topk",  # same SRP hyperplane codes
+    "mm_frame_sample": "mm_features",  # same binary+meta plumbing
+    "w_ntile_battery": "w_rank_lag_lead",  # same ranking-window shapes
+    "set_intersect": "set_ops",  # set-op family representative
+}
+
+_PRIORITY = _PRIORITY + tuple(WINDOW_EXEMPT)
 
 # Redundant TPC-H shapes: same §2 operators as the five kept
 # (Q1/Q3/Q6/Q15/Q18 analogues) — verified once in round 1, parked at

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from baronbatch_etl_spark.io import load_table
+from baronbatch_etl_spark.operators import fast_text as FX
 from baronbatch_etl_spark.operators import text as X
 from baronbatch_etl_spark.queries import register
 
@@ -40,6 +41,10 @@ _CONTAM_SHINGLES = (
     f"list_transform({X.sql_word_ngrams(_SQL_TOKENS, _CONTAM_N)}, "
     f"g -> {X.sql_char_poly_hash('g')})"
 )
+
+#: Arrow twin of ``X.shingle_hashes(text, 4)`` — same hashes (parity-
+#: tested), ~10× the per-char expression fold that dominated the bench.
+_contam_shingles_fast = FX.make_shingle_hashes_udf(_CONTAM_N)
 
 
 @register(
@@ -68,10 +73,14 @@ def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of corpus data. Shingles travel as 8-byte polynomial
     hashes, not strings, to keep the broadcast map small. The only
     exchange is the final per-doc count, keyed by doc_id (skew-free).
+
+    Shingle hashing runs through the Arrow twin (one vectorized numpy
+    fold per batch instead of a per-char expression fold per gram —
+    same hash values, parity-tested in tests/test_fast_parity.py).
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
-        "doc_id", F.explode(X.shingle_hashes("text", _CONTAM_N)).alias("h")
+        "doc_id", F.explode(_contam_shingles_fast(F.col("text"))).alias("h")
     )
     bench = sh.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
     train = sh.filter(F.col("doc_id") % 97 != 0)

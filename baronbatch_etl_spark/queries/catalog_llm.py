@@ -643,6 +643,74 @@ def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s_ivf_recall",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+    FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+scored AS (
+    SELECT q.q_id, e.vec_id, e.label, q.q_label,
+           {S.sql_cosine("e.embedding", "q.q_emb")} AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.q_id
+),
+brute AS (
+    SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS r
+        FROM scored
+    ) WHERE r <= 10
+),
+ivf AS (
+    SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS r
+        FROM scored WHERE label = q_label
+    ) WHERE r <= 10
+)
+SELECT b.q_id, CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+       count(i.vec_id) / 10.0 AS recall_at_k
+FROM brute b LEFT JOIN ivf i USING (q_id, vec_id)
+GROUP BY b.q_id
+""",
+    tags=("llm", "similarity", "instrumentation"),
+)
+def s_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF cell-pruned search vs exact brute force
+    for a 5-query sample — one shared scoring pass feeds both
+    rankings (see ``S.ivf_recall_at_k``)."""
+    return S.ivf_recall_at_k(
+        load_table(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], 10
+    )
+
+
+@register(
+    "s_quantize_int8",
+    oracle=f"""
+SELECT vec_id,
+       {S.sql_norm("embedding")} AS l2_norm,
+       CASE WHEN {S.sql_norm("embedding")} > 0.0 THEN
+           array_to_string(list_transform(range(1, len(embedding) + 1),
+               i -> CAST(floor(embedding[i]::DOUBLE
+                               / {S.sql_norm("embedding")} * 127.0 + 0.5)
+                         AS BIGINT)), ',')
+       END AS q_codes
+FROM embeddings
+""",
+    tags=("llm", "similarity", "quantize"),
+)
+def s_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of L2-normalized embeddings — the
+    index-compression pass (see ``S.quantize_int8``). Codes emit as a
+    comma-joined string so every output column is scalar."""
+    q = S.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", "l2_norm", F.array_join("q_codes", ",").alias("q_codes")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

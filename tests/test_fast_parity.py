@@ -11,6 +11,7 @@ from baronbatch_etl_spark.operators import dedup as D
 from baronbatch_etl_spark.operators import text as X
 from baronbatch_etl_spark.operators.fast_text import (
     doc_fingerprint_fast,
+    make_shingle_hashes_udf,
     shingle_hashes_fast,
     token_hashes_fast,
 )
@@ -35,6 +36,19 @@ def test_shingle_hash_parity(spark):
     out = df.select(
         X.shingle_hashes(F.col("text")).alias("expr"),
         shingle_hashes_fast(F.col("text")).alias("fast"),
+    ).collect()
+    for r in out:
+        assert sorted(set(r.expr)) == r.fast
+
+
+def test_shingle_hash_parity_width4(spark):
+    # the contamination path uses 4-gram shingles via the factory;
+    # same set-semantics comparison as the width-3 test
+    df = _df(spark)
+    fast4 = make_shingle_hashes_udf(4)
+    out = df.select(
+        X.shingle_hashes(F.col("text"), 4).alias("expr"),
+        fast4(F.col("text")).alias("fast"),
     ).collect()
     for r in out:
         assert sorted(set(r.expr)) == r.fast
