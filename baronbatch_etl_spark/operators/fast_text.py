@@ -107,6 +107,73 @@ def make_shingle_hashes_udf(n: int = 3):
 shingle_hashes_fast = make_shingle_hashes_udf(3)
 
 
+def make_cdc_chunks_udf(modulus: int = 64):
+    """Content-defined chunking: a token whose polynomial hash is
+    ≡ 0 (mod ``modulus``) ENDS the current chunk (rsync/Rabin-style
+    boundary rule — split points follow content, so an insertion
+    early in a document shifts only its own chunk, not every chunk
+    after it). Returns per-doc ``array<struct<chunk_id, n_tokens,
+    fp>>`` where ``fp`` is the chunk-local Horner fold
+    ``(acc·131 + token_hash) % P`` — doc_fingerprint's constants,
+    segmented — so identical chunk content ⇒ identical fp anywhere
+    in the corpus.
+
+    Fully vectorized: one token-hash pass for the batch, boundary
+    mask + cumsum for chunk ids, then ALL chunks of the batch fold
+    as rows of one padded matrix (the _hash_strings trick one level
+    up). Row-local ⇒ zero shuffle at any corpus size.
+    """
+    ret = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("chunk_id", T.LongType()),
+                T.StructField("n_tokens", T.LongType()),
+                T.StructField("fp", T.LongType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(ret)
+    def cdc_chunks(texts: pd.Series) -> pd.Series:
+        flat, offs = _per_doc_hashes(texts, _tokenize)
+        n_docs = len(texts)
+        # chunk ends: boundary tokens, plus each doc's last token
+        boundary = (flat % modulus) == 0
+        ends = np.zeros(len(flat) + 1, dtype=bool)
+        ends[1:] = boundary  # end AFTER a boundary token
+        ends[offs[1:]] = True  # force an end at every doc edge
+        cut = np.flatnonzero(ends)  # segment starts incl. 0 and len
+        if cut.size == 0 or cut[0] != 0:
+            cut = np.concatenate(([0], cut))
+        starts, stops = cut[:-1], cut[1:]
+        lens = stops - starts
+        keep = lens > 0  # doc edges coinciding with boundaries
+        starts, stops, lens = starts[keep], stops[keep], lens[keep]
+        # fold every chunk at once: (n_chunks × max_len) padded matrix
+        n_chunks = len(starts)
+        fps = np.zeros(n_chunks, dtype=np.int64)
+        if n_chunks:
+            max_len = int(lens.max())
+            col = np.arange(max_len)
+            mask = col[None, :] < lens[:, None]
+            mat = np.zeros((n_chunks, max_len), dtype=np.int64)
+            mat[mask] = flat[
+                (starts[:, None] + col[None, :])[mask]
+            ]
+            for j in range(max_len):
+                step = (fps * 131 + mat[:, j]) % POLY_P
+                fps = np.where(mask[:, j], step, fps)
+        # assign chunks back to docs (starts are sorted)
+        doc_of = np.searchsorted(offs[1:], starts, side="right")
+        out: list[list[tuple[int, int, int]]] = [[] for _ in range(n_docs)]
+        for c in range(n_chunks):
+            d = doc_of[c]
+            out[d].append((len(out[d]), int(lens[c]), int(fps[c])))
+        return pd.Series(out)
+
+    return cdc_chunks
+
+
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def token_hashes_fast(texts: pd.Series) -> pd.Series:
     """Vectorized twin of text.token_hashes."""

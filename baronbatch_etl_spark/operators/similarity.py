@@ -293,13 +293,14 @@ def ivf_recall_at_k(
     per query — the instrumentation an ANN deployment runs on a held-
     out query sample before trusting the pruned index at full scale.
 
-    One shared scoring pass (broadcast query set, map-only cosine)
-    feeds BOTH rankings: brute force ranks everything, the IVF ranking
-    filters to the query's coarse cell first — so the comparison costs
-    one corpus scan, not two. Per-query top-k is a window over the
-    (q_id, score) survivors; the recall join touches only 2·k rows per
-    query. At 100 TB the query sample is the only thing that grows the
-    cost linearly — the corpus is still read once.
+    One logical scoring plan (broadcast query set, map-only cosine)
+    feeds BOTH rankings; physically the corpus is scanned twice (once
+    per ranking) — deliberately, since materializing the |Q|×|corpus|
+    scored relation to save the second scan would shuffle far more
+    bytes than the scan costs. Neither side shuffles corpus data: each
+    ranking reduces to per-query top-k survivors map-side
+    (TakeOrdered / window over ≤ k·|Q| rows), and the recall join
+    touches only 2·k rows per query.
     """
     from pyspark.sql import Window
 

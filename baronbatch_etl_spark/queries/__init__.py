@@ -139,6 +139,8 @@ WINDOW_EXEMPT: dict[str, str] = {
     "mm_frame_sample": "mm_features",  # same binary+meta plumbing
     "w_ntile_battery": "w_rank_lag_lead",  # same ranking-window shapes
     "set_intersect": "set_ops",  # set-op family representative
+    "t_cdc_chunks": "t_fingerprint",  # same Horner fold, segmented
+    "d_chunk_dedup": "d_exact_dedup",  # same digest-groupBy dedup core
 }
 
 _PRIORITY = _PRIORITY + tuple(WINDOW_EXEMPT)

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from baronbatch_etl_spark.io import load_table
 from baronbatch_etl_spark.operators import dedup as D
+from baronbatch_etl_spark.operators.fast_text import make_cdc_chunks_udf
 from baronbatch_etl_spark.operators import multimodal as M
 from baronbatch_etl_spark.operators import similarity as S
 from baronbatch_etl_spark.operators import text as X
@@ -708,6 +709,94 @@ def s_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = S.quantize_int8(load_table(spark, sf_dir, "embeddings"))
     return q.select(
         "vec_id", "l2_norm", F.array_join("q_codes", ",").alias("q_codes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking
+# ---------------------------------------------------------------------------
+
+#: CDC boundary modulus: a token hash ≡ 0 (mod 32) ends a chunk
+#: (≈32-token average chunks on this fixture; production uses larger).
+_CDC_MOD = 32
+
+_cdc_chunks = make_cdc_chunks_udf(_CDC_MOD)
+
+#: DuckDB replay of the chunker: token hashes → boundary-prefix-count
+#: chunk ids → per-chunk Horner fingerprint (same constants as
+#: doc_fingerprint, segmented).
+_SQL_CHUNKS = f"""
+    t AS (
+        SELECT doc_id, d.pos, (string_split(text, ' '))[d.pos] AS tk
+        FROM documents,
+             LATERAL (SELECT unnest(range(1, len(string_split(text, ' ')) + 1))
+                      AS pos) d
+    ),
+    th AS (SELECT doc_id, pos, {X.sql_char_poly_hash('tk')} AS h FROM t),
+    c AS (
+        SELECT doc_id, pos, h,
+               coalesce(sum(CASE WHEN h % {_CDC_MOD} = 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)::BIGINT AS chunk_id
+        FROM th
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               list_reduce(list_prepend(0::BIGINT, list(h ORDER BY pos)),
+                           (a, v) -> (a * 131 + v) % {X.POLY_P}) AS fp
+        FROM c GROUP BY doc_id, chunk_id
+    )
+"""
+
+
+def _chunk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(_cdc_chunks(F.col("text"))).alias("c")
+    ).select("doc_id", "c.chunk_id", "c.n_tokens", "c.fp")
+
+
+@register(
+    "t_cdc_chunks",
+    oracle=f"WITH {_SQL_CHUNKS} SELECT doc_id, chunk_id, n_tokens, fp FROM chunks",
+    tags=("llm", "chunking"),
+)
+def t_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: split every document at tokens whose
+    hash ≡ 0 (mod 32) and fingerprint each chunk (see
+    ``fast_text.make_cdc_chunks_udf``). Row-local Arrow pass — zero
+    shuffle at any corpus size; boundaries follow content, so edits
+    shift only their own chunk."""
+    return _chunk_df(spark, sf_dir)
+
+
+@register(
+    "d_chunk_dedup",
+    oracle=f"""
+WITH {_SQL_CHUNKS}
+SELECT fp, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(max(n_tokens) AS BIGINT) AS n_tokens
+FROM chunks GROUP BY fp HAVING count(DISTINCT doc_id) > 1
+""",
+    tags=("llm", "chunking", "dedup"),
+)
+def d_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup: chunks whose fingerprint recurs across
+    documents — the sub-document granularity that catches shared
+    boilerplate exact doc-dedup misses. The chunker is row-local; the
+    only shuffle carries (fp, doc_id) pairs — 16 bytes per chunk, the
+    canonical digest-groupBy dedup plan one level down."""
+    return (
+        _chunk_df(spark, sf_dir)
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("n_tokens").alias("n_tokens"),
+        )
+        .filter(F.col("n_docs") > 1)
     )
 
 

@@ -11,10 +11,12 @@ from baronbatch_etl_spark.operators import dedup as D
 from baronbatch_etl_spark.operators import text as X
 from baronbatch_etl_spark.operators.fast_text import (
     doc_fingerprint_fast,
+    make_cdc_chunks_udf,
     make_shingle_hashes_udf,
     shingle_hashes_fast,
     token_hashes_fast,
 )
+from baronbatch_etl_spark.operators.text import POLY_P
 
 TEXTS = [
     "the quick brown fox jumps over the lazy dog",
@@ -92,6 +94,64 @@ def test_simhash_parity(spark):
     ).collect()
     for r in out:
         assert r.expr == r.fast
+
+
+def _ref_cdc(text: str, modulus: int):
+    # straightforward per-token reference: boundary token ENDS a chunk
+    def th(tok):
+        h = 0
+        for ch in tok:
+            h = (h * 31 + ord(ch)) % POLY_P
+        return h
+
+    chunks, cur = [], []
+    for tok in text.split(" "):
+        cur.append(th(tok))
+        if cur[-1] % modulus == 0:
+            chunks.append(cur)
+            cur = []
+    if cur:
+        chunks.append(cur)
+    out = []
+    for cid, hs in enumerate(chunks):
+        fp = 0
+        for h in hs:
+            fp = (fp * 131 + h) % POLY_P
+        out.append((cid, len(hs), fp))
+    return out
+
+
+def test_cdc_chunks_vs_reference(spark):
+    # small modulus → several chunks per doc; includes empty doc
+    # (hash 0 ≡ 0 → single 1-token chunk) and boundary-at-doc-end
+    texts = TEXTS + ["x " * 50, "lone"]
+    cdc = make_cdc_chunks_udf(4)
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        r.doc_id: [(c.chunk_id, c.n_tokens, c.fp) for c in r.c]
+        for r in df.select("doc_id", cdc(F.col("text")).alias("c")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _ref_cdc(t, 4), f"doc {i}: {t!r}"
+
+
+def test_cdc_total_tokens_conserved(spark):
+    # chunking is a partition of the token stream: per-doc chunk token
+    # counts must sum to the doc's token count
+    df = _df(spark)
+    cdc = make_cdc_chunks_udf(8)
+    out = df.select(
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.aggregate(
+            cdc(F.col("text")),
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + c.n_tokens,
+        ).alias("chunk_tok"),
+    ).collect()
+    for r in out:
+        assert r.n_tok == r.chunk_tok
 
 
 def test_sig_and_shingles_parity(spark):
