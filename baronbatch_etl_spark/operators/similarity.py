@@ -332,8 +332,10 @@ def ivf_recall_at_k(
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", F.lit(1).alias("hit"))
     )
+    # ivf is ≤ k·|queries| rows by construction — broadcast it so the
+    # recall join never falls to a sort-merge exchange
     return (
-        brute.join(ivf, ["q_id", "vec_id"], "left")
+        brute.join(F.broadcast(ivf), ["q_id", "vec_id"], "left")
         .groupBy("q_id")
         .agg(
             F.sum(F.coalesce(F.col("hit"), F.lit(0)))

@@ -105,3 +105,41 @@ def test_pack_sequences_single_bounded_exchange(spark, registry, sf_dir):
     plan = _plan(spark, registry, "t_pack_sequences", sf_dir)
     assert plan.count("Exchange hashpartitioning") <= 2  # window + agg reuse
     assert "SortMergeJoin" not in plan
+
+
+def test_quantize_is_pure_scan(spark, registry, sf_dir):
+    # index compression is a row-local pass: no exchange, no join —
+    # it must run at scan speed on any corpus
+    plan = _plan(spark, registry, "s_quantize_int8", sf_dir)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_cdc_chunks_is_shuffle_free(spark, registry, sf_dir):
+    # the chunker is row-local (Arrow batch per partition) — the only
+    # operators above the scan are the UDF eval + explode
+    plan = _plan(spark, registry, "t_cdc_chunks", sf_dir)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_chunk_dedup_two_phase_distinct(spark, registry, sf_dir):
+    # chunk-level dedup shuffles only digest-sized rows: the canonical
+    # two-phase distinct-count plan — Exchange on (fp, doc_id) with
+    # map-side partial aggs, then Exchange on fp — and no join anywhere
+    plan = _plan(spark, registry, "d_chunk_dedup", sf_dir)
+    # AQE plan strings repeat operators in the "Initial Plan" section —
+    # count exchanges in the final plan only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 2
+    assert "partial_count" in plan  # map-side combine before either
+    assert "Join" not in plan
+
+
+def test_ivf_recall_no_corpus_shuffle(spark, registry, sf_dir):
+    # both rankings reduce map-side (broadcast queries, window over
+    # per-query survivors); corpus rows must never hit a sort-merge
+    # join or an exchange keyed by anything but q_id
+    plan = _plan(spark, registry, "s_ivf_recall", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
