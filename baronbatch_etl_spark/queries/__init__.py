@@ -141,6 +141,7 @@ WINDOW_EXEMPT: dict[str, str] = {
     "set_intersect": "set_ops",  # set-op family representative
     "t_cdc_chunks": "t_fingerprint",  # same Horner fold, segmented
     "d_chunk_dedup": "d_exact_dedup",  # same digest-groupBy dedup core
+    "t_bpe_merges": "t_token_topk",  # same count+TakeOrdered shape
 }
 
 _PRIORITY = _PRIORITY + tuple(WINDOW_EXEMPT)

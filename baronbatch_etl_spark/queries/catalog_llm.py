@@ -873,6 +873,49 @@ def t_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t_bpe_merges",
+    oracle=f"""
+WITH sub AS (
+    SELECT regexp_extract_all(text, '{_BPE_RE}') AS s FROM documents
+),
+p AS (
+    SELECT concat(s[i], ' ', s[i + 1]) AS pair
+    FROM sub, LATERAL (SELECT unnest(range(1, len(s))) AS i) d
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 100
+""",
+    tags=("llm", "text", "topk"),
+)
+def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge induction, step one: corpus-wide adjacent subword-pair
+    frequencies, top-100 — the statistic a tokenizer trainer greedily
+    merges on. (Full BPE training iterates this with re-segmentation;
+    one iteration is the distributed-cost shape, the loop is driver
+    logic.)
+
+    Pair formation is row-local (zip of two array slices); the only
+    exchange carries (pair, partial count) after map-side combine, and
+    the top-100 is TakeOrderedAndProject — the canonical word-count
+    plan at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sub = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    pairs = F.zip_with(
+        F.slice(sub, 1, F.greatest(F.size(sub) - 1, F.lit(0))),
+        F.slice(sub, 2, F.greatest(F.size(sub) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Signed-random-projection (SRP) LSH codes over embeddings — the
 # bucketed ANN scale path beside the IVF variant. Hyperplanes are ±1
