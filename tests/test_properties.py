@@ -217,3 +217,32 @@ def test_ngram_jaccard_prefix_filter_is_lossless(spark, texts, threshold):
         if len(sa & sb) / len(sa | sb) >= threshold:
             want.add((i, j))
     assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="ab ", max_size=6), min_size=0, max_size=40
+        ).map(" ".join),
+        min_size=1,
+        max_size=20,
+    ),
+    st.sampled_from([2, 4, 16]),
+)
+def test_cdc_chunks_match_python_reference(texts, modulus):
+    # drive the Arrow UDF's wrapped function directly (no Spark round
+    # trip) so hypothesis can explore many corpora; tiny alphabet with
+    # spaces inside the generated tokens stresses empty-token hashes
+    # (h=0 is always a boundary) and multi-chunk documents
+    from tests.test_fast_parity import _ref_cdc
+    from baronbatch_etl_spark.operators.fast_text import (
+        make_cdc_chunks_udf,
+    )
+
+    fn = make_cdc_chunks_udf(modulus).func
+    got = fn(pd.Series(texts))
+    for text, chunks in zip(texts, got):
+        assert [tuple(c) for c in chunks] == _ref_cdc(text, modulus), (
+            f"{text!r} mod {modulus}"
+        )
