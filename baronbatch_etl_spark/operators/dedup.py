@@ -28,6 +28,7 @@ from baronbatch_etl_spark.operators.fast_text import (
 from baronbatch_etl_spark.operators.text import (
     POLY_P,
     char_poly_hash,
+    char_poly_hash131,
     shingle_hashes,
     token_hashes,
 )
@@ -387,4 +388,121 @@ def ngram_jaccard_pairs(
             jaccard_fast(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- exact repeated-span detection (substring-level dedup) -----------------
+
+SPAN_K = 8  # tokens per span
+
+
+def repeated_spans(
+    docs: DataFrame, k: int = SPAN_K, min_docs: int = 2
+) -> DataFrame:
+    """Exact repeated k-token spans across the corpus — the hashed
+    k-gram approximation of suffix-array substring dedup ("train-set
+    memorization spans"; no reference analogue, the corpus-level twin
+    of utils/clean_db.py:14-24's row dedup).
+
+    Returns (span, n_docs, n_occ): every k-token window that appears
+    in ≥ min_docs distinct documents, with its distinct-doc count and
+    total occurrence count.
+
+    Scale: span extraction is a row-local explode at scan speed; the
+    ONLY shuffle is the hash-partitioned groupBy on the span key, with
+    map-side partial aggregation folding each file's repeats before
+    the exchange. At 100 TB, group by xxhash64(span) instead of the
+    span string so shuffle rows are 8 B — collisions only ever merge
+    counts and are re-verified by the string-keyed pass over the
+    (tiny) surviving span set. Span strings are kept here so the
+    DuckDB oracle can replay the exact grouping.
+    """
+    toks = F.split(F.col("text"), " ")
+    spans = F.when(
+        F.size(toks) >= k,
+        F.expr(
+            f"transform(sequence(0, size(split(text, ' ')) - {k}), "
+            f"i -> array_join(slice(split(text, ' '), i + 1, {k}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(spans).alias("span"))
+        .groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+# --- Bloom-filter incremental dedup ----------------------------------------
+
+BLOOM_BITS = 32_768  # 1024 × 32-bit words
+BLOOM_WORD = 32
+BLOOM_K = 4  # probes per key
+
+
+def _bloom_positions(key: Column) -> Column:
+    """array<long> of BLOOM_K bit positions via double hashing:
+    pos_i = (h1 + i·h2) mod BLOOM_BITS, i = 1..K. Both hashes are the
+    portable polynomial folds, so DuckDB replays identical bits."""
+    h1 = char_poly_hash(key)
+    h2 = char_poly_hash131(key)
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(BLOOM_K)),
+        lambda i: (h1 + i.cast("long") * h2) % BLOOM_BITS,
+    )
+
+
+def bloom_build(corpus: DataFrame, key: str = "text") -> DataFrame:
+    """Fold a corpus into a Bloom filter: (word, bits) rows, ≤ 1024 of
+    them (BLOOM_BITS/BLOOM_WORD).
+
+    Scale: this is how a new crawl is deduped against a 100 TB corpus
+    WITHOUT an O(corpus) join per batch — one linear pass builds the
+    filter (map-side bit_or partials, then a 1024-row exchange), the
+    result broadcasts to every executor, and membership probes are
+    thereafter map-only. Size BLOOM_BITS ≈ 10 bits/key for ~1% false
+    positives; false negatives are impossible, so the filter is a
+    sound pre-filter for an exact verify of flagged rows only.
+    """
+    pos = corpus.select(
+        F.explode(_bloom_positions(F.col(key))).alias("pos")
+    )
+    return (
+        pos.groupBy((F.col("pos") / BLOOM_WORD).cast("long").alias("word"))
+        .agg(
+            F.bit_or(
+                # python shiftleft() wants a literal shift; the SQL
+                # form takes the per-row bit offset column
+                F.expr(f"shiftleft(1L, CAST(pos % {BLOOM_WORD} AS INT))")
+            ).alias("bits")
+        )
+    )
+
+
+def bloom_probe(
+    batch: DataFrame, bloom: DataFrame, key: str = "text"
+) -> DataFrame:
+    """Probe every batch row against a built Bloom filter; adds
+    boolean ``bloom_hit`` (true ⇒ key is possibly in the corpus,
+    false ⇒ DEFINITELY new). The filter side is broadcast; the only
+    shuffle is the batch-local regroup folding the K probe bits back
+    to one row — the corpus is never touched."""
+    probes = batch.select(
+        "*", F.posexplode(_bloom_positions(F.col(key))).alias("_i", "pos")
+    ).withColumn("word", (F.col("pos") / BLOOM_WORD).cast("long"))
+    joined = probes.join(F.broadcast(bloom), "word", "left")
+    hit = F.coalesce(
+        F.col("bits").bitwiseAND(
+            F.expr(f"shiftleft(1L, CAST(pos % {BLOOM_WORD} AS INT))")
+        )
+        != 0,
+        F.lit(False),
+    )
+    group_cols = [c for c in batch.columns]
+    return (
+        joined.groupBy(*group_cols)
+        .agg(F.bool_and(hit).alias("bloom_hit"))
     )

@@ -37,6 +37,17 @@ def char_poly_hash(s: Column) -> Column:
     )
 
 
+def char_poly_hash131(s: Column) -> Column:
+    """Second independent portable hash (base 131): fold
+    (acc*131 + codepoint) % P. Paired with char_poly_hash for
+    double-hashing schemes (Bloom probes: pos_i = h1 + i·h2)."""
+    return F.aggregate(
+        F.split(s, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 131 + F.ascii(ch)) % POLY_P,
+    )
+
+
 def token_hashes(text: Column | str) -> Column:
     """array<long> of per-token polynomial hashes."""
     return F.transform(tokens(text), char_poly_hash)
@@ -66,6 +77,15 @@ def sql_char_poly_hash(expr: str) -> str:
         "list_reduce(list_prepend(0::BIGINT, "
         f"list_transform(string_split({expr}, ''), c -> ascii(c)::BIGINT)), "
         f"(a, c) -> (a * 31 + c) % {POLY_P})"
+    )
+
+
+def sql_char_poly_hash131(expr: str) -> str:
+    """DuckDB twin of char_poly_hash131."""
+    return (
+        "list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split({expr}, ''), c -> ascii(c)::BIGINT)), "
+        f"(a, c) -> (a * 131 + c) % {POLY_P})"
     )
 
 

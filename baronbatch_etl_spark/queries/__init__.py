@@ -97,9 +97,10 @@ _PRIORITY: tuple[str, ...] = (
     "t_pii_redact",
     "t_length_filter",
     # windows / ordering / set ops
+    "d_span_dedup",
+    "d_bloom_dedup",
     "w1_retention_trim",
     "o1_topk_orders",
-    "w2_recent_slice",
     "w_rank_lag_lead",  # also covers the ntile battery's ranking shapes
     "w_running_sum",
     "w_resample_ffill",
@@ -108,7 +109,6 @@ _PRIORITY: tuple[str, ...] = (
     "set_ops",
     # streaming batch-twins
     "st_tumbling_agg",
-    "st_sliding_agg",
     "st_session_window",
     "st_stream_join",
     "st_dedup_ingest",
@@ -132,6 +132,8 @@ _PRIORITY: tuple[str, ...] = (
 #: (Each variant still has a full oracle and runs in pytest/the local
 #: checker — it only yields its driver slot.)
 WINDOW_EXEMPT: dict[str, str] = {
+    "w2_recent_slice": "w1_retention_trim",  # same row_number-slice shape
+    "st_sliding_agg": "st_tumbling_agg",  # same windowed-agg machinery
     "d_simhash": "d_simhash_pairs",  # pairs consume the same fingerprint
     "s_cosine_topk": "s_batch_topk",  # same brute-force cosine, N queries
     "t_hash_sample": "t_mixture_sample",  # same hash-mod sampling core

@@ -1060,3 +1060,106 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("frame_offsets_csv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level and incremental dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d_span_dedup",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+spans AS (
+  SELECT doc_id, array_to_string(list_slice(t, i + 1, i + 8), ' ') AS span
+  FROM toks, LATERAL unnest(range(0, greatest(len(t) - 7, 0))) AS u(i)
+)
+SELECT span,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occ
+FROM spans
+GROUP BY span
+HAVING count(DISTINCT doc_id) >= 2
+""",
+    tags=("llm", "dedup", "span"),
+)
+def d_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated 8-token spans across documents — the
+    suffix-array-style substring dedup signal (which spans would a
+    span-level deduper cut). Row-local explode, one groupBy shuffle;
+    see operators/dedup.repeated_spans for the 100 TB hashing note."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.repeated_spans(docs, k=8, min_docs=2)
+
+
+def _bloom_sql() -> str:
+    h1 = X.sql_char_poly_hash("text")
+    h2 = X.sql_char_poly_hash131("text")
+    bits, word, k = D.BLOOM_BITS, D.BLOOM_WORD, D.BLOOM_K
+    return f"""
+WITH hashes AS (
+  SELECT doc_id, text, {h1} AS h1, {h2} AS h2,
+         doc_id % 10 = 7 AS is_batch
+  FROM documents
+),
+probes AS (
+  SELECT doc_id, is_batch, (h1 + i * h2) % {bits} AS pos
+  FROM hashes, LATERAL unnest(range(1, {k + 1})) AS u(i)
+),
+bloom AS (
+  SELECT pos // {word} AS wrd,
+         bit_or(1::BIGINT << CAST(pos % {word} AS INT)) AS bits
+  FROM probes WHERE NOT is_batch GROUP BY 1
+),
+hits AS (
+  SELECT p.doc_id,
+         bool_and(coalesce(
+           (b.bits & (1::BIGINT << CAST(p.pos % {word} AS INT))) != 0,
+           false)) AS bloom_hit
+  FROM probes p LEFT JOIN bloom b ON p.pos // {word} = b.wrd
+  WHERE p.is_batch GROUP BY 1
+)
+SELECT h.doc_id, ph.bloom_hit,
+       h.text IN (SELECT text FROM hashes WHERE NOT is_batch) AS exact_dup
+FROM hashes h JOIN hits ph ON ph.doc_id = h.doc_id
+WHERE h.is_batch
+"""
+
+
+@register(
+    "d_bloom_dedup",
+    oracle=_bloom_sql(),
+    tags=("llm", "dedup", "bloom", "incremental"),
+)
+def d_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new batch against the standing corpus
+    via a broadcast Bloom filter — no O(corpus) join per batch.
+
+    Split: doc_id % 10 == 7 plays the incoming batch, the rest the
+    corpus. Emits per batch doc: bloom_hit (possibly-duplicate — the
+    map-only Bloom verdict) and exact_dup (ground truth via semi
+    join) — bloom_hit must never be false when exact_dup is true
+    (no false negatives), which the oracle enforces bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == 7
+    corpus = docs.filter(~is_batch)
+    batch = docs.filter(is_batch).select("doc_id", "text")
+    bloom = D.bloom_build(corpus, key="text")
+    probed = D.bloom_probe(batch, bloom, key="text")
+    corpus_texts = corpus.select("text").distinct()
+    return (
+        probed.join(
+            F.broadcast(corpus_texts.withColumn("_dup", F.lit(True))),
+            "text",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("exact_dup"),
+        )
+    )

@@ -187,3 +187,51 @@ def test_connected_components_order_invariant(spark):
     )
     out = {r.node: r.comp for r in D.connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_repeated_spans_exact_counts(spark):
+    # "a b c d e f g h" (8 tokens) appears verbatim in docs 0 and 1,
+    # twice in doc 1; doc 2 shares no 8-token window.
+    d0 = "a b c d e f g h tail words here"
+    d1 = "a b c d e f g h then a b c d e f g h"
+    out = {
+        r.span: (r.n_docs, r.n_occ)
+        for r in D.repeated_spans(
+            _docs(spark, [d0, d1, OTHER]), k=8, min_docs=2
+        ).collect()
+    }
+    assert out["a b c d e f g h"] == (2, 3)
+    # no span from a short doc, and single-doc spans are filtered
+    assert all(n_docs >= 2 for n_docs, _ in out.values())
+
+
+def test_repeated_spans_short_docs_empty(spark):
+    out = D.repeated_spans(_docs(spark, ["one two three", ""]), k=8).collect()
+    assert out == []
+
+
+def test_bloom_no_false_negatives_and_word_bound(spark):
+    corpus = _docs(spark, [BASE, NEAR, OTHER, BASE + " x", "alpha beta"])
+    bloom = D.bloom_build(corpus, key="text")
+    # filter is tiny and bounded: at most BLOOM_BITS/BLOOM_WORD rows
+    words = bloom.collect()
+    assert len(words) <= D.BLOOM_BITS // D.BLOOM_WORD
+    # every corpus member must hit (no false negatives — the Bloom
+    # guarantee the incremental-dedup pipeline relies on)
+    probed = D.bloom_probe(
+        corpus.select("doc_id", "text"), bloom, key="text"
+    )
+    assert all(r.bloom_hit for r in probed.collect())
+
+
+def test_bloom_probe_misses_definitely_new(spark):
+    corpus = _docs(spark, [BASE, OTHER])
+    bloom = D.bloom_build(corpus, key="text")
+    batch = _docs(
+        spark, ["wholly novel sentence nine", BASE]
+    ).select("doc_id", "text")
+    out = {r.doc_id: r.bloom_hit for r in D.bloom_probe(batch, bloom).collect()}
+    assert out[1] is True  # exact member always hits
+    # the novel doc may or may not collide, but with 32k bits over two
+    # corpus keys a collision is (deterministically) absent here
+    assert out[0] is False
