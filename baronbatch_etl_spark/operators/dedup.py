@@ -202,25 +202,31 @@ def connected_components(
     labels = edges.groupBy(F.col("s").alias("node")).agg(
         F.least(F.min("s"), F.min("d")).alias("comp")
     )
+    # Convergence via the label-sum invariant: labels only ever
+    # DECREASE (min of a growing neighbor set) over a fixed node set,
+    # so Σcomp is strictly monotone — equal consecutive sums ⟺ a
+    # zero-change round. That folds propagate + update + convergence
+    # test into ONE job per round (the old shape paid an eager
+    # checkpoint job plus a changed-row count job and a second join).
+    prev_sum = object()  # sentinel ≠ any sum (incl. None for empty)
     for _ in range(max_iter):
-        neigh = (
-            edges.join(labels, edges.d == labels.node)
-            .groupBy("s")
-            .agg(F.min("comp").alias("ncomp"))
+        prop = edges.join(labels, edges.d == labels.node).select(
+            F.col("s").alias("node"), "comp"
         )
-        stepped = (
-            labels.join(neigh, labels.node == neigh.s, "left")
-            .select(
-                "node",
-                F.col("comp").alias("old_comp"),
-                F.least("comp", "ncomp").alias("comp"),
-            )
-            .localCheckpoint()
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            # lazy local checkpoint: truncates lineage each round but
+            # materializes inside the stats job below, not as its own
+            .localCheckpoint(eager=False)
         )
-        changed = stepped.filter(F.col("comp") < F.col("old_comp")).count()
-        labels = stepped.select("node", "comp")
-        if changed == 0:
+        cur_sum = labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
