@@ -143,3 +143,21 @@ def test_ivf_recall_no_corpus_shuffle(spark, registry, sf_dir):
     plan = _plan(spark, registry, "s_ivf_recall", sf_dir)
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_span_dedup_partial_aggregates(spark, registry, sf_dir):
+    # the groupBy on span must fold map-side (partial_count) before
+    # the exchange — shuffling raw exploded spans would move the whole
+    # reconstructed corpus over the wire
+    plan = _plan(spark, registry, "d_span_dedup", sf_dir)
+    assert "partial_count" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_probe_broadcasts_filter(spark, registry, sf_dir):
+    # both the 1024-row bloom table and the ground-truth dim must
+    # broadcast — the probe never shuffles the corpus
+    plan = _plan(spark, registry, "d_bloom_dedup", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
