@@ -99,8 +99,8 @@ _PRIORITY: tuple[str, ...] = (
     # windows / ordering / set ops
     "d_span_dedup",
     "d_bloom_dedup",
+    "t_tfidf",
     "w1_retention_trim",
-    "o1_topk_orders",
     "w_rank_lag_lead",  # also covers the ntile battery's ranking shapes
     "w_running_sum",
     "w_resample_ffill",
@@ -133,6 +133,8 @@ _PRIORITY: tuple[str, ...] = (
 #: checker — it only yields its driver slot.)
 WINDOW_EXEMPT: dict[str, str] = {
     "w2_recent_slice": "w1_retention_trim",  # same row_number-slice shape
+    "t_shard_plan": "w1_retention_trim",  # same row_number-per-group shape
+    "o1_topk_orders": "t_token_topk",  # same TakeOrderedAndProject shape
     "st_sliding_agg": "st_tumbling_agg",  # same windowed-agg machinery
     "d_simhash": "d_simhash_pairs",  # pairs consume the same fingerprint
     "s_cosine_topk": "s_batch_topk",  # same brute-force cosine, N queries

@@ -344,3 +344,45 @@ def t_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95))
     )
+
+
+@register(
+    "t_shard_plan",
+    oracle="""
+SELECT doc_id,
+       ((doc_id * 2654435761) % 4294967296) % 32 AS shard,
+       row_number() OVER (
+         PARTITION BY ((doc_id * 2654435761) % 4294967296) % 32
+         ORDER BY (doc_id * 2246822519) % 4294967296, doc_id) AS pos
+FROM documents
+""",
+    tags=("llm", "curation", "shard"),
+)
+def t_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-data layout: every doc gets a shard (of
+    32) by multiplicative hash and a pseudo-random position within its
+    shard — the global-shuffle-then-shard pass that fixes training
+    order reproducibly (no rand(), so re-runs and the oracle agree).
+
+    Plan: one exchange on the shard key + in-partition sort — exactly
+    the repartition(shard) + sortWithinPartitions shape the parquet
+    writers consume. The multiplicative constants are Knuth/xxhash
+    primes; at 100 TB swap the int64 products for xxhash64(doc_id) to
+    dodge overflow on >2^32 ids (engine-internal, no oracle needed on
+    the write path).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h1 = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    h2 = (F.col("doc_id") * F.lit(2246822519)) % F.lit(4294967296)
+    w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            (h1 % 32).alias("shard"),
+            h2.alias("order_key"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )

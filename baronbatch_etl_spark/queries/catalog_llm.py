@@ -1163,3 +1163,75 @@ def d_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("_dup"), F.lit(False)).alias("exact_dup"),
         )
     )
+
+
+@register(
+    "t_tfidf",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+  GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS weight
+  FROM tf JOIN dfreq USING (token), n
+)
+SELECT doc_id, token AS top_term, tf, df, weight
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY weight DESC, token) AS rn
+      FROM scored)
+WHERE rn = 1
+""",
+    tags=("llm", "text", "tfidf"),
+)
+def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top TF-IDF term from corpus-wide document
+    frequencies — the classic corpus-statistics join (keyword
+    extraction / salient-term indexing).
+
+    Weight is the exact rational tf·N/df in one IEEE multiply+divide
+    (no transcendental idf — ln() rounds differently across engines,
+    tf·N/df is bit-identical and order-equivalent for ranking).
+
+    Plan: explode → (doc, token) partial-agg; vocabulary DF reuses
+    that aggregate (no second corpus scan); the vocab join is
+    AQE-broadcast here and falls back to a token-keyed shuffle join
+    when the vocabulary outgrows the broadcast threshold at 100 TB.
+    N comes from a broadcast 1-row scalar, never a driver collect.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"))
+            .alias("weight"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("weight").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", F.col("token").alias("top_term"), "tf", "df", "weight"
+        )
+    )
