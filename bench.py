@@ -29,6 +29,36 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+#: FROZEN since round 2 — the cross-round comparison set. The catalog
+#: grows every round, so catalog_total_runtime is not comparable
+#: round-over-round; headline_runtime (this fixed 20-query set,
+#: spanning flagship / dedup / similarity / text / TPC-H / joins /
+#: windows / streaming-twin) is. Do not edit this list; add new
+#: queries to the catalog only.
+HEADLINE: tuple[str, ...] = (
+    "flagship_player_stats",
+    "t_token_stats",
+    "t_fingerprint",
+    "d_exact_dedup",
+    "d_minhash_lsh",
+    "d_dup_clusters",
+    "t_corpus_dedup",
+    "d_simhash_pairs",
+    "d_ngram_jaccard",
+    "s_batch_topk",
+    "s_ivf_topk",
+    "d_embedding_neardup",
+    "mm_features",
+    "t_bpe_tokens",
+    "h_pricing_summary",
+    "h_shipping_priority",
+    "j1_broadcast_dim_lookup",
+    "j_asof_join",
+    "w_sessionize",
+    "st_tumbling_agg",
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -69,6 +99,12 @@ def main() -> None:
                 "metric": "catalog_total_runtime",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
+                # the round-over-round number: fixed query set, so a
+                # growing catalog doesn't read as a perf regression
+                "headline_runtime": round(
+                    sum(timings[n] for n in HEADLINE if n in timings), 3
+                ),
+                "n_queries": len(timings),
                 "queries": {
                     n: timings[n]
                     for n in sorted(timings, key=timings.get, reverse=True)[:10]
