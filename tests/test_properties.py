@@ -246,3 +246,74 @@ def test_cdc_chunks_match_python_reference(texts, modulus):
         assert [tuple(c) for c in chunks] == _ref_cdc(text, modulus), (
             f"{text!r} mod {modulus}"
         )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=0, max_size=24
+        ).map(" ".join),
+        min_size=1,
+        max_size=16,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+def test_repeated_spans_match_python_reference(spark, texts, k):
+    """repeated_spans must agree with a brute-force Python sliding
+    window over arbitrary tiny-vocab corpora (tiny vocab forces span
+    collisions so the property is non-vacuous)."""
+    from collections import Counter, defaultdict
+
+    from baronbatch_etl_spark.operators.dedup import repeated_spans
+
+    occ: Counter = Counter()
+    docs_of: defaultdict = defaultdict(set)
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        for j in range(len(toks) - k + 1):
+            span = " ".join(toks[j : j + k])
+            occ[span] += 1
+            docs_of[span].add(i)
+    expect = {
+        s: (len(docs_of[s]), occ[s]) for s in occ if len(docs_of[s]) >= 2
+    }
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.span: (r.n_docs, r.n_occ)
+        for r in repeated_spans(df, k=k, min_docs=2).collect()
+    }
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcxyz ", max_size=20), min_size=1, max_size=20),
+    st.lists(st.text(alphabet="abcxyz ", max_size=20), min_size=1, max_size=10),
+)
+def test_bloom_filter_is_sound(spark, corpus_keys, batch_keys):
+    """Bloom soundness on arbitrary corpora: every batch key that IS
+    in the corpus must hit (zero false negatives, the invariant that
+    makes the filter a safe dedup pre-filter). False positives are
+    allowed — only the one-sided error is checked."""
+    from baronbatch_etl_spark.operators.dedup import bloom_build, bloom_probe
+
+    corpus = spark.createDataFrame(
+        [Row(text=t) for t in set(corpus_keys)], "text string"
+    )
+    batch = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(batch_keys)],
+        "doc_id long, text string",
+    )
+    hits = {
+        r.doc_id: r.bloom_hit
+        for r in bloom_probe(batch, bloom_build(corpus)).collect()
+    }
+    members = set(corpus_keys)
+    for i, t in enumerate(batch_keys):
+        if t in members:
+            assert hits[i], f"false negative for {t!r}"
