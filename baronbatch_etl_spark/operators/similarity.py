@@ -395,3 +395,36 @@ def sql_norm(a: str) -> str:
 
 def sql_cosine(a: str, b: str) -> str:
     return f"({sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)}))"
+
+
+def dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension corpus statistics over an embedding column:
+    (dim, n, mean, var, vmin, vmax) — the calibration pass that feeds
+    quantization ranges (s_quantize_int8) and whitening transforms.
+
+    Same fixed-point discipline as label_centroids: first and second
+    moments quantize to 1e-9 (floor(x·1e9 + 0.5), pure double ops)
+    and sum as BIGINT, so results are executor-order-independent and
+    bit-identical to the DuckDB oracle. One explode + one dim-keyed
+    groupBy with map-side partials — dims are few and uniform, so the
+    shuffle is tiny and skew-free at any corpus size.
+    """
+    ex = embeddings.select(F.posexplode("embedding").alias("dim", "vf"))
+    v = F.col("vf").cast("double")
+    per_dim = ex.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(v * 1.0e9 + 0.5).cast("long")).alias("s1"),
+        F.sum(F.floor(v * v * 1.0e9 + 0.5).cast("long")).alias("s2"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+    )
+    mean = (F.col("s1").cast("double") / 1.0e9) / F.col("n")
+    m2 = (F.col("s2").cast("double") / 1.0e9) / F.col("n")
+    return per_dim.select(
+        "dim",
+        "n",
+        mean.alias("mean"),
+        (m2 - mean * mean).alias("var"),
+        "vmin",
+        "vmax",
+    )

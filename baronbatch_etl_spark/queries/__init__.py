@@ -135,6 +135,8 @@ WINDOW_EXEMPT: dict[str, str] = {
     "w2_recent_slice": "w1_retention_trim",  # same row_number-slice shape
     "t_shard_plan": "w1_retention_trim",  # same row_number-per-group shape
     "o1_topk_orders": "t_token_topk",  # same TakeOrderedAndProject shape
+    "s_dim_stats": "s_label_centroids",  # same fixed-point explode agg
+    "d_lsh_recall": "d_minhash_lsh",  # same LSH pair machinery, counted
     "st_sliding_agg": "st_tumbling_agg",  # same windowed-agg machinery
     "d_simhash": "d_simhash_pairs",  # pairs consume the same fingerprint
     "s_cosine_topk": "s_batch_topk",  # same brute-force cosine, N queries

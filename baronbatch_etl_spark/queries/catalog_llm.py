@@ -1235,3 +1235,81 @@ def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("token").alias("top_term"), "tf", "df", "weight"
         )
     )
+
+
+@register(
+    "s_dim_stats",
+    oracle="""
+WITH ex AS (
+  SELECT d.dim - 1 AS dim, CAST(embedding[d.dim] AS DOUBLE) AS v
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS dim) d
+),
+agg AS (
+  SELECT dim, count(*) AS n,
+         (CAST(sum(CAST(floor(v * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+            / 1000000000.0) / count(*) AS mean,
+         (CAST(sum(CAST(floor(v * v * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+            / 1000000000.0) / count(*) AS m2,
+         min(v) AS vmin, max(v) AS vmax
+  FROM ex GROUP BY dim
+)
+SELECT dim, n, mean, m2 - mean * mean AS var, vmin, vmax FROM agg
+""",
+    tags=("llm", "similarity", "stats"),
+)
+def s_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (quantization calibration /
+    whitening input). Fixed-point moments — see operators/similarity
+    .dim_stats for the portability discipline."""
+    return S.dim_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "d_lsh_recall",
+    oracle=f"""
+WITH {_minhash_ctes()},
+exact AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.hs, b.hs)) * 1.0
+          / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.8
+)
+SELECT (SELECT count(*) FROM exact) AS n_exact,
+       (SELECT count(*) FROM pairs) AS n_lsh,
+       CAST((SELECT count(*) FROM pairs) AS DOUBLE)
+         / (SELECT count(*) FROM exact) AS recall
+""",
+    tags=("llm", "dedup", "lsh", "recall"),
+)
+def d_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall@τ: what fraction of the TRUE near-dup pairs
+    (exact 3-gram Jaccard ≥ 0.8, all pairs) does the banded
+    MinHash-LSH surface? The dedup twin of s_ivf_recall — the number
+    you watch when tuning bands×rows.
+
+    Ground truth comes from the lossless prefix-filtered exact join
+    (no language/length blocking: one synthetic block, unbounded char
+    delta), NOT an O(n²) probe. LSH-verified pairs use the same
+    shingle definition and threshold, so LSH ⊆ exact and
+    recall = n_lsh / n_exact (the fixtures guarantee n_exact > 0).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(
+        docs.withColumn("lang", F.lit("_")),
+        threshold=0.8,
+        max_char_delta=1 << 40,
+    )
+    lsh = D.minhash_lsh_pairs(docs, threshold=0.8)
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_lsh = lsh.agg(F.count("*").alias("n_lsh"))
+    return (
+        n_exact.join(F.broadcast(n_lsh))
+        .select(
+            "n_exact",
+            "n_lsh",
+            (F.col("n_lsh").cast("double") / F.col("n_exact")).alias(
+                "recall"
+            ),
+        )
+    )
