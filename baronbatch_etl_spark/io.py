@@ -71,6 +71,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism
+    when the plan's CURRENT partitioning would leave cores idle.
+
+    A small input (one parquet row group → one split) serializes every
+    downstream row-local stage onto a single task — the signature-UDF
+    passes of the dedup/similarity family are the hot case. On a real
+    cluster reading many splits the partition count already meets the
+    core count, so this is a no-op (the check is driver-side planning
+    only, no job) and a 100 TB scan never pays a gratuitous full-data
+    shuffle. Call it AFTER filters, so pushdown still reaches the scan.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Scan all fixture tables → {name: DataFrame}."""
     return {t: load_table(spark, sf_dir, t) for t in TABLES}

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from baronbatch_etl_spark.io import spread
 from baronbatch_etl_spark.operators.fast_text import (
     jaccard_fast,
     make_minhash_udf,
@@ -31,6 +32,7 @@ from baronbatch_etl_spark.operators.text import (
     char_poly_hash131,
     shingle_hashes,
     token_hashes,
+    token_hashes131,
 )
 
 # Fixed MinHash family h_j(x) = (A[j]·x + B[j]) mod P  (seed 42).
@@ -48,13 +50,21 @@ MINHASH_B = (
 LSH_BANDS = 4  # 4 bands × 4 rows ⇒ P(candidate) = 1-(1-s⁴)⁴
 LSH_ROWS = MINHASH_K // LSH_BANDS
 
-SIMHASH_BITS = 32
+# 60-bit fingerprint assembled from TWO independent token-hash
+# families (base-31 → bits 0..29, base-131 → bits 30..59): POLY_P is
+# ~2^30, so one family alone yields ≤30 informative bits, and a wider
+# fingerprint is what keeps the pigeonhole blocks selective (15-bit
+# block keys ⇒ 32k buckets/block; an 8-bit key over a 32-bit simhash
+# put ~n²/256-plus-correlation candidate pairs through the verifier).
+SIMHASH_BITS = 60
+SIMHASH_HALF = 30  # bits per hash family
+SIMHASH_BLOCK_BITS = SIMHASH_BITS // 4  # 4 blocks: complete for r ≤ 3
 
 # Arrow-vectorized signature UDFs (same arithmetic as the expression
 # versions below — see operators/fast_text.py; parity is tested).
 minhash_signature_fast = make_minhash_udf(MINHASH_A, MINHASH_B)
 sig_and_shingles_fast = make_sig_and_shingles_udf(MINHASH_A, MINHASH_B)
-simhash_fast = make_simhash_udf(SIMHASH_BITS)
+simhash_fast = make_simhash_udf(SIMHASH_BITS, SIMHASH_HALF)
 
 
 def exact_dedup_survivors(docs: DataFrame) -> DataFrame:
@@ -120,7 +130,7 @@ def minhash_lsh_pairs(
     # branches (banding + both verification sides) reuse it — at
     # 100 TB you'd materialize the signature table the same way.
     base = (
-        docs.select(
+        spread(docs).select(
             "doc_id", sig_and_shingles_fast(F.col("text")).alias("x")
         )
         .select("doc_id", F.col("x.sig").alias("sig"), F.col("x.sh").alias("sh"))
@@ -239,9 +249,13 @@ def connected_components(
 def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
     """SimHash fingerprint over token hashes (row-local).
 
-    bit b is set iff Σ_tokens (2·bit_b(h) − 1) > 0.
+    bit b is set iff Σ_tokens (2·bit_b(h) − 1) > 0, where bits
+    0..HALF−1 vote from the base-31 token hash and bits HALF.. from
+    the independent base-131 hash (each family carries only
+    log2(POLY_P) ≈ 30 informative bits).
     """
-    hs = token_hashes(text)
+    hs1 = token_hashes(text)
+    hs2 = token_hashes131(text)
 
     def voter(b: int):
         return lambda s, h: s + (
@@ -250,38 +264,44 @@ def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
 
     acc = F.lit(0).cast("long")
     for b in range(bits):
-        vote = F.aggregate(hs, F.lit(0).cast("long"), voter(b))
+        src, shift = (hs1, b) if b < SIMHASH_HALF else (hs2, b - SIMHASH_HALF)
+        vote = F.aggregate(src, F.lit(0).cast("long"), voter(shift))
         acc = acc + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
     return acc
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: block on the four 8-bit bytes of the
-    32-bit fingerprint (pigeonhole: any pair within hamming ≤ 3 has at
-    least one untouched byte, so it collides in ≥1 block), then verify
-    candidates with popcount(xor) ≤ max_hamming."""
+    """Near-dup pairs by SimHash: block on the four 15-bit slices of
+    the 60-bit fingerprint (pigeonhole: any pair within hamming ≤ 3
+    has at least one untouched slice, so it collides in ≥1 block),
+    then verify candidates with popcount(xor) ≤ max_hamming."""
     if max_hamming > 3:
         raise ValueError(
-            "4-byte blocking is only complete for max_hamming <= 3; "
-            f"got {max_hamming} — pairs differing in every byte would be "
+            "4-block blocking is only complete for max_hamming <= 3; "
+            f"got {max_hamming} — pairs differing in every block would be "
             "silently missed (use more/smaller blocks for larger radii)"
         )
-    base = docs.select("doc_id", simhash_fast(F.col("text")).alias("sh")).cache()
+    base = spread(docs).select(
+        "doc_id", simhash_fast(F.col("text")).alias("sh")
+    ).cache()
     # SimHash bits are CORRELATED across similar-vocabulary docs, so
-    # byte buckets are heavily skewed — the candidate multiset is far
-    # larger than uniform hashing suggests (sf0.1: 15.8M candidate
-    # rows from 5k docs). Everything therefore evaluates INLINE in the
-    # join condition — popcount verification plus a first-colliding-
-    # block predicate that makes each qualifying pair come out exactly
-    # once — so no candidate row ever hits an exchange or a distinct:
-    # the whole operator is one broadcast/hash join probe in codegen.
+    # block buckets skew beyond what uniform hashing suggests; 15-bit
+    # keys (32k buckets/block) keep the candidate multiset small where
+    # 8-bit keys put millions of pairs through the verifier. The
+    # verification itself evaluates INLINE in the join condition —
+    # popcount plus a first-colliding-block predicate that makes each
+    # qualifying pair come out exactly once — so no candidate row ever
+    # hits an exchange or a distinct: the whole operator is one
+    # broadcast/hash join probe in codegen.
+    bb = SIMHASH_BLOCK_BITS
+    bmask = (1 << bb) - 1
     blocks = base.select(
         "doc_id",
         "sh",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("sh", 8 * i).bitwiseAND(F.lit(255)).cast("long")
+                    F.shiftright("sh", bb * i).bitwiseAND(F.lit(bmask)).cast("long")
                     for i in range(4)
                 ]
             )
@@ -296,12 +316,12 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     l = blocks.repartition(F.col("doc_id")).alias("l")
     r = blocks.alias("r")
 
-    def byte(side: str, i) -> Column:
-        return F.shiftright(F.col(f"{side}.sh"), 8 * i).bitwiseAND(F.lit(255))
+    def blk(side: str, i) -> Column:
+        return F.shiftright(F.col(f"{side}.sh"), bb * i).bitwiseAND(F.lit(bmask))
 
     # block is the FIRST index where the two fingerprints agree on the
-    # byte: all earlier blocks must differ (dedup without distinct)
-    diff = [byte("l", i) != byte("r", i) for i in range(4)]
+    # slice: all earlier blocks must differ (dedup without distinct)
+    diff = [blk("l", i) != blk("r", i) for i in range(4)]
     earlier_differ = (
         (F.col("l.block") == 0)
         | ((F.col("l.block") == 1) & diff[0])
@@ -353,7 +373,7 @@ def ngram_jaccard_pairs(
     """
     if threshold <= 0:
         raise ValueError("prefix filter requires threshold > 0")
-    hashed = docs.select(
+    hashed = spread(docs).select(
         "doc_id", "lang", "n_chars",
         shingle_hashes_fast(F.col("text")).alias("sh"),
     ).cache()  # one Arrow hashing pass feeds prefixes AND verification
@@ -432,7 +452,7 @@ def repeated_spans(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select("doc_id", F.explode(spans).alias("span"))
+        spread(docs).select("doc_id", F.explode(spans).alias("span"))
         .groupBy("span")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
@@ -473,7 +493,7 @@ def bloom_build(corpus: DataFrame, key: str = "text") -> DataFrame:
     positives; false negatives are impossible, so the filter is a
     sound pre-filter for an exact verify of flagged rows only.
     """
-    pos = corpus.select(
+    pos = spread(corpus).select(
         F.explode(_bloom_positions(F.col(key))).alias("pos")
     )
     return (
@@ -496,7 +516,7 @@ def bloom_probe(
     false ⇒ DEFINITELY new). The filter side is broadcast; the only
     shuffle is the batch-local regroup folding the K probe bits back
     to one row — the corpus is never touched."""
-    probes = batch.select(
+    probes = spread(batch).select(
         "*", F.posexplode(_bloom_positions(F.col(key))).alias("_i", "pos")
     ).withColumn("word", (F.col("pos") / BLOOM_WORD).cast("long"))
     joined = probes.join(F.broadcast(bloom), "word", "left")

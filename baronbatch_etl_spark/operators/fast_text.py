@@ -22,12 +22,13 @@ from pyspark.sql import types as T
 from baronbatch_etl_spark.operators.text import POLY_P
 
 
-def _hash_strings(strings: list[str]) -> np.ndarray:
+def _hash_strings(strings: list[str], base: int = 31) -> np.ndarray:
     """Polynomial char hash of many strings at once.
 
     One padded (n_strings × max_len) codepoint matrix, Horner fold
     down the columns with a length mask — identical fold order to
-    char_poly_hash / sql_char_poly_hash.
+    char_poly_hash / sql_char_poly_hash (base 31) and
+    char_poly_hash131 (base 131).
     """
     n = len(strings)
     if n == 0:
@@ -45,7 +46,7 @@ def _hash_strings(strings: list[str]) -> np.ndarray:
     mat[mask] = flat
     h = np.zeros(n, dtype=np.int64)
     for j in range(max_len):
-        step = (h * 31 + mat[:, j]) % POLY_P
+        step = (h * base + mat[:, j]) % POLY_P
         h = np.where(mask[:, j], step, h)
     return h
 
@@ -327,21 +328,41 @@ def make_srp_udf(planes: int = 16, dims: int = 64):
     return srp_code_fast
 
 
-def make_simhash_udf(bits: int = 32):
-    """SimHash fingerprints from text: token-hash bit votes, packed."""
+def make_simhash_udf(bits: int = 60, half: int = 30):
+    """SimHash fingerprints from text: token-hash bit votes, packed.
+
+    Fingerprint bits 0..half−1 vote from the base-31 token hash, bits
+    half..bits−1 from the independent base-131 hash — POLY_P caps each
+    family at ~30 informative bits, so a wide (selectively blockable)
+    fingerprint needs both. Must stay bit-identical to dedup.simhash
+    and the DuckDB oracle (tests/test_fast_parity.py).
+    """
     weights = (np.int64(1) << np.arange(bits, dtype=np.int64))[None, :]
 
     @F.pandas_udf(T.LongType())
     def simhash_fast(texts: pd.Series) -> pd.Series:
-        flat, offs = _per_doc_hashes(texts, _tokenize)
-        signs = (
-            ((flat[:, None] >> np.arange(bits)[None, :]) & 1) * 2 - 1
+        pieces: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            p = _tokenize(t if isinstance(t, str) else "")
+            counts[i] = len(p)
+            pieces.extend(p)
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        h1 = _hash_strings(pieces, 31)
+        h2 = _hash_strings(pieces, 131)
+        signs = np.concatenate(
+            [
+                ((h1[:, None] >> np.arange(half)[None, :]) & 1) * 2 - 1,
+                ((h2[:, None] >> np.arange(bits - half)[None, :]) & 1) * 2
+                - 1,
+            ],
+            axis=1,
         )  # (n_tokens × bits) in ±1
-        out = np.empty(len(texts), dtype=np.int64)
-        for i in range(len(texts)):
-            lo, hi = offs[i], offs[i + 1]
-            votes = signs[lo:hi].sum(axis=0) if hi > lo else np.zeros(bits)
-            out[i] = int(((votes > 0) * weights[0]).sum())
+        # segmented per-doc vote sums in one reduceat (no Python loop);
+        # every doc has ≥1 token ("" tokenizes to [""]), so offsets are
+        # strictly increasing and each segment is a true sum
+        votes = np.add.reduceat(signs, offs[:-1], axis=0)
+        out = ((votes > 0) * weights).sum(axis=1, dtype=np.int64)
         return pd.Series(out)
 
     return simhash_fast

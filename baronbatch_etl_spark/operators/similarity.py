@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from baronbatch_etl_spark.io import spread
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ as a sequential DOUBLE fold over zipped arrays."""
@@ -52,7 +54,7 @@ def brute_force_topk(
         F.col("embedding").alias("q_emb")
     )
     scored = (
-        embeddings.filter(F.col("vec_id") != query_vec_id)
+        spread(embeddings.filter(F.col("vec_id") != query_vec_id))
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
@@ -72,7 +74,7 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame
         F.col("embedding").alias("q_emb"), F.col("label").alias("q_label")
     )
     scored = (
-        embeddings.filter(F.col("vec_id") != query_vec_id)
+        spread(embeddings.filter(F.col("vec_id") != query_vec_id))
         .join(F.broadcast(q), F.col("label") == F.col("q_label"))
         .select(
             "vec_id",
@@ -103,13 +105,18 @@ def srp_topk(
     from baronbatch_etl_spark.operators.fast_text import make_srp_udf
 
     srp = make_srp_udf(planes, 64)
-    coded = embeddings.withColumn("_code", srp(F.col("embedding")))
-    q = coded.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("q_emb"), F.col("_code").alias("q_code")
+    # the 1-row query branch codes WITHOUT the spread exchange (its
+    # vec_id filter pushes to the scan); only the full-corpus candidate
+    # branch pays the repartition that parallelizes the code UDF
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb"),
+        srp(F.col("embedding")).alias("q_code"),
+    )
+    coded = spread(embeddings.filter(F.col("vec_id") != query_vec_id)).withColumn(
+        "_code", srp(F.col("embedding"))
     )
     cand = (
-        coded.filter(F.col("vec_id") != query_vec_id)
-        .crossJoin(F.broadcast(q))
+        coded.crossJoin(F.broadcast(q))
         .filter(
             F.bit_count(F.col("_code").bitwiseXOR(F.col("q_code")))
             <= radius
@@ -137,7 +144,7 @@ def batch_topk(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     scored = (
-        embeddings.crossJoin(F.broadcast(q))
+        spread(embeddings).crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -164,7 +171,7 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     exact binary expansion — they disagree in the last digit.)
     Headroom: |v| < 1 ⇒ per-row ≤ 1e9; int64 holds ~9e18 ⇒ safe to
     ~9e9 members per cell."""
-    ex = embeddings.select(
+    ex = spread(embeddings).select(
         "label", F.posexplode("embedding").alias("dim", "v")
     )
     per_dim = ex.groupBy("label", "dim").agg(
@@ -310,7 +317,7 @@ def ivf_recall_at_k(
         F.col("label").alias("q_label"),
     )
     scored = (
-        embeddings.crossJoin(F.broadcast(q))
+        spread(embeddings).crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -369,7 +376,7 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
             x.cast("double") / n * 127.0 + 0.5
         ).cast("long"),
     )
-    return embeddings.select(
+    return spread(embeddings).select(
         "vec_id",
         n.alias("l2_norm"),
         F.when(n > 0.0, code).alias("q_codes"),
@@ -409,7 +416,7 @@ def dim_stats(embeddings: DataFrame) -> DataFrame:
     groupBy with map-side partials — dims are few and uniform, so the
     shuffle is tiny and skew-free at any corpus size.
     """
-    ex = embeddings.select(F.posexplode("embedding").alias("dim", "vf"))
+    ex = spread(embeddings).select(F.posexplode("embedding").alias("dim", "vf"))
     v = F.col("vf").cast("double")
     per_dim = ex.groupBy("dim").agg(
         F.count("*").alias("n"),

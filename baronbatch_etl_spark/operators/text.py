@@ -53,6 +53,13 @@ def token_hashes(text: Column | str) -> Column:
     return F.transform(tokens(text), char_poly_hash)
 
 
+def token_hashes131(text: Column | str) -> Column:
+    """array<long> of per-token base-131 hashes — the independent
+    second hash family (pairs with token_hashes for schemes that need
+    more than POLY_P's ~30 bits per token, e.g. the 60-bit SimHash)."""
+    return F.transform(tokens(text), char_poly_hash131)
+
+
 def word_ngrams(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles as strings; empty array when the
     document is shorter than n tokens."""

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from baronbatch_etl_spark.io import load_table
+from baronbatch_etl_spark.io import load_table, spread
 from baronbatch_etl_spark.operators import fast_text as FX
 from baronbatch_etl_spark.operators import text as X
 from baronbatch_etl_spark.queries import register
@@ -79,7 +79,7 @@ def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     same hash values, parity-tested in tests/test_fast_parity.py).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    sh = spread(docs).select(
         "doc_id", F.explode(_contam_shingles_fast(F.col("text"))).alias("h")
     )
     bench = sh.filter(F.col("doc_id") % 97 == 0).select("h").distinct()

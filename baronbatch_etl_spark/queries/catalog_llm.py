@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from baronbatch_etl_spark.io import load_table
+from baronbatch_etl_spark.io import load_table, spread
 from baronbatch_etl_spark.operators import dedup as D
 from baronbatch_etl_spark.operators.fast_text import make_cdc_chunks_udf
 from baronbatch_etl_spark.operators import multimodal as M
@@ -24,6 +24,9 @@ from baronbatch_etl_spark.queries import register
 _SQL_TOKENS = "string_split(text, ' ')"
 _SQL_TOKEN_HASHES = (
     f"list_transform({_SQL_TOKENS}, tk -> {X.sql_char_poly_hash('tk')})"
+)
+_SQL_TOKEN_HASHES131 = (
+    f"list_transform({_SQL_TOKENS}, tk -> {X.sql_char_poly_hash131('tk')})"
 )
 _SQL_SHINGLES = X.sql_word_ngrams(_SQL_TOKENS, 3)
 _SQL_SHINGLE_HASHES = f"list_transform({_SQL_SHINGLES}, g -> {X.sql_char_poly_hash('g')})"
@@ -202,7 +205,7 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from baronbatch_etl_spark.operators.fast_text import doc_fingerprint_fast
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    return spread(docs).select(
         "doc_id", doc_fingerprint_fast("text").alias("fingerprint")
     )
 
@@ -443,40 +446,57 @@ def t_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_expr_sql() -> str:
-    bits = " + ".join(
-        f"(CASE WHEN {_sql_list_sum(f'list_transform(hs, h -> ((h >> {b}) & 1) * 2 - 1)')} > 0 "
-        f"THEN {1 << b}::BIGINT ELSE 0 END)"
-        for b in range(D.SIMHASH_BITS)
-    )
-    return bits
+    """Bits 0..HALF−1 vote from the base-31 hash list ``hs``, bits
+    HALF.. from the base-131 list ``hs2`` (POLY_P ⇒ ~30 informative
+    bits per family)."""
+
+    def bit(b: int) -> str:
+        src, shift = (
+            ("hs", b) if b < D.SIMHASH_HALF else ("hs2", b - D.SIMHASH_HALF)
+        )
+        votes = _sql_list_sum(
+            f"list_transform({src}, h -> ((h >> {shift}) & 1) * 2 - 1)"
+        )
+        return f"(CASE WHEN {votes} > 0 THEN {1 << b}::BIGINT ELSE 0 END)"
+
+    return " + ".join(bit(b) for b in range(D.SIMHASH_BITS))
+
+
+_SQL_SIMHASH_TH = (
+    f"SELECT doc_id, {_SQL_TOKEN_HASHES} AS hs, "
+    f"{_SQL_TOKEN_HASHES131} AS hs2 FROM documents"
+)
 
 
 @register(
     "d_simhash",
     oracle=f"""
-WITH th AS (SELECT doc_id, {_SQL_TOKEN_HASHES} AS hs FROM documents)
+WITH th AS ({_SQL_SIMHASH_TH})
 SELECT doc_id, ({_simhash_expr_sql()}) AS simhash FROM th
 """,
     tags=("llm", "dedup", "simhash"),
 )
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints (row-local bit votes over token
-    hashes; Arrow-vectorized path, expression twin in operators.dedup)."""
+    """60-bit SimHash fingerprints (row-local bit votes over two
+    token-hash families; Arrow-vectorized path, expression twin in
+    operators.dedup)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", D.simhash_fast(F.col("text")).alias("simhash"))
+    return spread(docs).select(
+        "doc_id", D.simhash_fast(F.col("text")).alias("simhash")
+    )
 
 
 @register(
     "d_simhash_pairs",
     oracle=f"""
-WITH th AS (SELECT doc_id, {_SQL_TOKEN_HASHES} AS hs FROM documents),
+WITH th AS ({_SQL_SIMHASH_TH}),
 sim AS (SELECT doc_id, ({_simhash_expr_sql()}) AS sh FROM th),
 blocks AS (
     SELECT doc_id, sh, u.block, u.key
     FROM sim, LATERAL (
         SELECT unnest(range(0, 4)) AS block,
-               unnest([(sh >> 0) & 255, (sh >> 8) & 255,
-                       (sh >> 16) & 255, (sh >> 24) & 255]) AS key
+               unnest([(sh >> 0) & 32767, (sh >> 15) & 32767,
+                       (sh >> 30) & 32767, (sh >> 45) & 32767]) AS key
     ) u
 ),
 cand AS (
@@ -491,8 +511,8 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
     tags=("llm", "dedup", "simhash"),
 )
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: byte-block candidates (pigeonhole for
-    hamming ≤ 3) verified by popcount(xor)."""
+    """SimHash near-dup pairs: 15-bit-block candidates (pigeonhole
+    for hamming ≤ 3) verified by popcount(xor)."""
     return D.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
 
 
@@ -1268,7 +1288,7 @@ def s_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d_lsh_recall",
     oracle=f"""
-WITH {_minhash_ctes()},
+WITH {_minhash_ctes("(SELECT * FROM documents WHERE doc_id % 3 = 0) d")},
 exact AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1283,18 +1303,26 @@ SELECT (SELECT count(*) FROM exact) AS n_exact,
     tags=("llm", "dedup", "lsh", "recall"),
 )
 def d_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH recall@τ: what fraction of the TRUE near-dup pairs
-    (exact 3-gram Jaccard ≥ 0.8, all pairs) does the banded
+    """LSH recall@τ on a held-out sample: what fraction of the TRUE
+    near-dup pairs (exact 3-gram Jaccard ≥ 0.8) does the banded
     MinHash-LSH surface? The dedup twin of s_ivf_recall — the number
     you watch when tuning bands×rows.
 
-    Ground truth comes from the lossless prefix-filtered exact join
-    (no language/length blocking: one synthetic block, unbounded char
-    delta), NOT an O(n²) probe. LSH-verified pairs use the same
-    shingle definition and threshold, so LSH ⊆ exact and
-    recall = n_lsh / n_exact (the fixtures guarantee n_exact > 0).
+    The probe runs on the deterministic ``doc_id % 3 = 0`` stratum:
+    exact all-pairs ground truth is quadratic, so at corpus scale you
+    measure recall on a fixed sample — the estimate is unbiased
+    because banding decisions are per-doc-pair, and the sampled pair
+    space costs ~9× less than the full corpus here (quadratically
+    more at 100 TB). Ground truth itself comes from the lossless
+    prefix-filtered exact join (no language/length blocking: one
+    synthetic block, unbounded char delta), NOT an O(n²) probe.
+    LSH-verified pairs use the same shingle definition and threshold,
+    so LSH ⊆ exact and recall = n_lsh / n_exact (the fixtures seed
+    near-dup pairs inside the stratum at every sf).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
     exact = D.ngram_jaccard_pairs(
         docs.withColumn("lang", F.lit("_")),
         threshold=0.8,
