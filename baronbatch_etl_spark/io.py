@@ -62,9 +62,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _pin_timestamp_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events":
-        # nanos→micros: integer DIV keeps 2^63-scale values exact
-        # (double division would lose precision past 2^53).
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # Fixture vintages differ: TIMESTAMP(NANOS) events arrive as
+        # LONG under nanosAsLong and need the nanos→micros rebuild;
+        # TIMESTAMP(MICROS) events arrive as a ready timestamp.
+        # Integer DIV keeps 2^63-scale values exact (double division
+        # would lose precision past 2^53).
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

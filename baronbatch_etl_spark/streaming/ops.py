@@ -42,14 +42,29 @@ def stream_events(
     multi-file source dir streams with glob='*.parquet')."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Streams need a declared schema; fixture vintages store ts as
+    # either TIMESTAMP(NANOS) (arrives as LONG under nanosAsLong) or
+    # TIMESTAMP(MICROS) (a ready timestamp). Probe with a driver-side
+    # batch read of the footer — no job — and declare to match.
+    probe = (
+        spark.read.option("pathGlobFilter", glob).parquet(sf_dir).dtypes
+    )
+    ts_is_long = dict(probe).get("ts") == "bigint"
+    ddl = EVENTS_DDL if ts_is_long else EVENTS_DDL.replace(
+        "ts LONG", "ts TIMESTAMP"
+    )
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_DDL)
+        .schema(ddl)
         .option("maxFilesPerTrigger", 1)  # T5: bounded per micro-batch
         .option("pathGlobFilter", glob)
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_is_long:
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    return raw
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:
