@@ -72,20 +72,44 @@ def main() -> None:
     _force(registry["p1_projection"].fn(spark, sf_dir))
     _force(registry["f_norm_concat"].fn(spark, sf_dir))
 
-    # min of two runs per query: the steady-state number, insulated
-    # from GC pauses / first-touch page faults (round-over-round
-    # BENCH comparisons need stable values).
+    # Pass 1: every query once — complete per-query detail even if an
+    # external timeout cuts the process short later. Pass 2+: re-run
+    # the frozen HEADLINE set (and then the rest) taking the min, while
+    # the soft budget lasts — min-of-runs insulates the comparable
+    # numbers from GC pauses / noisy-neighbor spikes on the host.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "360"))
+    start = time.perf_counter()
     timings: dict[str, float] = {}
-    for name, spec in registry.items():
-        best = float("inf")
-        for _ in range(2):
-            # cached frames (dedup signature tables) plan-match across
-            # invocations — clear so each run pays full cost
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            _force(spec.fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+
+    def _measure(name: str) -> None:
+        # cached frames (dedup signature tables) plan-match across
+        # invocations — clear so each run pays full cost
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        _force(registry[name].fn(spark, sf_dir))
+        dt = time.perf_counter() - t0
+        prev = timings.get(name, float("inf"))
+        timings[name] = round(min(prev, dt), 3)
+        # progress to stderr — the stdout JSON contract stays intact
+        print(f"{name}: {dt:.3f}s", file=sys.stderr, flush=True)
+
+    for name in registry:
+        _measure(name)
+    # Refine order: the frozen HEADLINE set first (the comparable
+    # number), then everything else slowest-first — a multi-second
+    # pass-1 reading on a sub-second query is usually a noisy-host
+    # stall, and re-measuring exactly those returns the min to truth.
+    refine = [n for n in HEADLINE if n in registry] + sorted(
+        (n for n in registry if n not in HEADLINE),
+        key=lambda n: timings[n],
+        reverse=True,
+    )
+    refined = 0
+    for name in refine:
+        if time.perf_counter() - start > budget_s:
+            break
+        _measure(name)
+        refined += 1
 
     # Per-query detail first (its own line, may be long), then the
     # compact summary as the FINAL line — tail-capture tools that slice
@@ -105,6 +129,7 @@ def main() -> None:
                     sum(timings[n] for n in HEADLINE if n in timings), 3
                 ),
                 "n_queries": len(timings),
+                "refined": refined,
                 "queries": {
                     n: timings[n]
                     for n in sorted(timings, key=timings.get, reverse=True)[:10]
