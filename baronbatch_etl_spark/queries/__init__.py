@@ -148,6 +148,8 @@ WINDOW_EXEMPT: dict[str, str] = {
     "t_cdc_chunks": "t_fingerprint",  # same Horner fold, segmented
     "d_chunk_dedup": "d_exact_dedup",  # same digest-groupBy dedup core
     "t_bpe_merges": "t_token_topk",  # same count+TakeOrdered shape
+    "t_bm25": "t_tfidf",  # same corpus-stats join machinery, scored
+    "t_split_assign": "t_mixture_sample",  # same salted hash-bucket core
 }
 
 _PRIORITY = _PRIORITY + tuple(WINDOW_EXEMPT)

@@ -386,3 +386,59 @@ def t_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w))
         .select("doc_id", "shard", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split assignment
+# ---------------------------------------------------------------------------
+
+#: Buckets out of 1000: train < 980, val < 990, test otherwise.
+_SPLIT_TRAIN, _SPLIT_VAL = 980, 990
+
+_SQL_SPLIT_BUCKET = (
+    X.sql_char_poly_hash("concat('split:', doc_id::VARCHAR)") + " % 1000"
+)
+
+
+@register(
+    "t_split_assign",
+    oracle=f"""
+SELECT doc_id,
+       ({_SQL_SPLIT_BUCKET}) AS bucket,
+       CASE WHEN ({_SQL_SPLIT_BUCKET}) < {_SPLIT_TRAIN} THEN 'train'
+            WHEN ({_SQL_SPLIT_BUCKET}) < {_SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    tags=("llm", "curation", "split"),
+)
+def t_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by salted hash bucket
+    (98% / 1% / 1%) — the split pass of a training-data pipeline.
+
+    Hash-of-id beats random assignment at scale: membership is a pure
+    function of the document id, so it is reproducible across runs
+    and engines, stable under corpus growth (new documents never move
+    old ones between splits), and needs no persisted membership
+    table. The salt ('split:') keeps the buckets independent of every
+    other hash-sampler in the pipeline (t_mixture_sample salts with
+    'mix:'), so sampling and splitting don't correlate.
+
+    Pure map-side projection: row-local hash, no shuffle, no state —
+    runs at scan speed on 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        X.char_poly_hash(
+            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+        )
+        % 1000
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < _SPLIT_TRAIN, "train")
+        .when(bucket < _SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

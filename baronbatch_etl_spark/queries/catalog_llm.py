@@ -1341,3 +1341,130 @@ def d_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+#: Fixed query terms for the retrieval benchmark (mid-frequency
+#: fixture vocabulary — every term occurs, none is universal).
+_BM25_TERMS: tuple[str, ...] = ("join", "window", "hash")
+
+
+@register(
+    "t_bm25",
+    oracle=f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+  WHERE token IN ('join', 'window', 'hash')
+  GROUP BY doc_id, token
+),
+dfreq AS (
+  SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           (((s.n_docs - d.df + 0.5) / (d.df + 0.5))
+            * ((tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl)))))
+           * 1000000000.0 + 0.5) AS BIGINT) AS fp
+  FROM tf
+  JOIN dfreq d USING (token)
+  JOIN dl l USING (doc_id), stats s
+)
+SELECT doc_id, CAST(sum(fp) AS DOUBLE) / 1000000000.0 AS bm25
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+""",
+    tags=("llm", "text", "retrieval"),
+)
+def t_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for a fixed term query under BM25 scoring
+    (k1=1.2, b=0.75) — the retrieval ranking a corpus-curation
+    pipeline uses for quality probes and nearest-neighbour text
+    search over token statistics.
+
+    Portability discipline (same rules as t_tfidf / s_dim_stats):
+    the idf is the rational (N-df+0.5)/(df+0.5) core WITHOUT the
+    ln() wrap — log implementations differ in the last ulp across
+    engines, and dropping a per-term monotone transform preserves
+    each term's ranking while keeping every arithmetic step an IEEE
+    operation both engines evaluate bit-identically. Per-term scores
+    are fixed-pointed to BIGINT before the per-doc sum, so the
+    reduction is order-independent (executor-order-safe) and
+    oracle-exact.
+
+    Plan at scale: the term filter lands right after the explode
+    (map-side, before any shuffle), so the (doc, token) aggregate
+    only carries query-term hits; df (|terms| rows) and the corpus
+    scalars broadcast; the final top-20 is TakeOrderedAndProject —
+    no global sort. 100 TB cost = one corpus scan + a tiny agg.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("double").alias("dl"),
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("bigint")).cast("double")
+            / F.count("*")
+        ).alias("avgdl"),
+    )
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    score = (
+        ((F.col("n_docs") - F.col("df") + F.lit(0.5))
+         / (F.col("df") + F.lit(0.5)))
+        * ((F.col("tf") * F.lit(2.2))
+           / (F.col("tf")
+              + F.lit(1.2)
+              * (F.lit(0.25)
+                 + F.lit(0.75) * (F.col("dl") / F.col("avgdl")))))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(score * F.lit(1000000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("fp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            (F.sum("fp").cast("double") / F.lit(1000000000.0)).alias(
+                "bm25"
+            )
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

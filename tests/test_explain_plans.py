@@ -164,3 +164,20 @@ def test_bloom_probe_broadcasts_filter(spark, registry, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_is_take_ordered_with_broadcast_stats(
+    spark, registry, sf_dir
+):
+    plan = _plan(spark, registry, "t_bm25", sf_dir)
+    # final top-20 must not be a global sort; corpus scalars + df
+    # lookup must broadcast, never shuffle the scored side
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_split_assign_is_shuffle_free(spark, registry, sf_dir):
+    plan = _plan(spark, registry, "t_split_assign", sf_dir)
+    # split assignment is a row-local projection: any Exchange means
+    # the scan-speed contract broke
+    assert "Exchange" not in plan
