@@ -149,6 +149,7 @@ WINDOW_EXEMPT: dict[str, str] = {
     "d_chunk_dedup": "d_exact_dedup",  # same digest-groupBy dedup core
     "t_bpe_merges": "t_token_topk",  # same count+TakeOrdered shape
     "t_bm25": "t_tfidf",  # same corpus-stats join machinery, scored
+    "d_semantic_dedup": "d_embedding_neardup",  # same blocked pair core
     "t_split_assign": "t_mixture_sample",  # same salted hash-bucket core
 }
 

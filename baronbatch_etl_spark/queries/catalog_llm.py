@@ -1468,3 +1468,45 @@ def t_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "d_semantic_dedup",
+    oracle=f"""
+WITH pairs AS (
+  SELECT b.vec_id AS vec_b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {S.sql_cosine("a.embedding", "b.embedding")} >= 0.3
+)
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_b FROM pairs)
+""",
+    tags=("llm", "dedup", "similarity", "semdedup"),
+)
+def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: drop every vector that has a
+    lower-id near-neighbour (cosine ≥ 0.3) inside its coarse cell,
+    keep the rest — the embedding-space twin of the corpus keep-one
+    pass (t_corpus_dedup), downstream of the same blocked pair
+    generator as d_embedding_neardup.
+
+    Keep rule is the greedy lowest-id survivor (a vector dies iff
+    some smaller-id vector scores ≥ τ against it) — deterministic,
+    engine-portable, and one anti-join over the pair list; full
+    transitive-closure grouping is the d_dup_clusters machinery and
+    costs iterative joins, which SemDeDup's within-cluster pruning
+    doesn't need.
+
+    Scale: pair space is blocked per cell (sub-quadratic, hot cells
+    salted — see embedding_near_dup_pairs); the drop list is ≤ the
+    pair count, usually ≪ corpus, so the anti-join broadcasts. No
+    full-corpus shuffle at any stage.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.embedding_near_dup_pairs(emb, threshold=0.3)
+    drop = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    return emb.join(F.broadcast(drop), "vec_id", "left_anti").select(
+        "vec_id", "label"
+    )
