@@ -23,12 +23,14 @@ from baronbatch_etl_spark.sources.readers import (
     read_parquet,
 )
 from baronbatch_etl_spark.sources.writers import (
+    compact,
     salted_join,
     write_bucketed_table,
     write_partitioned,
 )
 
 __all__ = [
+    "compact",
     "read_csv",
     "read_json",
     "read_orc",

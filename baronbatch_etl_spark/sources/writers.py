@@ -72,3 +72,50 @@ def salted_join(
     )
     out = salted_big.join(salted_small, [key, "_salt"])
     return out.drop("_salt")
+
+
+def compact(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~target-sized files, returning the output file count.
+
+    Streaming sinks and incremental batch appends accumulate files far
+    below the scan-efficient size; at 100 TB the metadata listing and
+    per-file open cost dominate reads long before the bytes do. The
+    file count comes from the relation's statistics (footer sizes —
+    driver-side planning, no job):
+
+      * no ``sort_col``: ``coalesce`` — merges existing partitions
+        WITHOUT a shuffle (the whole rewrite is one map-only pass);
+      * with ``sort_col``: ``repartitionByRange`` + in-partition sort
+        — pays one range shuffle to cluster the data, so every output
+        file covers a disjoint key range and min/max footer stats
+        prune files for key predicates (poor man's Z-order on one
+        dimension).
+
+    Writes to ``out_path`` (never in place — readers of ``in_path``
+    are unaffected until the swap, which stays the caller's atomic
+    rename/metastore update).
+    """
+    import math
+
+    df = spark.read.parquet(in_path)
+    size = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    n = max(1, math.ceil(size / target_file_bytes))
+    if sort_col:
+        out = df.repartitionByRange(n, sort_col).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        out = df.coalesce(n)
+    out.write.mode("overwrite").parquet(out_path)
+    return len(
+        [f for f in spark.read.parquet(out_path).inputFiles()]
+    )

@@ -128,3 +128,51 @@ def test_salted_join_matches_plain_join(spark):
         .count()
     )
     assert spread == 8
+
+
+def test_compact_merges_small_files_without_shuffle(spark, tmp_path):
+    from baronbatch_etl_spark.sources.writers import compact
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(src)
+    assert len(spark.read.parquet(src).inputFiles()) == 64
+
+    n = compact(spark, src, dst, target_file_bytes=1 << 30)
+    assert n == 1  # everything fits one target-sized file
+    got = spark.read.parquet(dst)
+    assert got.count() == 10_000
+    assert got.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+
+def test_compact_range_clusters_for_pruning(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from baronbatch_etl_spark.sources.writers import compact
+
+    src, dst = str(tmp_path / "small2"), str(tmp_path / "clustered")
+    spark.range(50_000).withColumn(
+        "k", F.pmod(F.xxhash64("id"), F.lit(50_000))
+    ).repartition(32).write.parquet(src)
+
+    # force several output files, clustered on k
+    compact(spark, src, dst, target_file_bytes=64 * 1024, sort_col="k")
+    files = spark.read.parquet(dst).inputFiles()
+    assert len(files) > 1
+    # every output file covers a disjoint k-range (footer min/max
+    # prune whole files for a key predicate)
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f.removeprefix("file:"))
+        lo = min(
+            md.row_group(i).column(1).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(1).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next
