@@ -132,6 +132,10 @@ _PRIORITY: tuple[str, ...] = (
 #: (Each variant still has a full oracle and runs in pytest/the local
 #: checker — it only yields its driver slot.)
 WINDOW_EXEMPT: dict[str, str] = {
+    # capstone composite first after the window: every stage it runs
+    # (corpus dedup, contamination, mixture, split) has its own
+    # in-window row, and its oracle is composed from their fragments
+    "t_training_set": "t_corpus_dedup",
     "w2_recent_slice": "w1_retention_trim",  # same row_number-slice shape
     "t_shard_plan": "w1_retention_trim",  # same row_number-per-group shape
     "o1_topk_orders": "t_token_topk",  # same TakeOrderedAndProject shape

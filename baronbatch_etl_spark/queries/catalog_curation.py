@@ -442,3 +442,160 @@ def t_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Capstone: end-to-end training-set construction
+# ---------------------------------------------------------------------------
+
+
+def _training_set_oracle() -> str:
+    """Composes the published oracle fragments of every stage so the
+    composite is verified by the SAME arithmetic as its parts."""
+    from baronbatch_etl_spark.queries import catalog_llm as L
+
+    return f"""
+WITH RECURSIVE
+qual AS ({L._QUALITY_SQL}),
+surv AS (SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(text)),
+sdocs AS (SELECT q.* FROM qual q JOIN surv s ON q.doc_id = s.doc_id),
+{L._minhash_ctes(src="sdocs")},
+edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION
+    SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(s, d) AS (
+    SELECT s, d FROM edges
+    UNION
+    SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    WHERE e.d <> r.s
+),
+removed AS (
+    SELECT s AS doc_id FROM reach GROUP BY s
+    HAVING least(s, min(d)) <> s
+),
+deduped AS (
+    SELECT doc_id FROM sdocs
+    WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+),
+csh AS (
+    SELECT doc_id, unnest({_CONTAM_SHINGLES}) AS h FROM documents
+),
+cbench AS (SELECT DISTINCT h FROM csh WHERE doc_id % 97 = 0),
+contam AS (
+    SELECT DISTINCT s.doc_id FROM csh s JOIN cbench b USING (h)
+    WHERE s.doc_id % 97 <> 0
+),
+clean AS (
+    SELECT d.doc_id, d.lang, d.text
+    FROM documents d JOIN deduped f ON d.doc_id = f.doc_id
+    WHERE d.doc_id % 97 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+),
+mixed AS (
+    SELECT * FROM clean WHERE ({_SQL_MIX_BUCKET}) < ({_SQL_MIX_RATE})
+),
+tagged AS (
+    SELECT lang,
+           CASE WHEN ({_SQL_SPLIT_BUCKET}) < {_SPLIT_TRAIN} THEN 'train'
+                WHEN ({_SQL_SPLIT_BUCKET}) < {_SPLIT_VAL} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST({_SQL_TOKEN_COUNT} AS BIGINT) AS n_tok
+    FROM mixed
+)
+SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM tagged GROUP BY split, lang
+"""
+
+
+@register(
+    "t_training_set",
+    oracle=_training_set_oracle(),
+    tags=("llm", "curation", "pipeline"),
+)
+def t_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-set construction pipeline as ONE declarative
+    plan: quality filter → exact dedup → MinHash-LSH cluster keep-one
+    → benchmark holdout + decontamination → target-mixture sampling →
+    train/val/test split → per-(split, lang) dataset-card stats.
+
+    Every stage is the same operator the standalone queries run
+    (t_corpus_dedup, t_contamination, t_mixture_sample,
+    t_split_assign), and the oracle is composed from their published
+    SQL fragments — so the composite certifies the stages AND their
+    composition. Catalyst sees one DAG: the survivor anti-joins and
+    the broadcast benchmark probe pipeline into the same corpus scan
+    where semantics allow, which is exactly how the production run
+    should ship (no per-stage materialization barriers).
+
+    Scale: inherits each stage's plan shape — blocked LSH pairs,
+    broadcast shingle probe, row-local hash sampling/splitting; the
+    final rollup is a few-row aggregate. The corpus is never shuffled
+    whole.
+    """
+    from baronbatch_etl_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    qual = docs.filter(X.quality_score("text", "n_chars") >= 0.35)
+    keep = (
+        qual.select("doc_id", F.md5("text").alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    sdocs = qual.join(keep.select("doc_id"), "doc_id").cache()
+    comp = D.connected_components(
+        D.minhash_lsh_pairs(sdocs, threshold=0.8)
+    )
+    removed = comp.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    deduped = sdocs.join(removed, "doc_id", "left_anti")
+
+    sh = spread(docs).select(
+        "doc_id",
+        F.explode(_contam_shingles_fast(F.col("text"))).alias("h"),
+    )
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
+    contam = (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "h")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        deduped.filter(F.col("doc_id") % 97 != 0)
+        .join(contam, "doc_id", "left_anti")
+    )
+
+    mix_bucket = (
+        X.char_poly_hash(
+            F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+        )
+        % 100
+    )
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in _MIX_RATES.items() for x in kv]
+    )
+    rate = F.coalesce(F.element_at(rate_map, F.col("lang")), F.lit(0))
+    mixed = clean.filter(mix_bucket < rate)
+
+    split_bucket = (
+        X.char_poly_hash(
+            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+        )
+        % 1000
+    )
+    tagged = mixed.select(
+        "lang",
+        F.when(split_bucket < _SPLIT_TRAIN, "train")
+        .when(split_bucket < _SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+        X.token_count("text").cast("long").alias("n_tok"),
+    )
+    return tagged.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
