@@ -77,7 +77,7 @@ def main() -> None:
     # the frozen HEADLINE set (and then the rest) taking the min, while
     # the soft budget lasts — min-of-runs insulates the comparable
     # numbers from GC pauses / noisy-neighbor spikes on the host.
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "360"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "450"))
     start = time.perf_counter()
     timings: dict[str, float] = {}
 
