@@ -435,3 +435,110 @@ def dim_stats(embeddings: DataFrame) -> DataFrame:
         "vmin",
         "vmax",
     )
+
+
+def sql_sqdist(a: str, b: str) -> str:
+    """DuckDB twin of the squared-L2 fold in kmeans_assign: same
+    left-to-right summation from 0.0, same (x−y)·(x−y) form (no pow —
+    engines may differ in pow's last ulp)."""
+    d = f"(({a})[i]::DOUBLE - ({b})[i]::DOUBLE)"
+    return (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> {d} * {d})), (acc, v) -> acc + v)"
+    )
+
+
+def _nearest_centroid(emb: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """struct(dist, cid) of the closest centroid — a pure row-local
+    expression over LITERAL centroid arrays, so assignment is map-only
+    (whole-stage codegen, zero shuffle, nothing broadcast but the
+    plan itself). Ties break to the lowest cid via struct ordering."""
+    cands = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        emb,
+                        F.array(*[F.lit(float(v)) for v in c]),
+                        lambda x, y: (x.cast("double") - y)
+                        * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("dist"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in cents
+        ]
+    )
+    return F.array_min(cands)
+
+
+def kmeans_assign(
+    embeddings: DataFrame, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """Full Lloyd k-means over an embedding column, ``iters`` rounds,
+    deterministic end to end → (vec_id, cluster, dist).
+
+    The missing producer for everything downstream that consumes a
+    coarse cell id (ivf_topk's cells, embedding_near_dup_pairs /
+    SemDeDup blocking): seeds are the ``k`` lowest vec_ids, each round
+    assigns via :func:`_nearest_centroid` and recomputes centroids
+    with the label_centroids fixed-point discipline (1e-9 quantized
+    BIGINT sums — executor-order-independent, bit-identical to the
+    SQL oracle's unrolled CTE rounds).
+
+    Scale shape (same as any distributed Lloyd implementation, e.g.
+    Spark MLlib's KMeans): per round, assignment is a map-only pass
+    over the corpus (centroids are k·dim literals in the plan — a few
+    KB), and the M-step is one (cluster, dim)-keyed partial-agg
+    shuffle of k·dim groups. The per-round driver collect is k·dim
+    scalars — the legitimate iterative exception (like
+    connected_components' convergence count), NOT a data collect.
+    A cluster that empties simply drops out of the candidate list;
+    the oracle's GROUP BY does the same.
+    """
+    emb = embeddings.select("vec_id", "embedding")
+    seed_rows = emb.orderBy("vec_id").limit(k).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(v) for v in r.embedding]) for i, r in enumerate(seed_rows)
+    ]
+    body = spread(emb)
+    for rnd in range(iters):
+        best = _nearest_centroid(F.col("embedding"), cents)
+        assigned = body.select(
+            "vec_id",
+            "embedding",
+            best.getField("cid").alias("cluster"),
+            best.getField("dist").alias("dist"),
+        )
+        if rnd == iters - 1:
+            return assigned.select("vec_id", "cluster", "dist")
+        ex = assigned.select(
+            "cluster", F.posexplode("embedding").alias("dim", "vf")
+        )
+        v = F.col("vf").cast("double")
+        per_dim = (
+            ex.groupBy("cluster", "dim")
+            .agg(
+                F.sum(F.floor(v * 1.0e9 + 0.5).cast("long")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                "cluster",
+                "dim",
+                (
+                    (F.col("s").cast("double") / 1.0e9)
+                    / F.col("n")
+                ).alias("c"),
+            )
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in per_dim.collect():  # k·dim scalars — driver state
+            by_cluster.setdefault(r.cluster, {})[r.dim] = r.c
+        cents = [
+            (cid, [dims[d] for d in sorted(dims)])
+            for cid, dims in sorted(by_cluster.items())
+        ]
+    raise AssertionError("iters must be >= 1")

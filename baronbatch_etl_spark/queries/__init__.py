@@ -83,6 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "d_ngram_jaccard",
     "s_batch_topk",
     "s_label_centroids",
+    "s_kmeans_assign",
     "s_ivf_topk",
     "s_srp_topk",
     "s_ivf_recall",
@@ -102,7 +103,6 @@ _PRIORITY: tuple[str, ...] = (
     "t_tfidf",
     "w1_retention_trim",
     "w_rank_lag_lead",  # also covers the ntile battery's ranking shapes
-    "w_running_sum",
     "w_resample_ffill",
     "w_range_frame",
     "w_sessionize",
@@ -148,6 +148,7 @@ WINDOW_EXEMPT: dict[str, str] = {
     "s_srp_codes": "s_srp_topk",  # same SRP hyperplane codes
     "mm_frame_sample": "mm_features",  # same binary+meta plumbing
     "w_ntile_battery": "w_rank_lag_lead",  # same ranking-window shapes
+    "w_running_sum": "w_range_frame",  # same window-frame machinery
     "set_intersect": "set_ops",  # set-op family representative
     "t_cdc_chunks": "t_fingerprint",  # same Horner fold, segmented
     "d_chunk_dedup": "d_exact_dedup",  # same digest-groupBy dedup core

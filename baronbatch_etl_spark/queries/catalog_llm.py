@@ -1510,3 +1510,78 @@ def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(F.broadcast(drop), "vec_id", "left_anti").select(
         "vec_id", "label"
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative clustering (coarse-quantizer training)
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+
+_SQL_KM_SEEDS = f"""
+    seeds AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                   AS cid,
+               embedding AS c
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT {_KM_K})
+    )
+"""
+
+
+@register(
+    "s_kmeans_assign",
+    # Lloyd's algorithm unrolls exactly: each round is an
+    # assign-by-argmin CTE plus a fixed-point centroid CTE, so two
+    # rounds of the engine's iterative operator hash-match a purely
+    # declarative twin.
+    oracle=f"""
+WITH {_SQL_KM_SEEDS},
+d1 AS (
+    SELECT e.vec_id, e.embedding, s.cid,
+           {S.sql_sqdist("e.embedding", "s.c")} AS dist
+    FROM embeddings e CROSS JOIN seeds s
+),
+a1 AS (
+    SELECT vec_id, embedding, cid AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1
+),
+ex AS (
+    SELECT cluster, d.dim, embedding[d.dim] AS v
+    FROM a1, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS dim) d
+),
+m AS (
+    SELECT cluster, dim,
+           (CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000000.0 + 0.5)
+                          AS BIGINT)) AS DOUBLE) / 1000000000.0)
+               / count(*) AS c
+    FROM ex GROUP BY cluster, dim
+),
+c2 AS (SELECT cluster AS cid, list(c ORDER BY dim) AS c FROM m
+       GROUP BY cluster),
+d2 AS (
+    SELECT e.vec_id, s.cid, {S.sql_sqdist("e.embedding", "s.c")} AS dist
+    FROM embeddings e CROSS JOIN c2 s
+)
+SELECT vec_id, cid AS cluster, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1
+""",
+    tags=("llm", "similarity", "kmeans", "iterative"),
+)
+def s_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd rounds of k-means (k=8) over the embedding corpus —
+    the trainer that PRODUCES the coarse cell ids every blocked
+    similarity/dedup query consumes (`s_ivf_topk` cells,
+    `d_embedding_neardup` / `d_semantic_dedup` blocking).
+
+    Assignment is a map-only codegen pass (centroids are literals in
+    the plan); each M-step is one k·dim-group shuffle; driver state
+    per round is k·dim scalars — MLlib's KMeans shape, exact under
+    the fixed-point discipline (see ``S.kmeans_assign``)."""
+    return S.kmeans_assign(
+        load_table(spark, sf_dir, "embeddings"), k=_KM_K, iters=2
+    )

@@ -235,3 +235,61 @@ def test_bloom_probe_misses_definitely_new(spark):
     # the novel doc may or may not collide, but with 32k bits over two
     # corpus keys a collision is (deterministically) absent here
     assert out[0] is False
+
+
+# --- kmeans_assign --------------------------------------------------------
+
+
+def _vecs(spark, vectors):
+    rows = [
+        Row(vec_id=i, embedding=[float(v) for v in vec], label=0)
+        for i, vec in enumerate(vectors)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_kmeans_two_blobs(spark):
+    # two tight blobs far apart; seeds (2 lowest vec_ids) land one in
+    # each blob, so one round already separates them perfectly
+    blob_a = [[0.0, 0.0], [0.1, 0.0], [0.0, 0.1]]
+    blob_b = [[5.0, 5.0], [5.1, 5.0], [5.0, 5.1]]
+    emb = _vecs(spark, [blob_a[0], blob_b[0]] + blob_a[1:] + blob_b[1:])
+    out = {
+        r.vec_id: r.cluster
+        for r in S.kmeans_assign(emb, k=2, iters=2).collect()
+    }
+    assert out[0] == 0 and out[2] == 0 and out[3] == 0
+    assert out[1] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_kmeans_deterministic(spark):
+    import random
+
+    rng = random.Random(7)
+    emb = _vecs(
+        spark, [[rng.uniform(-1, 1) for _ in range(4)] for _ in range(40)]
+    )
+    a = sorted(map(tuple, S.kmeans_assign(emb, k=3, iters=2).collect()))
+    b = sorted(map(tuple, S.kmeans_assign(emb, k=3, iters=2).collect()))
+    assert a == b  # bit-identical across runs, dist included
+
+
+def test_kmeans_empty_cluster_drops(spark):
+    # seed 1 (vec 1) is strictly closer to seed 0's blob than any
+    # point is to it after round 1 re-centering: duplicate points make
+    # cluster 1 empty in round 2 — the operator must not crash and
+    # every point lands in a surviving cluster
+    emb = _vecs(spark, [[0.0, 0.0], [0.2, 0.0], [0.1, 0.0], [0.1, 0.0]])
+    rows = S.kmeans_assign(emb, k=2, iters=3).collect()
+    assert len(rows) == 4
+    assert {r.cluster for r in rows} <= {0, 1}
+
+
+def test_kmeans_tie_breaks_low_cid(spark):
+    # a point equidistant from both centroids must take the lower cid
+    emb = _vecs(spark, [[-1.0, 0.0], [1.0, 0.0], [0.0, 0.0]])
+    out = {
+        r.vec_id: r.cluster
+        for r in S.kmeans_assign(emb, k=2, iters=1).collect()
+    }
+    assert out[2] == 0
