@@ -181,3 +181,13 @@ def test_split_assign_is_shuffle_free(spark, registry, sf_dir):
     # split assignment is a row-local projection: any Exchange means
     # the scan-speed contract broke
     assert "Exchange" not in plan
+
+
+def test_kmeans_assignment_is_map_only(spark, registry, sf_dir):
+    # the final assignment pass must not join or shuffle the corpus:
+    # centroids are plan literals, so the only operators over the
+    # embedding scan are projections (plus spread's single-split
+    # repartition on the tiny local fixture)
+    plan = _plan(spark, registry, "s_kmeans_assign", sf_dir)
+    assert "Join" not in plan
+    assert "Window" not in plan  # argmin is array_min, not a window
