@@ -154,6 +154,7 @@ WINDOW_EXEMPT: dict[str, str] = {
     "d_chunk_dedup": "d_exact_dedup",  # same digest-groupBy dedup core
     "t_bpe_merges": "t_token_topk",  # same count+TakeOrdered shape
     "t_bm25": "t_tfidf",  # same corpus-stats join machinery, scored
+    "a_approx_quantiles": "a_approx_distinct",  # same sketch-invariant oracle pattern
     "d_semantic_dedup": "d_embedding_neardup",  # same blocked pair core
     "t_split_assign": "t_mixture_sample",  # same salted hash-bucket core
 }

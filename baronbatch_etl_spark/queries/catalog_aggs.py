@@ -320,3 +320,86 @@ def a_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bal",
         )
     )
+
+
+@register(
+    "a_approx_quantiles",
+    # GK sketches are engine-specific, so (like a_approx_distinct) the
+    # oracle checks the sketch's own guarantee as an invariant: with
+    # accuracy=1000 the rank error is <= n/1000, so the approximate
+    # median must lie between the exact values at rank
+    # floor(0.5·n) − slack and ceil(0.5·n) + slack (slack = 2× the
+    # bound). The exact rank-selected bounds themselves hash-match.
+    oracle="""
+WITH r AS (
+    SELECT l_returnflag, l_quantity,
+           row_number() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_quantity) AS rn,
+           count(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem
+)
+SELECT l_returnflag,
+       max(n) AS n,
+       max(CASE WHEN rn = greatest(
+               1, CAST(floor(0.5 * n) AS BIGINT)
+                  - 2 * greatest(1, CAST(ceil(n / 1000.0) AS BIGINT)))
+           THEN l_quantity END) AS lo,
+       max(CASE WHEN rn = least(
+               n, CAST(ceil(0.5 * n) AS BIGINT)
+                  + 2 * greatest(1, CAST(ceil(n / 1000.0) AS BIGINT)))
+           THEN l_quantity END) AS hi,
+       true AS approx_ok
+FROM r GROUP BY l_returnflag
+""",
+    tags=("agg", "percentile", "approx"),
+)
+def a_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (GK sketch) next to exact rank-selected
+    bounds — the at-scale quantile path (one pass, bounded memory, no
+    full sort), oracle-checked via the sketch's rank-error guarantee.
+
+    The exact bounds use a per-group window only to VERIFY; the
+    production operator is the sketch aggregation alone, which is a
+    partial-aggregable one-shuffle plan at any scale."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    slack = 2 * F.greatest(
+        F.lit(1).cast("long"), F.ceil(F.col("n") / 1000.0)
+    )
+    lo_rn = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(0.5 * F.col("n")).cast("long") - slack,
+    )
+    hi_rn = F.least(
+        F.col("n"), F.ceil(0.5 * F.col("n")).cast("long") + slack
+    )
+    bounds = ranked.groupBy("l_returnflag").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == lo_rn, F.col("l_quantity"))).alias("lo"),
+        F.max(F.when(F.col("rn") == hi_rn, F.col("l_quantity"))).alias("hi"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(1000)).alias(
+            "_approx"
+        )
+    )
+    return bounds.join(approx, "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        "lo",
+        "hi",
+        (
+            (F.col("_approx") >= F.col("lo"))
+            & (F.col("_approx") <= F.col("hi"))
+        ).alias("approx_ok"),
+    )
