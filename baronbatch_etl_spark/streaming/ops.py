@@ -190,3 +190,125 @@ def read_gold(spark: SparkSession, gold_path: str) -> DataFrame:
             F.sum("value_sum").alias("value_sum"),
         )
     )
+
+
+DOCS_DDL = "doc_id LONG, text STRING"
+
+
+def stream_documents(
+    spark: SparkSession, src_dir: str, glob: str = "*.parquet"
+) -> DataFrame:
+    """File-source stream over incoming document files (the corpus
+    ingest path; one file per micro-batch so admission order is the
+    file drop order)."""
+    return (
+        spark.readStream.format("parquet")
+        .schema(DOCS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", glob)
+        .load(src_dir)
+    )
+
+
+def _doc_keys(batch: DataFrame) -> DataFrame:
+    """(doc_id, band, key) admission keys for a document micro-batch:
+    the MinHash-LSH band keys (near-dup granularity) plus an md5
+    digest key as band −1 (exact granularity — also the only gate for
+    sub-shingle-length docs, which sign as the sentinel and are
+    excluded from banding, same as the batch operator)."""
+    from baronbatch_etl_spark.operators import dedup as D
+
+    sig = batch.select(
+        "doc_id", "text", D.sig_and_shingles_fast(F.col("text")).alias("x")
+    ).select(
+        "doc_id",
+        "text",
+        F.col("x.sig").alias("sig"),
+        F.col("x.sh").alias("sh"),
+    )
+    banded = sig.filter(F.size("sh") > 0).select(
+        "doc_id",
+        F.posexplode(D.lsh_bands(F.col("sig"))).alias("band", "key"),
+    )
+    digest = batch.select(
+        "doc_id", F.lit(-1).alias("band"), F.md5("text").alias("key")
+    )
+    return banded.unionByName(digest)
+
+
+def neardup_ingest(
+    docs: DataFrame,
+    store_path: str,
+    accepted_path: str,
+    query_name: str = "neardup_ingest",
+):
+    """Online near-duplicate admission control on document ingest —
+    the streaming twin of the batch LSH keep-one family (and the
+    near-dup analogue of d_bloom_dedup's exact gate).
+
+    Per micro-batch, greedily and deterministically:
+      1. a doc whose keys (LSH bands ∪ exact digest) hit the
+         accumulated key store of previously ACCEPTED docs is dropped;
+      2. among the store-clean docs of the batch, a doc is dropped if
+         a lower-doc_id store-clean doc shares any key with it
+         (bucket-greedy, non-recursive — the same admission decision
+         replayed on a retry);
+      3. survivors' keys append to ``store_path`` and survivor docs to
+         ``accepted_path``, both under epoch=<id> (idempotent retry:
+         the batch overwrites its own epoch, and the store read
+         EXCLUDES the current epoch, so a replayed batch sees exactly
+         the state it saw first time).
+
+    Scale shape: the store is (band, key) parquet — read as a
+    key-partitioned join side, never the full corpus text; batch keys
+    shuffle on (band, key) against it (at 100 TB: bucketed store +
+    AQE, or a Bloom pre-filter on key like bloom_build to make the
+    common no-hit path map-only). State grows with ACCEPTED docs
+    only, ~(bands+1) small rows per doc."""
+
+    def gate(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        keys = _doc_keys(batch).cache()
+        try:
+            store = (
+                spark.read.parquet(store_path)
+                .filter(F.col("epoch") != epoch_id)
+                .select("band", "key")
+            )
+        except Exception:  # first epoch: no store yet
+            store = None
+        if store is not None:
+            hit = (
+                keys.join(store, ["band", "key"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            clean_keys = keys.join(hit, "doc_id", "left_anti")
+        else:
+            clean_keys = keys
+        l, r = clean_keys.alias("l"), clean_keys.alias("r")
+        dropped = (
+            l.join(
+                r,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.key") == F.col("r.key"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(F.col("r.doc_id").alias("doc_id"))
+            .distinct()
+        )
+        surv_keys = clean_keys.join(dropped, "doc_id", "left_anti")
+        surv_keys.write.mode("overwrite").parquet(
+            f"{store_path}/epoch={epoch_id}"
+        )
+        batch.join(
+            surv_keys.select("doc_id").distinct(), "doc_id", "left_semi"
+        ).write.mode("overwrite").parquet(f"{accepted_path}/epoch={epoch_id}")
+        keys.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(gate)
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )

@@ -80,3 +80,108 @@ def test_multibatch_dedup_replayed_file(spark, split_events_dir, tmp_path):
     one_file = spark.read.parquet(files[0]).count()
     assert out.count() == one_file
     assert out.select("event_id").distinct().count() == one_file
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = BASE + " extra"  # shares LSH bands with BASE (probed, deterministic seeds)
+OTHER = "completely different words populate this document with nothing shared"
+THIRD = "a third corpus entry speaking about entirely unrelated matters now"
+
+
+def _write_doc_files(spark, root, batches):
+    """One plain parquet FILE per batch (b0.parquet, b1.parquet, ...)
+    with increasing mtimes, so the file-stream source (which orders by
+    modification time) admits them one per trigger in batch order."""
+    import glob as g
+    import os
+    import shutil
+    import time
+
+    os.makedirs(root, exist_ok=True)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        stage = f"{root}/_stage{i}"
+        spark.createDataFrame(rows, "doc_id LONG, text STRING").coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        (part,) = g.glob(f"{stage}/part-*.parquet")
+        dst = f"{root}/b{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (now + i, now + i))
+        shutil.rmtree(stage)
+
+
+def _greedy_replay(spark, batches):
+    """Python replay of neardup_ingest's admission rule over the same
+    key function (keys computed by the Spark operator itself)."""
+    all_rows = [r for b in batches for r in b]
+    df = spark.createDataFrame(all_rows, "doc_id LONG, text STRING")
+    keys = {}
+    for r in ops._doc_keys(df).collect():
+        keys.setdefault(r.doc_id, set()).add((r.band, r.key))
+    store: set = set()
+    accepted = []
+    for b in batches:
+        clean = [d for d, _ in b if not (keys[d] & store)]
+        surv = [
+            d
+            for d in clean
+            if not any(e < d and (keys[e] & keys[d]) for e in clean)
+        ]
+        accepted.extend(surv)
+        for d in surv:
+            store |= keys[d]
+    return sorted(accepted)
+
+
+def test_neardup_ingest_matches_greedy_replay(spark, tmp_path):
+    batches = [
+        [(0, BASE), (1, OTHER)],
+        [(2, NEAR), (3, THIRD)],  # 2 band-collides accepted doc 0 → drop
+        [(4, BASE), (5, OTHER), (6, THIRD + " with a small tail")],
+    ]
+    src = str(tmp_path / "src")
+    _write_doc_files(spark, src, batches)
+    stream = ops.stream_documents(spark, src)
+    store, acc = str(tmp_path / "store"), str(tmp_path / "accepted")
+    q = (
+        ops.neardup_ingest(stream, store, acc, "mb_neardup")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert n_batches >= 3, n_batches
+
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(acc).select("doc_id").collect()
+    )
+    assert got == _greedy_replay(spark, batches)
+    # exact replays (4) and near-dups (2) are gone; originals stay
+    assert 0 in got and 1 in got and 2 not in got and 4 not in got
+
+
+def test_neardup_ingest_restart_is_noop(spark, tmp_path):
+    batches = [[(0, BASE)], [(1, NEAR)]]
+    src = str(tmp_path / "src")
+    _write_doc_files(spark, src, batches)
+    store, acc = str(tmp_path / "store"), str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    for _ in range(2):  # second run: checkpoint says all files done
+        stream = ops.stream_documents(spark, src)
+        q = (
+            ops.neardup_ingest(stream, store, acc, "mb_neardup2")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(acc).select("doc_id").collect()
+    )
+    assert got == [0]  # near-dup dropped once, restart adds nothing
