@@ -7,6 +7,7 @@ parsing, transformer_loader/main.py:43-57)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -43,3 +44,59 @@ def read_json(
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def read_binary_assets(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*",
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-asset ingestion for the multimodal family: the
+    ``binaryFile`` source reads whole files as (path, modificationTime,
+    length, content) — the standard way image/audio/video blobs enter
+    a Spark pipeline before any decode.
+
+    Returns rows in the engine's media convention (see
+    ``operators.multimodal.MEDIA_SCHEMA``): a stable ``media_id``
+    (xxhash64 of the path — reproducible across runs and executors),
+    the raw ``payload``, and a meta struct whose mime is inferred from
+    the extension (decode-free; real width/height/duration come from
+    the decode stage downstream).
+
+    Scale notes: binaryFile is splittable per FILE (one row per file,
+    never split mid-blob); ``max_bytes`` pushes a length predicate to
+    the listing (`length < N` is one of the source's pushable
+    filters), keeping oversized assets out of executor memory —
+    at 100 TB of images you also set
+    spark.sql.files.maxPartitionBytes so a task holds a bounded
+    number of blobs."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    if max_bytes is not None:
+        df = df.filter(F.col("length") < max_bytes)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mime = (
+        F.when(ext.isin("jpg", "jpeg"), "image/jpeg")
+        .when(ext == "png", "image/png")
+        .when(ext == "gif", "image/gif")
+        .when(ext == "mp3", "audio/mpeg")
+        .when(ext == "wav", "audio/wav")
+        .when(ext == "mp4", "video/mp4")
+        .otherwise("application/octet-stream")
+    )
+    return df.select(
+        F.xxhash64("path").alias("media_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            mime.alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+        F.col("path").alias("src_path"),
+        F.col("length").alias("byte_len"),
+    )

@@ -176,3 +176,34 @@ def test_compact_range_clusters_for_pruning(spark, tmp_path):
     ranges.sort()
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next
+
+
+def test_binary_assets_reader_feeds_multimodal(spark, tmp_path):
+    from baronbatch_etl_spark.operators import multimodal as M
+    from baronbatch_etl_spark.sources.readers import read_binary_assets
+
+    d = tmp_path / "assets"
+    d.mkdir()
+    (d / "a.jpg").write_bytes(b"\xff\xd8\xff" + b"x" * 40)
+    (d / "b.png").write_bytes(b"\x89PNG" + b"y" * 10)
+    (d / "huge.mp4").write_bytes(b"z" * 5000)
+    (d / "notes.txt").write_bytes(b"hello")
+
+    df = read_binary_assets(spark, str(d), max_bytes=1000)
+    rows = {r.src_path.split("/")[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.jpg", "b.png", "notes.txt"}  # mp4 gated out
+    assert rows["a.jpg"].meta.mime == "image/jpeg"
+    assert rows["b.png"].meta.mime == "image/png"
+    assert rows["notes.txt"].meta.mime == "application/octet-stream"
+    assert bytes(rows["a.jpg"].payload).startswith(b"\xff\xd8\xff")
+    # media_id is deterministic: re-read gives identical ids
+    again = {
+        r.src_path.split("/")[-1]: r.media_id
+        for r in read_binary_assets(spark, str(d), max_bytes=1000).collect()
+    }
+    assert {k: v.media_id for k, v in rows.items()} == again
+    # the media convention feeds the feature extractor directly
+    feats = M.extract_features(
+        df.select("media_id", "payload", "meta")
+    ).collect()
+    assert len(feats) == 3 and all(r.features is not None for r in feats)
