@@ -482,3 +482,71 @@ def p12_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality expectations (operators/validate.py) — the
+# engine form of the reference's defensive payload validation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_validate_expectations",
+    oracle="""
+SELECT 'qty_out_of_range' AS rule,
+       CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+                THEN 1 ELSE 0 END) AS BIGINT) AS violations
+FROM lineitem
+UNION ALL
+SELECT 'null_shipdate',
+       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'high_discount',
+       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'dup_lineitem_key', CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+FROM (SELECT count(*) AS c FROM lineitem
+      GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+UNION ALL
+SELECT 'orphan_orderkey', CAST(count(*) AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT 'orphan_event_user', CAST(count(*) AS BIGINT)
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+WHERE c.c_custkey IS NULL
+""",
+    tags=("validate", "quality"),
+)
+def q_validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations report over the fact tables: all row rules in ONE
+    map-only aggregate pass, uniqueness as one keyed groupBy, FK
+    checks as anti joins against broadcast key sets — adding a row
+    rule never adds a scan (see ``operators/validate.py``)."""
+    from baronbatch_etl_spark.operators import validate as V
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    rows = V.row_rule_counts(
+        li,
+        {
+            "qty_out_of_range": ~F.col("l_quantity").between(1, 50),
+            "null_shipdate": F.col("l_shipdate").isNull(),
+            "high_discount": F.col("l_discount") > 0.05,
+        },
+    )
+    uniq = V.uniqueness_violations(
+        li, ["l_orderkey", "l_linenumber"], "dup_lineitem_key"
+    )
+    fk1 = V.fk_violations(
+        li, "l_orderkey", orders, "o_orderkey", "orphan_orderkey",
+        broadcast_dim=False,  # orders is a fact-sized key set
+    )
+    fk2 = V.fk_violations(
+        events, "user_id", customer, "c_custkey", "orphan_event_user"
+    )
+    return V.expectations_report([rows, uniq, fk1, fk2])

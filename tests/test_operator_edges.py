@@ -122,3 +122,45 @@ def test_resample_ffill_non_hour_step_alignment(spark):
     m = 60_000
     t0 = 1704067200000 + 7 * m  # 00:07:00 (second truncated away)
     assert out == {t0: None, t0 + 15 * m: 1.0, t0 + 30 * m: 1.0}
+
+
+# --- validate.quarantine / expectations --------------------------------
+
+
+def test_quarantine_splits_and_tags(spark):
+    from pyspark.sql import functions as F
+
+    from baronbatch_etl_spark.operators import validate as V
+
+    df = spark.createDataFrame(
+        [(1, 10, "ok"), (2, -5, "ok"), (3, 200, None), (4, 20, "ok")],
+        "id LONG, qty LONG, status STRING",
+    )
+    rules = {
+        "neg_qty": F.col("qty") < 0,
+        "huge_qty": F.col("qty") > 100,
+        "null_status": F.col("status").isNull(),
+    }
+    good, bad = V.quarantine(df, rules)
+    assert sorted(r.id for r in good.collect()) == [1, 4]
+    tags = {r.id: r._violations for r in bad.collect()}
+    assert tags == {2: "neg_qty", 3: "huge_qty,null_status"}
+    # good ∪ bad is a partition of the input (keep + tag, never drop)
+    assert good.count() + bad.count() == df.count()
+
+
+def test_row_rule_counts_single_pass_no_join(spark):
+    from pyspark.sql import functions as F
+
+    from baronbatch_etl_spark.operators import validate as V
+
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "id LONG, v LONG"
+    )
+    rep = V.row_rule_counts(
+        df, {"v_zero": F.col("v") == 0, "v_big": F.col("v") > 5}
+    )
+    got = {r.rule: r.violations for r in rep.collect()}
+    assert got == {"v_zero": 15, "v_big": 14}
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # every rule rides the same aggregate
