@@ -550,3 +550,107 @@ def q_validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, "user_id", customer, "c_custkey", "orphan_event_user"
     )
     return V.expectations_report([rows, uniq, fk1, fk2])
+
+
+# ---------------------------------------------------------------------------
+# UDAF / UDTF surface (SURVEY §2.10) — API-completeness demos with
+# honest scale notes; the hot paths stay expression/Arrow-based.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f_udaf_median",
+    oracle="""
+SELECT lang, median(n_chars) AS median_chars, count(*) AS n_docs
+FROM documents GROUP BY lang
+""",
+    tags=("udaf", "agg"),
+)
+def f_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDAF (per-lang exact median) — the UDAF
+    point on the §2.10 function surface.
+
+    Honest scale note: grouped-agg pandas UDFs have NO partial
+    aggregation — every group's values shuffle to one executor — so
+    built-ins (F.median / percentile) are always preferred when they
+    exist; this demonstrates the escape hatch for aggregations Spark
+    lacks. Median of integers is exact (integer or half-integer) in
+    both engines, so even this UDAF is hash-checkable."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — resolves the UDF annotation
+    from pyspark.sql.functions import pandas_udf
+
+    def _median(v):
+        return float(np.median(v.to_numpy(dtype="int64")))
+
+    _median.__annotations__ = {"v": pd.Series, "return": float}
+    median_chars = pandas_udf(_median, "double")
+
+    docs = load_table(spark, sf_dir, "documents")
+    # grouped-agg pandas UDFs can't share an agg with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count rides a separate
+    # tiny aggregate joined back on the group key
+    med = docs.groupBy("lang").agg(
+        median_chars("n_chars").alias("median_chars")
+    )
+    cnt = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    return med.join(cnt, "lang").select("lang", "median_chars", "n_docs")
+
+
+#: Context-window width (tokens) for the chunking UDTF.
+_UDTF_WINDOW = 32
+
+
+@register(
+    "f_udtf_chunks",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+               AS toks
+    FROM documents
+)
+SELECT doc_id,
+       CAST(g AS INTEGER) AS chunk_id,
+       array_to_string(
+           toks[g * {_UDTF_WINDOW} + 1 : (g + 1) * {_UDTF_WINDOW}],
+           ' ') AS chunk,
+       CAST(least({_UDTF_WINDOW},
+                  len(toks) - g * {_UDTF_WINDOW}) AS INTEGER) AS n_tokens
+FROM t, LATERAL (
+    SELECT unnest(range(0, CAST(ceil(len(toks) / {_UDTF_WINDOW}.0)
+                               AS BIGINT))) AS g) u
+""",
+    tags=("udtf", "chunk"),
+)
+def f_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF splitting each document into fixed token windows
+    (model-context chunking) via SQL LATERAL — the UDTF point on the
+    §2.10 function surface.
+
+    Honest scale note: Python UDTFs are row-at-a-time; the vectorized
+    twin of this computation is a transform/slice expression (or the
+    Arrow CDC chunker for content-defined windows). This exists to
+    prove the engine's table-function escape hatch end to end."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, chunk string, n_tokens int")
+    class ChunkWindows:
+        def eval(self, text: str):
+            if not text:
+                return
+            toks = text.split()
+            for i in range(0, len(toks), _UDTF_WINDOW):
+                w = toks[i : i + _UDTF_WINDOW]
+                yield i // _UDTF_WINDOW, " ".join(w), len(w)
+
+    spark.udtf.register("chunk_windows", ChunkWindows)
+    from baronbatch_etl_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk, c.n_tokens
+        FROM documents d, LATERAL chunk_windows(d.text) c
+        """
+    )
