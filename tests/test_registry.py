@@ -79,3 +79,22 @@ def test_priority_window_covers_fresh_families():
     assert just_after == set(WINDOW_EXEMPT), (
         f"exempt variants not parked at 51+: {just_after ^ set(WINDOW_EXEMPT)}"
     )
+
+
+def test_checker_window_names_resolve():
+    # a typo in the priority tables silently drops a query from the
+    # driver's ~50-slot checker window — fail loudly instead
+    from baronbatch_etl_spark import queries as Q
+
+    for n in list(Q._PRIORITY) + list(Q._TAIL):
+        assert n in REGISTRY, f"unknown name in priority tables: {n}"
+    names = list(REGISTRY)
+    window = set(names[:50])
+    # every parked variant's in-window sibling really is in-window
+    for variant, sibling in Q.WINDOW_EXEMPT.items():
+        assert variant in REGISTRY, variant
+        assert sibling in window, f"{variant}'s sibling {sibling} not in window"
+    # the north-star families hold their slots
+    for must in ("flagship_player_stats", "d_minhash_lsh", "t_corpus_dedup",
+                 "s_kmeans_assign", "t_contamination", "st_tumbling_agg"):
+        assert must in window, must
