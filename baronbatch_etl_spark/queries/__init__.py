@@ -157,6 +157,7 @@ WINDOW_EXEMPT: dict[str, str] = {
     "a_approx_quantiles": "a_approx_distinct",  # same sketch-invariant oracle pattern
     "d_semantic_dedup": "d_embedding_neardup",  # same blocked pair core
     "t_split_assign": "t_mixture_sample",  # same salted hash-bucket core
+    "t_eval_sample": "t_mixture_sample",  # same portable-hash sampling core
 }
 
 _PRIORITY = _PRIORITY + tuple(WINDOW_EXEMPT)

@@ -1585,3 +1585,41 @@ def s_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.kmeans_assign(
         load_table(spark, sf_dir, "embeddings"), k=_KM_K, iters=2
     )
+
+
+@register(
+    "t_eval_sample",
+    # exact-k per stratum: rank by the engine-portable Knuth hash
+    # (doc_id tiebreak) inside each lang, keep the first 20
+    oracle="""
+SELECT doc_id, lang, h FROM (
+    SELECT doc_id, lang, h,
+           row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+    FROM (SELECT doc_id, lang,
+                 (doc_id * 2654435761) % 4294967296 AS h
+          FROM documents)
+) WHERE rn <= 20
+""",
+    tags=("llm", "sample", "window"),
+)
+def t_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT-k stratified sample (k=20 per language) —
+    eval/holdout-set construction. Ranking by a multiplicative hash of
+    the key gives a pseudorandom but reproducible pick: the same rows
+    survive across engines, reruns, and repartitionings, and (unlike
+    rate-based t_hash_sample) the stratum size is exactly k.
+
+    Scale: rank ≤ k over a window compiles to WindowGroupLimit —
+    per-partition partial top-k BEFORE the exchange, so the shuffle
+    carries ≤ k rows per stratum per input partition, not the corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", "h")
+    )

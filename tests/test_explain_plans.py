@@ -191,3 +191,12 @@ def test_kmeans_assignment_is_map_only(spark, registry, sf_dir):
     plan = _plan(spark, registry, "s_kmeans_assign", sf_dir)
     assert "Join" not in plan
     assert "Window" not in plan  # argmin is array_min, not a window
+
+
+def test_eval_sample_partial_topk_before_exchange(spark, registry, sf_dir):
+    # rank<=k per stratum must reduce map-side: WindowGroupLimit in
+    # Partial mode ahead of the exchange, so the shuffle carries at
+    # most k rows per stratum per input partition
+    plan = _plan(spark, registry, "t_eval_sample", sf_dir)
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
