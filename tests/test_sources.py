@@ -207,3 +207,20 @@ def test_binary_assets_reader_feeds_multimodal(spark, tmp_path):
         df.select("media_id", "payload", "meta")
     ).collect()
     assert len(feats) == 3 and all(r.features is not None for r in feats)
+
+
+def test_schema_evolution_merges_and_backfills_nulls(spark, tmp_path):
+    # the reference's Mongo documents are schemaless and grow fields
+    # over time; the parquet-zone answer is mergeSchema on read: old
+    # files gain NULL for new columns, nothing is rewritten
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "old")], "id LONG, a STRING"
+    ).write.parquet(f"{d}/batch=1")
+    spark.createDataFrame(
+        [(2, "new", 5.0)], "id LONG, a STRING, score DOUBLE"
+    ).write.parquet(f"{d}/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    assert {"id", "a", "score", "batch"} <= set(df.columns)
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score is None and rows[2].score == 5.0
