@@ -317,3 +317,73 @@ def test_bloom_filter_is_sound(spark, corpus_keys, batch_keys):
     for i, t in enumerate(batch_keys):
         if t in members:
             assert hits[i], f"false negative for {t!r}"
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from(["en", "fr", "de"])),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 6),
+)
+def test_eval_sample_exact_k_and_repartition_stable(spark, rows, parts):
+    """Exact-k stratified sampling: every stratum yields exactly
+    min(k, |stratum|) rows, and the SELECTION is invariant under
+    input partitioning (the reproducibility contract)."""
+    from collections import Counter
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    k = 5
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+
+    def sample(frame):
+        h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+        w = Window.partitionBy("lang").orderBy("h", "doc_id")
+        return (
+            frame.select("doc_id", "lang", h.alias("h"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("doc_id", "lang")
+        )
+
+    a = sorted(map(tuple, sample(df).collect()))
+    b = sorted(map(tuple, sample(df.repartition(parts)).collect()))
+    assert a == b  # partitioning-invariant selection
+    sizes = Counter(r[1] for r in a)
+    want = Counter({lang: min(k, n) for lang, n in
+                    Counter(lang for _, lang in rows).items()})
+    assert sizes == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(-100, 200), min_size=1, max_size=50),
+)
+def test_quarantine_is_a_partition(spark, vals):
+    """good ∪ bad == input and good ∩ bad == ∅ for any rule set —
+    the keep-and-tag contract (never drop silently)."""
+    from pyspark.sql import functions as F
+
+    from baronbatch_etl_spark.operators import validate as V
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id LONG, v LONG"
+    )
+    good, bad = V.quarantine(
+        df, {"neg": F.col("v") < 0, "big": F.col("v") > 100}
+    )
+    g = {r.id for r in good.collect()}
+    b = {r.id for r in bad.collect()}
+    assert g | b == set(range(len(vals)))
+    assert not (g & b)
+    for r in bad.collect():  # tags name only genuinely violated rules
+        v = vals[r.id]
+        expect = ",".join(
+            n for n in ("big", "neg") if (v > 100 if n == "big" else v < 0)
+        )
+        assert set(r._violations.split(",")) == set(expect.split(","))
