@@ -1233,7 +1233,7 @@ def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(dfreq, "token")
-        .join(F.broadcast(n))
+        .join(F.broadcast(n))  # 1-row scalar: BNLJ-over-keyless-agg shape
         .select(
             "doc_id",
             "token",
@@ -1332,7 +1332,7 @@ def d_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_exact = exact.agg(F.count("*").alias("n_exact"))
     n_lsh = lsh.agg(F.count("*").alias("n_lsh"))
     return (
-        n_exact.join(F.broadcast(n_lsh))
+        n_exact.join(F.broadcast(n_lsh))  # 1-row × 1-row scalar join
         .select(
             "n_exact",
             "n_lsh",
@@ -1450,7 +1450,7 @@ def t_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(F.broadcast(dfreq), "token")
         .join(dl, "doc_id")
-        .join(F.broadcast(stats))
+        .join(F.broadcast(stats))  # 1-row corpus stats scalar
         .select(
             "doc_id",
             F.floor(score * F.lit(1000000000.0) + F.lit(0.5))

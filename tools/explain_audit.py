@@ -26,14 +26,41 @@ from baronbatch_etl_spark.queries import load_all
 from baronbatch_etl_spark.session import get_spark
 
 # Queries allowed to contain a broadcast nested-loop/cross shape:
-# a deliberately broadcast single-row query vector.
+# a deliberately broadcast single-row (or bounded query-set) vector.
 CROSS_OK = {
     "s_cosine_topk",
     "s_ivf_topk",
     "s_batch_topk",
     "s_srp_topk",
     "h_top_supplier",
+    "s_ivf_recall",  # broadcast held-out query SET scores both rankings
 }
+
+
+def _bnlj_is_scalar_attachment(plan: str) -> bool:
+    """True iff EVERY BroadcastNestedLoopJoin in the plan broadcasts a
+    keyless (global) aggregate — a provably ≤1-row side. That keyless
+    join is the canonical scalar-attachment plan (what a SQL scalar
+    subquery also compiles to); a constant-key equi join is no better,
+    since Catalyst folds the condition away and plans the same BNLJ.
+    Any OTHER nested-loop join remains a hard violation."""
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    if not n_bnlj:
+        return True
+    # IdentityBroadcastMode is BNLJ's broadcast; each such exchange
+    # must sit directly on a keyless HashAggregate (1 output row)
+    lines = plan.splitlines()
+    scalar_exchanges = 0
+    for i, ln in enumerate(lines):
+        if "IdentityBroadcastMode" not in ln:
+            continue
+        child = next(
+            (c for c in lines[i + 1 : i + 3] if re.search(r"[A-Za-z]", c)),
+            "",
+        )
+        if "HashAggregate(keys=[]" in child:
+            scalar_exchanges += 1
+    return scalar_exchanges >= n_bnlj
 # Global-window queries intentionally single-partition at tiny scale.
 SINGLE_PARTITION_OK = {"w2_recent_slice"}
 
@@ -42,7 +69,11 @@ def audit(name: str, plan: str) -> list[str]:
     problems = []
     if "CartesianProduct" in plan and name not in CROSS_OK:
         problems.append("CartesianProduct in plan")
-    if "BroadcastNestedLoopJoin" in plan and name not in CROSS_OK:
+    if (
+        "BroadcastNestedLoopJoin" in plan
+        and name not in CROSS_OK
+        and not _bnlj_is_scalar_attachment(plan)
+    ):
         problems.append("BroadcastNestedLoopJoin in plan")
     n_smj = plan.count("SortMergeJoin")
     n_bhj = plan.count("BroadcastHashJoin")
