@@ -742,3 +742,85 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", F.lit(0.5)).alias("q50"),
         F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
     )
+
+
+@register(
+    "q_profile_table",
+    # per-column profile rows; min/max emitted only where the string
+    # form is engine-portable (BIGINT-valued and flag columns)
+    oracle="""
+SELECT 'l_orderkey' AS col, count(*) AS n,
+       count(*) - count(l_orderkey) AS n_null,
+       count(DISTINCT l_orderkey) AS n_distinct,
+       CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+       CAST(max(l_orderkey) AS VARCHAR) AS max_s
+FROM lineitem
+UNION ALL
+SELECT 'l_linenumber', count(*), count(*) - count(l_linenumber),
+       count(DISTINCT l_linenumber),
+       CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+       count(DISTINCT l_quantity),
+       CAST(CAST(min(l_quantity) AS BIGINT) AS VARCHAR),
+       CAST(CAST(max(l_quantity) AS BIGINT) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+       count(DISTINCT l_returnflag), min(l_returnflag), max(l_returnflag)
+FROM lineitem
+""",
+    tags=("profile", "agg"),
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling: per-column row count, null
+    count, distinct count, and portable min/max — the stats pass that
+    feeds CBO/layout decisions (which dims broadcast, which columns
+    range-cluster).
+
+    One aggregate job over one scan; the multiple DISTINCT aggregates
+    compile to Catalyst's Expand (one duplicated row per distinct
+    column — bounded fan-out). The 100 TB path swaps the exact
+    distincts for approx_count_distinct (a_approx_distinct shows that
+    pattern + its invariant check); min/max/null counts stay exact
+    either way. Quantity min/max cast through BIGINT (values are
+    integral) so the string form is engine-portable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = {
+        "l_orderkey": F.min("l_orderkey").cast("string"),
+        "l_linenumber": F.min("l_linenumber").cast("string"),
+        "l_quantity": F.min("l_quantity").cast("bigint").cast("string"),
+        "l_returnflag": F.min("l_returnflag"),
+    }
+    maxes = {
+        "l_orderkey": F.max("l_orderkey").cast("string"),
+        "l_linenumber": F.max("l_linenumber").cast("string"),
+        "l_quantity": F.max("l_quantity").cast("bigint").cast("string"),
+        "l_returnflag": F.max("l_returnflag"),
+    }
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"_null_{c}"),
+            F.countDistinct(c).alias(f"_nd_{c}"),
+            cols[c].alias(f"_min_{c}"),
+            maxes[c].alias(f"_max_{c}"),
+        ]
+    wide = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("_n").alias("n"),
+                F.col(f"_null_{c}").alias("n_null"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_s"),
+                F.col(f"_max_{c}").alias("max_s"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(rows).alias("x")).select(
+        "x.col", "x.n", "x.n_null", "x.n_distinct", "x.min_s", "x.max_s"
+    )
