@@ -312,3 +312,85 @@ def neardup_ingest(
         .outputMode("append")
         .trigger(availableNow=True)
     )
+
+
+EMB_DDL = "vec_id LONG, embedding ARRAY<FLOAT>, label LONG"
+
+
+def stream_embeddings(
+    spark: SparkSession, src_dir: str, glob: str = "*.parquet"
+) -> DataFrame:
+    """File-source stream of incoming embedding rows (index ingest)."""
+    return (
+        spark.readStream.format("parquet")
+        .schema(EMB_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", glob)
+        .load(src_dir)
+    )
+
+
+def ivf_ingest(
+    vecs: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    index_path: str,
+    query_name: str = "ivf_ingest",
+):
+    """Incremental IVF index maintenance: each micro-batch of new
+    vectors is assigned to its nearest coarse cell (the trained
+    k-means centroids, e.g. from ``similarity.kmeans_assign``) with
+    the same map-only literal-centroid expression the batch trainer
+    uses, then appended to a CELL-PARTITIONED parquet index under
+    epoch=<id> (idempotent retry, same contract as neardup_ingest).
+
+    The payoff at scale: searches prune to one cell DIRECTORY
+    (PartitionFilters at the scan — see ``ivf_search``), so the index
+    grows without rewrites and reads never touch other cells. The
+    centroids stay fixed between retrains, which is what keeps the
+    layout append-only; a retrain is a new index root."""
+    from baronbatch_etl_spark.operators.similarity import _nearest_centroid
+
+    def add(batch: DataFrame, epoch_id: int) -> None:
+        best = _nearest_centroid(F.col("embedding"), cents)
+        (
+            batch.select(
+                "vec_id", "embedding", best.getField("cid").alias("cell")
+            )
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{index_path}/epoch={epoch_id}")
+        )
+
+    return (
+        vecs.writeStream.foreachBatch(add)
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+
+
+def ivf_search(
+    spark: SparkSession,
+    index_path: str,
+    cents: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 5,
+) -> DataFrame:
+    """Cell-pruned top-k over the incrementally-maintained index: the
+    query's cell id is computed driver-side against the same
+    centroids, and the scan's partition filter prunes every other
+    cell directory before any file is opened."""
+    from baronbatch_etl_spark.operators.similarity import cosine
+
+    best_cell = min(
+        (
+            (sum((x - y) ** 2 for x, y in zip(query_vec, c)), cid)
+            for cid, c in cents
+        )
+    )[1]
+    idx = spark.read.parquet(index_path).filter(F.col("cell") == best_cell)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = idx.select(
+        "vec_id", "cell", cosine(F.col("embedding"), q).alias("cos_sim")
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)

@@ -185,3 +185,73 @@ def test_neardup_ingest_restart_is_noop(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(acc).select("doc_id").collect()
     )
     assert got == [0]  # near-dup dropped once, restart adds nothing
+
+
+def _write_vec_files(spark, root, frames):
+    import glob as g
+    import os
+    import shutil
+    import time
+
+    os.makedirs(root, exist_ok=True)
+    now = time.time()
+    for i, frame in enumerate(frames):
+        stage = f"{root}/_vstage{i}"
+        frame.coalesce(1).write.mode("overwrite").parquet(stage)
+        (part,) = g.glob(f"{stage}/part-*.parquet")
+        dst = f"{root}/v{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (now + i, now + i))
+        shutil.rmtree(stage)
+
+
+def test_ivf_ingest_matches_batch_assignment_and_prunes(
+    spark, sf_dir, tmp_path
+):
+    from baronbatch_etl_spark.io import load_table
+    from baronbatch_etl_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.orderBy("vec_id").limit(4).collect()
+    cents = [
+        (i, [float(v) for v in r.embedding]) for i, r in enumerate(seeds)
+    ]
+    # two micro-batches split by vec_id parity
+    src = str(tmp_path / "vecs")
+    _write_vec_files(
+        spark,
+        src,
+        [emb.filter(F.col("vec_id") % 2 == 0),
+         emb.filter(F.col("vec_id") % 2 == 1)],
+    )
+    idx = str(tmp_path / "ivf_index")
+    q = (
+        ops.ivf_ingest(ops.stream_embeddings(spark, src), cents, idx)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        assert len(q.recentProgress) >= 2
+    finally:
+        q.stop()
+
+    stored = spark.read.parquet(idx)
+    assert stored.count() == emb.count()  # nothing lost across batches
+    # streamed assignment == the batch operator's round-1 assignment
+    got = {r.vec_id: r.cell for r in stored.select("vec_id", "cell").collect()}
+    want = {
+        r.vec_id: r.cluster
+        for r in S.kmeans_assign(emb, k=4, iters=1).collect()
+    }
+    assert got == want
+
+    # search prunes to one cell directory: partition filter at the scan
+    qv = [float(v) for v in seeds[2].embedding]
+    res = ops.ivf_search(spark, idx, cents, qv, k=3)
+    rows = res.collect()
+    assert rows and all(r.cell == rows[0].cell for r in rows)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cell" in plan.replace("#", "")[:100000]
+    # the query vector itself was ingested → it is its own top hit
+    assert rows[0].vec_id == seeds[2].vec_id
