@@ -200,3 +200,46 @@ def test_eval_sample_partial_topk_before_exchange(spark, registry, sf_dir):
     plan = _plan(spark, registry, "t_eval_sample", sf_dir)
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    # §4 runtime filtering: when a selective build side can't
+    # broadcast, Spark injects a bloom filter (might_contain) on the
+    # probe side's scan — rows that can't join die before the shuffle.
+    # Local fixtures sit under the size thresholds, so the test lowers
+    # them to prove the engine config path works end to end.
+    from pyspark.sql import functions as F
+
+    from baronbatch_etl_spark.io import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "o_orderpriority"
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
