@@ -17,7 +17,7 @@ bucket width = the query interval so each left row probes ≤2 buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 

@@ -25,9 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from baronbatch_etl_spark.functions.scalars import (
-    build_items_array,
     cs_per_min,
-    full_riot_id,
     norm_nfkc,
     safe_div_kda,
 )

@@ -3,7 +3,6 @@ writes with pruning, bucketed shuffle-free joins, salted skew joins."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 

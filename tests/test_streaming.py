@@ -6,7 +6,6 @@ windows newer than the final watermark, so those assert containment)."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from baronbatch_etl_spark.io import load_table
 from baronbatch_etl_spark.queries import load_all
