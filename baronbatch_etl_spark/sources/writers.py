@@ -119,3 +119,34 @@ def compact(
     return len(
         [f for f in spark.read.parquet(out_path).inputFiles()]
     )
+
+
+def write_with_metrics(
+    df: DataFrame,
+    path: str,
+    rules: dict[str, "F.Column"] | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Write parquet and return pipeline metrics observed DURING the
+    write — row count plus a violation count per data-quality rule —
+    computed by Spark's Observation API as the rows stream through
+    the writer. ZERO extra scans or jobs: the aggregates piggyback on
+    the write job itself (the production alternative to a separate
+    validation pass when you only need counts, not quarantine — for
+    keep-and-tag splitting see ``operators.validate.quarantine``).
+
+    The reference logs counts after the fact by re-querying Mongo
+    (transformer_loader/main.py:134-142); this is the engine-native
+    form: metrics are exact, per-write, and free."""
+    from pyspark.sql import Observation
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, pred in (rules or {}).items():
+        aggs.append(
+            F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"violations_{name}")
+        )
+    obs = Observation()
+    df.observe(obs, *aggs).write.mode(mode).parquet(path)
+    return obs.get

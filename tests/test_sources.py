@@ -223,3 +223,23 @@ def test_schema_evolution_merges_and_backfills_nulls(spark, tmp_path):
     assert {"id", "a", "score", "batch"} <= set(df.columns)
     rows = {r.id: r for r in df.collect()}
     assert rows[1].score is None and rows[2].score == 5.0
+
+
+def test_write_with_metrics_observes_during_write(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from baronbatch_etl_spark.sources.writers import write_with_metrics
+
+    df = spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(1000)], "id LONG, v DOUBLE"
+    )
+    metrics = write_with_metrics(
+        df,
+        str(tmp_path / "out"),
+        rules={"v_zero": F.col("v") == 0.0, "v_big": F.col("v") > 7.0},
+    )
+    assert metrics["n_rows"] == 1000
+    assert metrics["violations_v_zero"] == 100
+    assert metrics["violations_v_big"] == 200
+    # and the write itself is intact
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 1000
