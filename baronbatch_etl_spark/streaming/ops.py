@@ -394,3 +394,36 @@ def ivf_search(
         "vec_id", "cell", cosine(F.col("embedding"), q).alias("cos_sim")
     )
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)
+
+
+def enrich_events(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of events joins
+    the (static, broadcastable) customer dim — Spark's native
+    stream-static join, the streaming form of J1's broadcast dim
+    lookup. The static side re-resolves per micro-batch, so a dim
+    refresh lands without restarting the query; no watermark or state
+    is needed because the static side never changes mid-batch."""
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("user_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return events.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "user_id", "user_name", "segment", "event_type", "value"
+    )
+
+
+def with_ingest_metrics(events: DataFrame, name: str = "ingest") -> DataFrame:
+    """Attach per-micro-batch observed metrics to a stream: row count
+    and a null-key count ride each batch's own processing (the
+    streaming twin of sources.write_with_metrics) and surface in every
+    StreamingQueryProgress under ``observedMetrics[name]`` — the
+    monitoring hook an ingest SLO dashboard consumes, with zero extra
+    passes over the data."""
+    return events.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("user_id").isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("null_users"),
+    )

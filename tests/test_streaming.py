@@ -117,3 +117,55 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, events_stream):
     got = {(r.click_id, r.buy_id) for r in out.collect()}
     want = {(r.click_id, r.buy_id) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_static_enrichment_equals_batch(spark, sf_dir, events_stream):
+    from baronbatch_etl_spark.io import load_table
+
+    customers = load_table(spark, sf_dir, "customer")
+    q = (
+        ops.enrich_events(events_stream, customers)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM enriched")
+    batch = ops.enrich_events(
+        load_table(spark, sf_dir, "events").selectExpr(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ),
+        customers,
+    )
+    assert got.count() == batch.count()
+    # spot-check: enrichment values match the batch join row-for-row
+    a = {r.event_id: (r.user_name, r.segment) for r in got.collect()}
+    b = {r.event_id: (r.user_name, r.segment) for r in batch.collect()}
+    assert a == b
+
+
+def test_observed_metrics_surface_in_progress(spark, sf_dir, events_stream):
+    q = (
+        ops.with_ingest_metrics(events_stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("observed_ingest")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progresses = q.recentProgress
+    finally:
+        q.stop()
+    got = sum(
+        p["observedMetrics"]["ingest"]["n_rows"]
+        for p in progresses
+        if "ingest" in p.get("observedMetrics", {})
+    )
+    from baronbatch_etl_spark.io import load_table
+
+    assert got == load_table(spark, sf_dir, "events").count()
