@@ -102,9 +102,15 @@ def range_join_bucketed(
         ),
     )
     delta = F.unix_millis(F.col(left_ts)) - F.unix_millis(F.col(right_ts))
+    # lower bound compares the RAW timestamps: unix_millis truncates,
+    # so a right row microseconds AFTER the left row inside the same
+    # millisecond would otherwise sneak in as delta == 0 (caught by
+    # the sf0.1 oracle stress run — invisible at sf0.01)
     return (
         probe.join(rb, probe._probe == rb._rbucket)
-        .filter((delta >= 0) & (delta < interval_ms))
+        .filter(
+            (F.col(left_ts) >= F.col(right_ts)) & (delta < interval_ms)
+        )
         .drop("_lbucket", "_rbucket", "_probe")
     )
 

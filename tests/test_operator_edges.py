@@ -164,3 +164,31 @@ def test_row_rule_counts_single_pass_no_join(spark):
     assert got == {"v_zero": 15, "v_big": 14}
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # every rule rides the same aggregate
+
+
+def test_range_join_sub_millisecond_lower_bound(spark):
+    # a right row microseconds AFTER the left row in the SAME
+    # millisecond must not pair: unix_millis truncation would call the
+    # delta 0, but "preceding" means full-precision left >= right
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    base = datetime(2024, 1, 1, 0, 0, 0, 0, tzinfo=timezone.utc)
+    same_ms_later = datetime(2024, 1, 1, 0, 0, 0, 700, tzinfo=timezone.utc)
+    earlier = datetime(2023, 12, 31, 23, 59, 0, 0, tzinfo=timezone.utc)
+    left = spark.createDataFrame(
+        [(1, base)], "event_id LONG, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [(10, same_ms_later), (11, earlier), (12, base)],
+        "r_event_id LONG, r_ts TIMESTAMP",
+    )
+    got = sorted(
+        r.r_event_id
+        for r in range_join_bucketed(
+            left, right, "ts", "r_ts", interval_ms=300_000
+        ).collect()
+    )
+    # 10 excluded (later at full precision), 11 in window, 12 equal ok
+    assert got == [11, 12]
