@@ -293,3 +293,13 @@ def test_kmeans_tie_breaks_low_cid(spark):
         for r in S.kmeans_assign(emb, k=2, iters=1).collect()
     }
     assert out[2] == 0
+
+
+def test_kmeans_k_larger_than_corpus(spark):
+    # k > n: only n seeds exist; every point is its own centroid after
+    # round 1 and the operator must not crash or emit phantom clusters
+    emb = _vecs(spark, [[0.0, 1.0], [5.0, 5.0]])
+    rows = S.kmeans_assign(emb, k=5, iters=2).collect()
+    assert len(rows) == 2
+    assert {r.cluster for r in rows} == {0, 1}
+    assert all(r.dist == 0.0 for r in rows)
