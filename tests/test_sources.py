@@ -243,3 +243,26 @@ def test_write_with_metrics_observes_during_write(spark, tmp_path):
     assert metrics["violations_v_big"] == 200
     # and the write itself is intact
     assert spark.read.parquet(str(tmp_path / "out")).count() == 1000
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    # the idempotent backfill write: re-running one day's job must
+    # replace THAT partition only, not truncate the table (static
+    # overwrite mode would)
+    d = str(tmp_path / "by_day")
+    full = spark.createDataFrame(
+        [(1, "d1", "old1"), (2, "d2", "old2"), (3, "d3", "old3")],
+        "id LONG, day STRING, payload STRING",
+    )
+    full.write.partitionBy("day").mode("overwrite").parquet(d)
+    redo = spark.createDataFrame(
+        [(9, "d2", "new2")], "id LONG, day STRING, payload STRING"
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        redo.write.partitionBy("day").mode("overwrite").parquet(d)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    rows = {r.day: r.payload for r in spark.read.parquet(d).collect()}
+    assert rows == {"d1": "old1", "d2": "new2", "d3": "old3"}
