@@ -275,3 +275,49 @@ def test_retention_upsert_purge(spark, summoners):
     kept = ml.purge_orphans(silver, dims.filter("puuid != 'p-faker'"))
     assert kept.count() == 0  # all facts were p-faker's
     assert ml.cascade_delete(silver, "p-faker").count() == 0
+
+def test_full_reference_workflow_with_replay(spark, summoners):
+    """The reference's whole loop in one flow: ingest (idempotent) →
+    transform tick → retention → gold rollup → stats read — with
+    batch 2 REPLAYING a batch-1 match (at-least-once delivery), which
+    must not change any gold total."""
+    m = [
+        bronze_row(f"M{i}", "p-faker",
+                   [participant(puuid="p-faker", championName=c, win=w)],
+                   gameEndTimestamp=1700000000000 + i * 1000)
+        for i, (c, w) in enumerate(
+            [("Ahri", True), ("Ahri", False), ("Zed", True)]
+        )
+    ]
+    empty = spark.createDataFrame([], MATCHES_RAW)
+
+    # tick 1: matches 0,1 arrive
+    b1 = ml.ingest_dedup(spark.createDataFrame(m[:2], MATCHES_RAW), empty)
+    stored = b1
+    # tick 2: match 1 replays alongside the new match 2
+    b2 = ml.ingest_dedup(
+        spark.createDataFrame([m[1], m[2]], MATCHES_RAW), stored
+    )
+    assert sorted(r.matchId for r in b2.collect()) == ["M2"]  # replay gone
+    stored = stored.unionByName(b2)
+
+    silver = ml.retention_trim(
+        ml.silver_from_bronze(stored, summoners), "game_timestamp", keep=200
+    )
+    gold = {
+        (r.puuid, r.champion): (r.games, r.wins)
+        for r in ml.gold_from_silver(silver).collect()
+    }
+    # from-scratch run over all three matches gives the same totals —
+    # replay-idempotence end to end
+    scratch = ml.gold_from_silver(
+        ml.silver_from_bronze(
+            spark.createDataFrame(m, MATCHES_RAW), summoners
+        )
+    )
+    assert gold == {
+        (r.puuid, r.champion): (r.games, r.wins)
+        for r in scratch.collect()
+    }
+    assert gold[("p-faker", "Ahri")] == (2, 1)
+    assert gold[("p-faker", "Zed")] == (1, 1)
