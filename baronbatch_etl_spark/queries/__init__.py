@@ -158,6 +158,7 @@ WINDOW_EXEMPT: dict[str, str] = {
     "d_semantic_dedup": "d_embedding_neardup",  # same blocked pair core
     "t_split_assign": "t_mixture_sample",  # same salted hash-bucket core
     "t_eval_sample": "t_mixture_sample",  # same portable-hash sampling core
+    "t_outlier_mad": "t_length_filter",  # same stratum-window stats shape
 }
 
 _PRIORITY = _PRIORITY + tuple(WINDOW_EXEMPT)

@@ -599,3 +599,106 @@ def t_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
     )
+
+
+@register(
+    "t_outlier_mad",
+    # lower medians by rank selection (tiebreak doc_id) keep every
+    # value integral, so the whole robust-statistics chain hash-matches
+    oracle="""
+WITH r AS (
+    SELECT doc_id, lang, n_chars,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY n_chars, doc_id) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM documents
+),
+med AS (
+    SELECT lang, max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS med
+    FROM r GROUP BY lang
+),
+dev AS (
+    SELECT r.doc_id, r.lang, r.n_chars, m.med,
+           abs(r.n_chars - m.med) AS dev,
+           row_number() OVER (PARTITION BY r.lang
+                              ORDER BY abs(r.n_chars - m.med),
+                                       r.doc_id) AS drn,
+           count(*) OVER (PARTITION BY r.lang) AS n
+    FROM r JOIN med m ON r.lang = m.lang
+),
+mad AS (
+    SELECT lang, max(CASE WHEN drn = (n + 1) // 2 THEN dev END) AS mad
+    FROM dev GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars, d.med, a.mad,
+       d.dev > 3 * a.mad AS is_outlier
+FROM dev d JOIN mad a ON d.lang = a.lang
+""",
+    tags=("curation", "quality", "outlier", "window"),
+)
+def t_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-stratum outlier detection: median + MAD (median
+    absolute deviation) of document length per language, flagging
+    docs beyond 3 MADs — the heavy-tail-safe alternative to
+    mean/stddev z-scores for corpus length filtering (one wild
+    document can't move the threshold).
+
+    Lower medians come from rank selection (row_number with a doc_id
+    tiebreak), so every statistic stays integral and hash-exact. Two
+    windowed passes per stratum + two broadcast-size stat joins; at
+    100 TB the same shape runs on approx quantiles
+    (a_approx_quantiles shows the invariant pattern)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    w = Window.partitionBy("lang")
+    r = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.row_number()
+        .over(w.orderBy("n_chars", "doc_id"))
+        .alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    med = r.groupBy("lang").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((F.col("n") + 1) / 2),
+                F.col("n_chars"),
+            )
+        ).alias("med")
+    )
+    dev = (
+        docs.join(F.broadcast(med), "lang")
+        .withColumn("dev", F.abs(F.col("n_chars") - F.col("med")))
+    )
+    d = dev.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "med",
+        "dev",
+        F.row_number().over(w.orderBy("dev", "doc_id")).alias("drn"),
+        F.count("*").over(w).alias("n"),
+    )
+    mad = d.groupBy("lang").agg(
+        F.max(
+            F.when(
+                F.col("drn") == F.floor((F.col("n") + 1) / 2), F.col("dev")
+            )
+        ).alias("mad")
+    )
+    return (
+        d.join(F.broadcast(mad), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "med",
+            "mad",
+            (F.col("dev") > 3 * F.col("mad")).alias("is_outlier"),
+        )
+    )
