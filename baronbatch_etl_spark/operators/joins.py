@@ -80,11 +80,14 @@ def range_join_bucketed(
     bucket_ms: int | None = None,
 ) -> DataFrame:
     """Pairs (left, right) with 0 <= left_ts − right_ts < interval_ms,
-    as a banded equi-join: both sides bucketed, each left row probes
-    every bucket its lookback window can touch (⌈interval/bucket⌉ + 1
-    of them), residual filter exact. Cross-join never materializes.
-    Bucketing uses floor division so pre-1970 timestamps band
-    correctly."""
+    both bounds at FULL timestamp precision (microseconds — Spark's
+    internal resolution), as a banded equi-join: both sides bucketed,
+    each left row probes every bucket its lookback window can touch
+    (⌈interval/bucket⌉ + 1 of them), residual filter exact.
+    Cross-join never materializes. Bucketing uses floor division so
+    pre-1970 timestamps band correctly; a true delta < interval_ms
+    implies an ms-truncated delta ≤ interval_ms, which the probe
+    range ⌈interval/bucket⌉ always covers."""
     bucket_ms = bucket_ms or interval_ms
     n_back = -(-interval_ms // bucket_ms)  # ceil: full lookback coverage
     lb = left.withColumn(
@@ -101,16 +104,16 @@ def range_join_bucketed(
             F.array(*[F.col("_lbucket") - i for i in range(n_back + 1)])
         ),
     )
-    delta = F.unix_millis(F.col(left_ts)) - F.unix_millis(F.col(right_ts))
-    # lower bound compares the RAW timestamps: unix_millis truncates,
-    # so a right row microseconds AFTER the left row inside the same
+    # both bounds at microsecond precision: unix_millis truncates, so
+    # a right row microseconds AFTER the left row inside the same
     # millisecond would otherwise sneak in as delta == 0 (caught by
-    # the sf0.1 oracle stress run — invisible at sf0.01)
+    # the sf0.1 oracle stress run — invisible at sf0.01), and a pair
+    # whose true delta sits inside (interval − 1ms, interval) would be
+    # dropped by a truncated upper bound
+    delta_us = F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(right_ts))
     return (
         probe.join(rb, probe._probe == rb._rbucket)
-        .filter(
-            (F.col(left_ts) >= F.col(right_ts)) & (delta < interval_ms)
-        )
+        .filter((delta_us >= 0) & (delta_us < interval_ms * 1000))
         .drop("_lbucket", "_rbucket", "_probe")
     )
 

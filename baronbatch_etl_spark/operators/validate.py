@@ -33,7 +33,9 @@ def row_rule_counts(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     ONE row per partition → final agg. Adding rules adds columns, not
     passes."""
     aggs = [
-        F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0)))
+        # coalesce: SUM over zero rows is NULL — an empty frame must
+        # report 0 violations per rule, like the uniqueness path
+        F.coalesce(F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0))), F.lit(0))
         .cast("long")
         .alias(name)
         for name, pred in rules.items()

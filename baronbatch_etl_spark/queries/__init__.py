@@ -55,11 +55,11 @@ def register(
 
 
 # Registry iteration order. External checkers run the catalog front to
-# back under a bounded per-run budget (~50 queries), so the families
-# that most need fresh verification lead: the flagship, the whole
-# LLM-data family (dedup / similarity / text / multimodal), windows +
-# set ops, the streaming batch-twins, the SQL surface, and any query
-# whose shape changed this round. Redundant TPC-H variants (same §2
+# back under a bounded per-run budget (~50 queries). Round-3 goal:
+# EVERY catalog query green in CORRECTNESS_r01 ∪ r02 ∪ r03 — so the 28
+# queries that never had a driver row lead, then the two whose shape
+# changed this round, then the flagship + one sentinel per family
+# (their r01/r02 rows stay on file). Redundant TPC-H variants (same §2
 # operator shapes as the five kept) sit at the very end.
 #
 # The first 50 names are the checker window. The family variants in
@@ -67,98 +67,100 @@ def register(
 # machinery is exercised by a named in-window sibling, so they give up
 # their slot — but still run first if the budget turns out larger.
 _PRIORITY: tuple[str, ...] = (
+    # --- never driver-checked in r01/r02 (28) ---
+    "t_training_set",  # the capstone composite — most important row
+    "q_validate_expectations",
+    "t_eval_sample",
+    "t_outlier_mad",
+    "a_approx_quantiles",
+    "q_profile_table",
+    "f_udaf_median",
+    "f_udtf_chunks",
+    "t_bm25",
+    "d_semantic_dedup",
+    "t_cdc_chunks",
+    "d_chunk_dedup",
+    "d_lsh_recall",
+    "t_split_assign",
+    "t_hash_sample",
+    "w_ntile_battery",
+    "w_running_sum",
+    "w2_recent_slice",
+    "o1_topk_orders",
+    "st_sliding_agg",
+    "set_intersect",
+    "s_cosine_topk",
+    "s_srp_codes",
+    "s_dim_stats",
+    "d_simhash",
+    "t_bpe_merges",
+    "t_shard_plan",
+    "mm_frame_sample",
+    # --- shape changed this round: needs a fresh row ---
+    "d_bloom_dedup",  # ground-truth digest join replaced forced broadcast
+    "j_range_join",  # full-microsecond-precision bounds (operator+oracle)
+    # --- flagship + one sentinel per family (r01/r02 rows on file) ---
     "flagship_player_stats",
-    # LLM-data family (SURVEY north star)
-    "t_token_stats",
-    "t_repetition",
-    "t_lang_id",
-    "t_quality_score",
-    "t_fingerprint",
-    "d_exact_dedup",
-    "d_minhash_lsh",
-    "d_dup_clusters",
-    "t_token_topk",
-    "t_corpus_dedup",
-    "d_simhash_pairs",
-    "d_ngram_jaccard",
-    "s_batch_topk",
-    "s_label_centroids",
-    "s_kmeans_assign",
-    "s_ivf_topk",
-    "s_srp_topk",
-    "s_ivf_recall",
-    "s_quantize_int8",
-    "d_embedding_neardup",
-    "mm_features",
-    "t_bpe_tokens",
-    # corpus-curation family (new this round — needs driver rows)
-    "t_contamination",
-    "t_pack_sequences",
-    "t_mixture_sample",
-    "t_pii_redact",
-    "t_length_filter",
-    # windows / ordering / set ops
-    "d_span_dedup",
-    "d_bloom_dedup",
-    "t_tfidf",
-    "w1_retention_trim",
-    "w_rank_lag_lead",  # also covers the ntile battery's ranking shapes
-    "w_resample_ffill",
-    "w_range_frame",
-    "w_sessionize",
-    "set_ops",
-    # streaming batch-twins
-    "st_tumbling_agg",
-    "st_session_window",
-    "st_stream_join",
-    "st_dedup_ingest",
-    # SQL surface
-    "q_sql_exists",
-    "q_sql_scalar_subquery",
-    "q_sql_grouping_sets",
-    "q_sql_lateral",
-    "q_sql_recursive",
-    # shape changed this round — needs a fresh row
-    "a1_dup_finder",
-    "a_approx_distinct",
-    "f_url_encode",
-    # new this round — needs a fresh row (j_asof_join and the other
-    # join-family queries were driver-green in round 1 and sit after)
-    "j_salted_skew_join",
+    "t_token_stats",  # text analysis
+    "d_exact_dedup",  # exact dedup
+    "d_minhash_lsh",  # LSH near-dup
+    "d_dup_clusters",  # iterative connected components
+    "s_batch_topk",  # brute cosine
+    "s_ivf_topk",  # IVF pruned ANN
+    "s_kmeans_assign",  # Lloyd trainer
+    "mm_features",  # multimodal plumbing
+    "t_contamination",  # curation: decontamination
+    "t_mixture_sample",  # curation: mixture sampling
+    "t_corpus_dedup",  # LSH keep-one pipeline
+    "w1_retention_trim",  # window top-N-per-key
+    "w_sessionize",  # gap sessionization
+    "set_ops",  # set-op family
+    "st_tumbling_agg",  # streaming batch-twin
+    "st_dedup_ingest",  # streaming dedup twin
+    "q_sql_recursive",  # SQL surface
+    "j1_broadcast_dim_lookup",  # join family
+    "a1_dup_finder",  # agg family
 )
 
 #: Family variants parked just outside the ~50-slot checker window:
 #: variant → the in-window sibling that exercises the same machinery.
-#: (Each variant still has a full oracle and runs in pytest/the local
-#: checker — it only yields its driver slot.)
+#: Every entry here ALREADY HAS a green driver row in CORRECTNESS_r01
+#: or r02 (and still has a full oracle + runs in pytest/the local
+#: checker) — it only yields its driver slot this round.
 WINDOW_EXEMPT: dict[str, str] = {
-    # capstone composite first after the window: every stage it runs
-    # (corpus dedup, contamination, mixture, split) has its own
-    # in-window row, and its oracle is composed from their fragments
-    "t_training_set": "t_corpus_dedup",
-    "w2_recent_slice": "w1_retention_trim",  # same row_number-slice shape
-    "t_shard_plan": "w1_retention_trim",  # same row_number-per-group shape
-    "o1_topk_orders": "t_token_topk",  # same TakeOrderedAndProject shape
-    "s_dim_stats": "s_label_centroids",  # same fixed-point explode agg
-    "d_lsh_recall": "d_minhash_lsh",  # same LSH pair machinery, counted
-    "st_sliding_agg": "st_tumbling_agg",  # same windowed-agg machinery
-    "d_simhash": "d_simhash_pairs",  # pairs consume the same fingerprint
-    "s_cosine_topk": "s_batch_topk",  # same brute-force cosine, N queries
-    "t_hash_sample": "t_mixture_sample",  # same hash-mod sampling core
-    "s_srp_codes": "s_srp_topk",  # same SRP hyperplane codes
-    "mm_frame_sample": "mm_features",  # same binary+meta plumbing
-    "w_ntile_battery": "w_rank_lag_lead",  # same ranking-window shapes
-    "w_running_sum": "w_range_frame",  # same window-frame machinery
-    "set_intersect": "set_ops",  # set-op family representative
-    "t_cdc_chunks": "t_fingerprint",  # same Horner fold, segmented
-    "d_chunk_dedup": "d_exact_dedup",  # same digest-groupBy dedup core
-    "t_bpe_merges": "t_token_topk",  # same count+TakeOrdered shape
-    "t_bm25": "t_tfidf",  # same corpus-stats join machinery, scored
-    "a_approx_quantiles": "a_approx_distinct",  # same sketch-invariant oracle pattern
-    "d_semantic_dedup": "d_embedding_neardup",  # same blocked pair core
-    "t_split_assign": "t_mixture_sample",  # same salted hash-bucket core
-    "t_eval_sample": "t_mixture_sample",  # same portable-hash sampling core
-    "t_outlier_mad": "t_length_filter",  # same stratum-window stats shape
+    # text analysis (row-local shapes) — r02-green
+    "t_repetition": "t_token_stats",
+    "t_lang_id": "t_token_stats",
+    "t_quality_score": "t_token_stats",
+    "t_pii_redact": "t_token_stats",
+    "t_fingerprint": "t_cdc_chunks",  # same Horner fold
+    "t_token_topk": "t_bpe_merges",  # same count+TakeOrdered shape
+    "t_bpe_tokens": "t_bpe_merges",
+    "t_tfidf": "t_bm25",  # same corpus-stats join machinery
+    "t_length_filter": "t_outlier_mad",  # same stratum-stats shape
+    "t_pack_sequences": "t_training_set",  # capstone runs the packer's shapes
+    # dedup — r02-green
+    "d_simhash_pairs": "d_simhash",  # pairs consume the same fingerprint
+    "d_ngram_jaccard": "d_minhash_lsh",  # same blocked-pair verify core
+    "d_span_dedup": "d_chunk_dedup",  # same segmented-hash dedup core
+    "d_embedding_neardup": "d_semantic_dedup",  # same blocked pair core
+    # similarity — r02-green
+    "s_label_centroids": "s_dim_stats",  # same fixed-point explode agg
+    "s_srp_topk": "s_srp_codes",  # same SRP hyperplane codes
+    "s_ivf_recall": "s_ivf_topk",  # same cell-pruned search
+    "s_quantize_int8": "s_ivf_topk",  # same map-only index transform
+    # streaming batch-twins — r02-green
+    "st_session_window": "st_tumbling_agg",
+    "st_stream_join": "st_tumbling_agg",
+    # SQL surface — r02-green
+    "q_sql_exists": "q_sql_recursive",
+    "q_sql_scalar_subquery": "q_sql_recursive",
+    "q_sql_grouping_sets": "q_sql_recursive",
+    "q_sql_lateral": "q_sql_recursive",
+    # windows — r02-green
+    "w_rank_lag_lead": "w_ntile_battery",  # same ranking-window shapes
+    "w_range_frame": "w_running_sum",  # same window-frame machinery
+    "w_resample_ffill": "w_sessionize",  # same union+carry window core
 }
 
 _PRIORITY = _PRIORITY + tuple(WINDOW_EXEMPT)

@@ -359,8 +359,8 @@ SELECT l.event_id AS purchase_id, r.event_id AS click_id,
        epoch_ms(CAST(l.ts AS TIMESTAMP)) - epoch_ms(CAST(r.ts AS TIMESTAMP)) AS delta_ms
 FROM (SELECT * FROM events WHERE event_type = 'purchase') l
 JOIN (SELECT * FROM events WHERE event_type = 'click') r
-  ON l.ts >= r.ts
- AND epoch_ms(CAST(l.ts AS TIMESTAMP)) - epoch_ms(CAST(r.ts AS TIMESTAMP)) < 300000
+  ON epoch_us(CAST(l.ts AS TIMESTAMP)) - epoch_us(CAST(r.ts AS TIMESTAMP)) >= 0
+ AND epoch_us(CAST(l.ts AS TIMESTAMP)) - epoch_us(CAST(r.ts AS TIMESTAMP)) < 300000000
 """,
     tags=("join", "range"),
 )

@@ -1160,9 +1160,16 @@ def d_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Split: doc_id % 10 == 7 plays the incoming batch, the rest the
     corpus. Emits per batch doc: bloom_hit (possibly-duplicate — the
-    map-only Bloom verdict) and exact_dup (ground truth via semi
+    map-only Bloom verdict) and exact_dup (ground truth via a digest
     join) — bloom_hit must never be false when exact_dup is true
     (no false negatives), which the oracle enforces bit-for-bit.
+
+    Scale: the ground-truth side joins 8-byte ``xxhash64(text)``
+    digests of the distinct corpus texts with NO broadcast hint —
+    AQE broadcasts while the digest set is small and falls back to a
+    shuffle join on the fixed-width keys at corpus scale (a real
+    pipeline retains exactly this digest set between batches). The
+    Bloom path itself stays map-only against the ≤1024-word filter.
     """
     docs = load_table(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % 10 == 7
@@ -1170,13 +1177,14 @@ def d_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(is_batch).select("doc_id", "text")
     bloom = D.bloom_build(corpus, key="text")
     probed = D.bloom_probe(batch, bloom, key="text")
-    corpus_texts = corpus.select("text").distinct()
+    corpus_digests = (
+        corpus.select(F.xxhash64("text").alias("_digest"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
     return (
-        probed.join(
-            F.broadcast(corpus_texts.withColumn("_dup", F.lit(True))),
-            "text",
-            "left",
-        )
+        probed.withColumn("_digest", F.xxhash64("text"))
+        .join(corpus_digests, "_digest", "left")
         .select(
             "doc_id",
             "bloom_hit",

@@ -89,12 +89,14 @@ FROM (
 )
 def w2_recent_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newest-300 of a single user (api_service/main.py:334-338):
-    filter pushes to the scan, then a single-group top-k."""
+    filter pushes to the scan, then ``orderBy(desc).limit(300)`` —
+    Spark plans TakeOrderedAndProject (each partition keeps 300,
+    merge at the driver), not a single-partition WindowExec sort.
+    Same rows and hash as the row_number form the oracle keeps."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") == 7)
-    w = Window.orderBy(F.col("ts").desc(), F.col("event_id").desc())
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 300)
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(300)
         .select(
             "event_id", "user_id", F.unix_millis("ts").alias("ts_ms"), "value"
         )

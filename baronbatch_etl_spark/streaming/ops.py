@@ -267,6 +267,8 @@ def neardup_ingest(
     only, ~(bands+1) small rows per doc."""
 
     def gate(batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch.sparkSession
         keys = _doc_keys(batch).cache()
         try:
@@ -275,7 +277,10 @@ def neardup_ingest(
                 .filter(F.col("epoch") != epoch_id)
                 .select("band", "key")
             )
-        except Exception:  # first epoch: no store yet
+        except AnalysisException:
+            # missing-path only (first epoch, no store yet); corrupt
+            # files / transient FS errors surface at action time and
+            # FAIL the batch instead of silently admitting duplicates
             store = None
         if store is not None:
             hit = (
@@ -382,12 +387,18 @@ def ivf_search(
     cell directory before any file is opened."""
     from baronbatch_etl_spark.operators.similarity import cosine
 
-    best_cell = min(
-        (
-            (sum((x - y) ** 2 for x, y in zip(query_vec, c)), cid)
-            for cid, c in cents
-        )
-    )[1]
+    # mirror _nearest_centroid exactly — (x−y)·(x−y) terms folded
+    # left-to-right from 0.0, ties to the lowest cid — so a near-tie
+    # between centroids sends the search to the SAME cell the
+    # matching vectors were ingested into (bit-identical assignment)
+    def _sqdist(c: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(query_vec, c):
+            d = float(x) - float(y)
+            acc = acc + d * d
+        return acc
+
+    best_cell = min((_sqdist(c), cid) for cid, c in cents)[1]
     idx = spark.read.parquet(index_path).filter(F.col("cell") == best_cell)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     scored = idx.select(
@@ -423,7 +434,11 @@ def with_ingest_metrics(events: DataFrame, name: str = "ingest") -> DataFrame:
     return events.observe(
         name,
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(
-            F.when(F.col("user_id").isNull(), F.lit(1)).otherwise(F.lit(0))
+        # coalesce: an empty micro-batch reports 0, not NULL
+        F.coalesce(
+            F.sum(
+                F.when(F.col("user_id").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ),
+            F.lit(0),
         ).cast("long").alias("null_users"),
     )

@@ -111,33 +111,37 @@ def main() -> None:
         _measure(name)
         refined += 1
 
+    summary = {
+        "metric": "catalog_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        # the round-over-round number: fixed query set, so a
+        # growing catalog doesn't read as a perf regression
+        "headline_runtime": round(
+            sum(timings[n] for n in HEADLINE if n in timings), 3
+        ),
+        "n_queries": len(timings),
+        "refined": refined,
+        "queries": {
+            n: timings[n]
+            for n in sorted(timings, key=timings.get, reverse=True)[:10]
+        },
+        "sf": sf,
+    }
+    # Belt and suspenders: the stdout contract relies on the FINAL
+    # line being one parseable JSON object — also persist the summary
+    # (plus full per-query detail) to BENCH_LOCAL.json so a truncated
+    # stdout capture can never lose the round's numbers.
+    Path(__file__).resolve().parent.joinpath("BENCH_LOCAL.json").write_text(
+        json.dumps({**summary, "queries_detail": timings}, indent=1) + "\n"
+    )
     # Per-query detail first (its own line, may be long), then the
     # compact summary as the FINAL line — tail-capture tools that slice
     # the last N bytes must still see one complete, parseable JSON
     # object with the headline value.
     print(json.dumps({"queries_detail": timings}))
     sys.stdout.flush()
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                # the round-over-round number: fixed query set, so a
-                # growing catalog doesn't read as a perf regression
-                "headline_runtime": round(
-                    sum(timings[n] for n in HEADLINE if n in timings), 3
-                ),
-                "n_queries": len(timings),
-                "refined": refined,
-                "queries": {
-                    n: timings[n]
-                    for n in sorted(timings, key=timings.get, reverse=True)[:10]
-                },
-                "sf": sf,
-            }
-        )
-    )
+    print(json.dumps(summary))
     sys.stdout.flush()
 
 

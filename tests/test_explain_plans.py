@@ -158,12 +158,57 @@ def test_span_dedup_partial_aggregates(spark, registry, sf_dir):
 
 
 def test_bloom_probe_broadcasts_filter(spark, registry, sf_dir):
-    # both the 1024-row bloom table and the ground-truth dim must
-    # broadcast — the probe never shuffles the corpus
-    plan = _plan(spark, registry, "d_bloom_dedup", sf_dir)
-    assert plan.count("BroadcastHashJoin") >= 2
+    # the 1024-row bloom table must broadcast; the ground-truth digest
+    # join may broadcast too — but only by AQE's size decision, never
+    # by hint: a forced corpus-wide broadcast fails outright at 100 TB
+    df = registry["d_bloom_dedup"].fn(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, (
+        "only the ≤1024-word bloom table may carry a broadcast hint"
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2  # AQE broadcasts at this SF
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_w2_recent_slice_is_take_ordered(spark, registry, sf_dir):
+    # the single-user newest-300 must be a distributed top-k, not a
+    # single-partition WindowExec sort (SURVEY §2.5's own note)
+    plan = _plan(spark, registry, "w2_recent_slice", sf_dir)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final
+    assert "Window" not in final
+    assert "Exchange" not in final
+
+
+def test_training_set_capstone_plan(spark, registry, sf_dir):
+    # the capstone composes quality → dedup → LSH keep-one →
+    # decontamination → mixture → split → rollup as ONE Catalyst DAG:
+    # the contamination probe broadcasts (single hint), and no stage
+    # degrades to a sort-merge join or cartesian product
+    df = registry["t_training_set"].fn(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, (
+        "only the benchmark shingle probe may carry a broadcast hint"
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+    assert "BroadcastHashJoin" in final
+
+
+def test_lsh_recall_no_corpus_shuffle(spark, registry, sf_dir):
+    # recall instrumentation runs the LSH path AND the exact blocked
+    # path — both must keep their bucketed shapes: band/block-keyed
+    # exchanges only, no sort-merge join, no cartesian product
+    plan = _plan(spark, registry, "d_lsh_recall", sf_dir)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
 
 
 def test_bm25_topk_is_take_ordered_with_broadcast_stats(
