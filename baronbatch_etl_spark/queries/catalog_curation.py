@@ -510,49 +510,14 @@ FROM tagged GROUP BY split, lang
 """
 
 
-@register(
-    "t_training_set",
-    oracle=_training_set_oracle(),
-    tags=("llm", "curation", "pipeline"),
-)
-def t_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full training-set construction pipeline as ONE declarative
-    plan: quality filter → exact dedup → MinHash-LSH cluster keep-one
-    → benchmark holdout + decontamination → target-mixture sampling →
-    train/val/test split → per-(split, lang) dataset-card stats.
-
-    Every stage is the same operator the standalone queries run
-    (t_corpus_dedup, t_contamination, t_mixture_sample,
-    t_split_assign), and the oracle is composed from their published
-    SQL fragments — so the composite certifies the stages AND their
-    composition. Catalyst sees one DAG: the survivor anti-joins and
-    the broadcast benchmark probe pipeline into the same corpus scan
-    where semantics allow, which is exactly how the production run
-    should ship (no per-stage materialization barriers).
-
-    Scale: inherits each stage's plan shape — blocked LSH pairs,
-    broadcast shingle probe, row-local hash sampling/splitting; the
-    final rollup is a few-row aggregate. The corpus is never shuffled
-    whole.
-    """
-    from baronbatch_etl_spark.operators import dedup as D
-
-    docs = load_table(spark, sf_dir, "documents")
-    qual = docs.filter(X.quality_score("text", "n_chars") >= 0.35)
-    keep = (
-        qual.select("doc_id", F.md5("text").alias("text_md5"))
-        .groupBy("text_md5")
-        .agg(F.min("doc_id").alias("doc_id"))
-    )
-    sdocs = qual.join(keep.select("doc_id"), "doc_id").cache()
-    comp = D.connected_components(
-        D.minhash_lsh_pairs(sdocs, threshold=0.8)
-    )
-    removed = comp.filter(F.col("node") != F.col("comp")).select(
-        F.col("node").alias("doc_id")
-    )
-    deduped = sdocs.join(removed, "doc_id", "left_anti")
-
+def curate_stats(docs: DataFrame, deduped: DataFrame) -> DataFrame:
+    """Stages 4–7 of the training-set pipeline — benchmark holdout +
+    decontamination → target-mixture sampling → train/val/test split →
+    per-(split, lang) dataset-card stats — over an already quality-
+    filtered and deduplicated survivor frame (needs doc_id, lang,
+    text). Shared by the batch capstone ``t_training_set`` and the
+    streaming corpus build (examples/streaming_training_set.py), so
+    the two twins differ ONLY in how the survivor set is produced."""
     sh = spread(docs).select(
         "doc_id",
         F.explode(_contam_shingles_fast(F.col("text"))).alias("h"),
@@ -599,6 +564,59 @@ def t_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
     )
+
+
+@register(
+    "t_training_set",
+    oracle=_training_set_oracle(),
+    tags=("llm", "curation", "pipeline"),
+)
+def t_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-set construction pipeline as ONE declarative
+    plan: quality filter → exact dedup → MinHash-LSH cluster keep-one
+    → benchmark holdout + decontamination → target-mixture sampling →
+    train/val/test split → per-(split, lang) dataset-card stats.
+
+    Every stage is the same operator the standalone queries run
+    (t_corpus_dedup, t_contamination, t_mixture_sample,
+    t_split_assign), and the oracle is composed from their published
+    SQL fragments — so the composite certifies the stages AND their
+    composition. Catalyst sees one DAG: the survivor anti-joins and
+    the broadcast benchmark probe pipeline into the same corpus scan
+    where semantics allow, which is exactly how the production run
+    should ship (no per-stage materialization barriers).
+
+    Scale: inherits each stage's plan shape — blocked LSH pairs,
+    broadcast shingle probe, row-local hash sampling/splitting; the
+    final rollup is a few-row aggregate. The corpus is never shuffled
+    whole.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_stats(docs, curate_survivors(docs))
+
+
+def curate_survivors(docs: DataFrame) -> DataFrame:
+    """Stages 1–3 of the training-set pipeline: quality filter → exact
+    dedup keep-min → MinHash-LSH connected-component keep-one. The
+    streaming twin (streaming/ops.curate_ingest) builds this same
+    survivor set incrementally; tests/test_streaming_multibatch.py
+    asserts the two sets coincide."""
+    from baronbatch_etl_spark.operators import dedup as D
+
+    qual = docs.filter(X.quality_score("text", "n_chars") >= 0.35)
+    keep = (
+        qual.select("doc_id", F.md5("text").alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    sdocs = qual.join(keep.select("doc_id"), "doc_id").cache()
+    comp = D.connected_components(
+        D.minhash_lsh_pairs(sdocs, threshold=0.8)
+    )
+    removed = comp.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    return sdocs.join(removed, "doc_id", "left_anti")
 
 
 @register(

@@ -319,6 +319,137 @@ def neardup_ingest(
     )
 
 
+#: Full corpus-document schema (documents.parquet's curation columns).
+CORPUS_DDL = "doc_id LONG, lang STRING, text STRING, n_chars LONG"
+
+
+def stream_corpus(
+    spark: SparkSession, src_dir: str, glob: str = "*.parquet"
+) -> DataFrame:
+    """File-source stream of full corpus documents (doc_id, lang,
+    text, n_chars) — the ingest side of the streaming training-set
+    build (curate_ingest)."""
+    return (
+        spark.readStream.format("parquet")
+        .schema(CORPUS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", glob)
+        .load(src_dir)
+    )
+
+
+def curate_ingest(
+    docs: DataFrame,
+    accepted_path: str,
+    quality_min: float = 0.35,
+    threshold: float = 0.8,
+    query_name: str = "curate_ingest",
+):
+    """Streaming twin of the training-set capstone's survivor stages:
+    per micro-batch, quality filter → exact dedup → MinHash-LSH
+    near-dup keep-one against the accumulated accepted corpus — run
+    with the SAME batch operators (``minhash_lsh_pairs`` incl. its
+    exact-Jaccard verify, ``connected_components``) inside
+    foreachBatch, so the admitted survivor set equals the batch
+    pipeline's (``t_training_set`` stages 1–3) whenever near-dup
+    clusters are cliques under doc_id-ordered replay — true for
+    copy-derived near-duplicates, the dominant real-world case, and
+    asserted end-to-end by tests/test_streaming_multibatch.py. (For a
+    chain-shaped cluster a–b, b–c with a≁c, any single-pass admission
+    policy must diverge from global connected components; the greedy
+    key-store gate ``neardup_ingest`` is the documented contract
+    there.)
+
+    Idempotence: survivors write under epoch=<id> and the accepted
+    read EXCLUDES the current epoch, so a replayed batch re-derives
+    exactly the decision it made first time (same contract as
+    neardup_ingest / ivf_ingest).
+
+    Scale: signatures for the accepted pool are recomputed per batch
+    here for operator parity; a production run persists the signature
+    table alongside the accepted docs (one Arrow pass per doc ever)
+    and probes it — the join shapes are identical."""
+    from baronbatch_etl_spark.operators import dedup as D
+    from baronbatch_etl_spark.operators import text as X
+
+    def gate(batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch.sparkSession
+        qual = batch.filter(X.quality_score("text", "n_chars") >= quality_min)
+        keep = (
+            qual.select("doc_id", F.md5("text").alias("_md5"))
+            .groupBy("_md5")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        sdocs = qual.join(keep.select("doc_id"), "doc_id")
+        try:
+            accepted = (
+                spark.read.parquet(accepted_path)
+                .filter(F.col("epoch") != epoch_id)
+                .drop("epoch")
+            )
+        except AnalysisException:  # missing path only: first epoch
+            accepted = None
+        if accepted is not None:
+            sdocs = sdocs.join(
+                accepted.select(F.md5("text").alias("_md5")),
+                F.md5(sdocs["text"]) == F.col("_md5"),
+                "left_anti",
+            )
+        sdocs = sdocs.cache()
+        pool = (
+            sdocs.select("doc_id", "text")
+            if accepted is None
+            else accepted.select("doc_id", "text").unionByName(
+                sdocs.select("doc_id", "text")
+            )
+        )
+        # pairs among accepted docs cannot exist (each was admitted
+        # non-adjacent), so every pair touches this batch
+        pairs = D.minhash_lsh_pairs(pool, threshold=threshold).cache()
+        if accepted is not None:
+            acc_a = accepted.select(F.col("doc_id").alias("doc_a"))
+            acc_b = accepted.select(F.col("doc_id").alias("doc_b"))
+            store_adj = (
+                pairs.join(acc_a, "doc_a", "left_semi")
+                .select(F.col("doc_b").alias("doc_id"))
+                .unionByName(
+                    pairs.join(acc_b, "doc_b", "left_semi")
+                    .select(F.col("doc_a").alias("doc_id"))
+                )
+                .distinct()
+            )
+            in_batch = pairs.join(acc_a, "doc_a", "left_anti").join(
+                acc_b, "doc_b", "left_anti"
+            )
+            cand = sdocs.join(store_adj, "doc_id", "left_anti")
+        else:
+            in_batch, cand = pairs, sdocs
+        comp = D.connected_components(in_batch)
+        removed = comp.filter(F.col("node") != F.col("comp")).select(
+            F.col("node").alias("doc_id")
+        )
+        surv = cand.join(removed, "doc_id", "left_anti")
+        surv.write.mode("overwrite").parquet(
+            f"{accepted_path}/epoch={epoch_id}"
+        )
+        pairs.unpersist()
+        sdocs.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(gate)
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+
+
+def read_curated(spark: SparkSession, accepted_path: str) -> DataFrame:
+    """The stream-built survivor corpus (all epochs)."""
+    return spark.read.parquet(accepted_path).drop("epoch")
+
+
 EMB_DDL = "vec_id LONG, embedding ARRAY<FLOAT>, label LONG"
 
 

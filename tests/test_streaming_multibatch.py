@@ -187,6 +187,83 @@ def test_neardup_ingest_restart_is_noop(spark, tmp_path):
     assert got == [0]  # near-dup dropped once, restart adds nothing
 
 
+def test_streaming_training_set_equals_batch_capstone(
+    spark, sf_dir, tmp_path
+):
+    """The capstone streaming twin: drop the documents table into the
+    ingest dir as 4 doc_id-ordered files, run the curate_ingest
+    admission stream, then build the dataset card from the stream-
+    accepted corpus — survivor set AND final per-(split, lang) stats
+    must equal the batch t_training_set pipeline on the same data."""
+    import glob as g
+    import os
+    import shutil
+    import time
+
+    from baronbatch_etl_spark.queries import catalog_curation as C
+    from baronbatch_etl_spark.queries import load_all
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    src = str(tmp_path / "corpus_src")
+    os.makedirs(src)
+    now = time.time()
+    # doc_id-ordered replay: batch i carries ids [i*n/4, (i+1)*n/4)
+    for i in range(4):
+        stage = f"{src}/_stage{i}"
+        (
+            docs.filter(
+                (F.col("doc_id") >= i * n // 4)
+                & (F.col("doc_id") < (i + 1) * n // 4)
+            )
+            .select("doc_id", "lang", "text", "n_chars")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        (part,) = g.glob(f"{stage}/part-*.parquet")
+        dst = f"{src}/b{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (now + i, now + i))
+        shutil.rmtree(stage)
+
+    acc = str(tmp_path / "accepted")
+    stream = ops.stream_corpus(spark, src)
+    q = (
+        ops.curate_ingest(stream, acc)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert n_batches >= 4, n_batches
+
+    got_ids = sorted(
+        r.doc_id
+        for r in ops.read_curated(spark, acc).select("doc_id").collect()
+    )
+    want_ids = sorted(
+        r.doc_id for r in C.curate_survivors(docs).select("doc_id").collect()
+    )
+    assert got_ids == want_ids
+
+    # final dataset card: stream-built corpus through the shared
+    # stages 4-7 == the registered batch capstone
+    card = C.curate_stats(docs, ops.read_curated(spark, acc))
+    got = {
+        (r.split, r.lang): (r.n_docs, r.n_tokens) for r in card.collect()
+    }
+    batch_card = load_all()["t_training_set"].fn(spark, sf_dir)
+    want = {
+        (r.split, r.lang): (r.n_docs, r.n_tokens)
+        for r in batch_card.collect()
+    }
+    assert got == want
+
+
 def _write_vec_files(spark, root, frames):
     import glob as g
     import os
