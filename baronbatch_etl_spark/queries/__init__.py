@@ -99,6 +99,9 @@ _PRIORITY: tuple[str, ...] = (
     # --- shape changed this round: needs a fresh row ---
     "d_bloom_dedup",  # ground-truth digest join replaced forced broadcast
     "j_range_join",  # full-microsecond-precision bounds (operator+oracle)
+    # --- new this round: corpus-level monitoring family ---
+    "t_corpus_drift",  # per-source TV drift vs corpus distribution
+    "d_source_overlap",  # pairwise source MinHash + exact Jaccard
     # --- flagship + one sentinel per family (r01/r02 rows on file) ---
     "flagship_player_stats",
     "t_token_stats",  # text analysis
@@ -114,9 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     "t_corpus_dedup",  # LSH keep-one pipeline
     "w1_retention_trim",  # window top-N-per-key
     "w_sessionize",  # gap sessionization
-    "set_ops",  # set-op family
     "st_tumbling_agg",  # streaming batch-twin
-    "st_dedup_ingest",  # streaming dedup twin
     "q_sql_recursive",  # SQL surface
     "j1_broadcast_dim_lookup",  # join family
     "a1_dup_finder",  # agg family
@@ -152,6 +153,9 @@ WINDOW_EXEMPT: dict[str, str] = {
     # streaming batch-twins — r02-green
     "st_session_window": "st_tumbling_agg",
     "st_stream_join": "st_tumbling_agg",
+    "st_dedup_ingest": "st_sliding_agg",  # r02-green, yields its slot
+    # set ops — r02-green (set_intersect stays in-window)
+    "set_ops": "set_intersect",
     # SQL surface — r02-green
     "q_sql_exists": "q_sql_recursive",
     "q_sql_scalar_subquery": "q_sql_recursive",
@@ -185,6 +189,7 @@ def load_all() -> dict[str, QuerySpec]:
     from baronbatch_etl_spark.queries import (  # noqa: F401
         catalog_aggs,
         catalog_core,
+        catalog_corpus,
         catalog_curation,
         catalog_heavy,
         catalog_joins,

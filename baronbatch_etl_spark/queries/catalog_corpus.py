@@ -1,0 +1,269 @@
+"""Corpus-level analytics: distribution drift between sources and
+cross-source overlap — the monitoring queries a training-data
+pipeline runs per ingest batch to catch composition shift and
+provenance contamination (complements the per-document quality and
+dedup families in catalog_llm.py).
+
+Both queries are oracle-checked bit-for-bit. Divergence avoids
+transcendentals on purpose: total-variation distance reduces to an
+exact BIGINT sum plus ONE final IEEE division, so Spark and DuckDB
+agree exactly (the same trick t_tfidf uses for idf-free weights).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from baronbatch_etl_spark.io import load_table
+from baronbatch_etl_spark.operators import dedup as D
+from baronbatch_etl_spark.operators import text as X
+from baronbatch_etl_spark.queries import register
+
+_SQL_TOKENS = "string_split(text, ' ')"
+_SQL_SHINGLES = X.sql_word_ngrams(_SQL_TOKENS, 3)
+_SQL_SHINGLE_HASHES = (
+    f"list_transform({_SQL_SHINGLES}, g -> {X.sql_char_poly_hash('g')})"
+)
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift: per-source total-variation distance vs the corpus
+# ---------------------------------------------------------------------------
+
+@register(
+    "t_corpus_drift",
+    oracle="""
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+st AS (SELECT source, tok, count(*) AS c_st FROM tok GROUP BY source, tok),
+t AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY tok),
+cs AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS c_s,
+              count(*) AS vocab FROM st GROUP BY source),
+n AS (SELECT CAST(sum(c_t) AS BIGINT) AS c FROM t),
+terms AS (
+    SELECT st.source,
+           abs(st.c_st * n.c - t.c_t * cs.c_s) - t.c_t * cs.c_s AS term
+    FROM st JOIN t USING (tok) JOIN cs USING (source), n
+)
+SELECT cs.source,
+       cs.c_s AS n_tokens,
+       cs.vocab AS vocab_size,
+       CAST(CAST(sum(terms.term) AS BIGINT) + cs.c_s * n.c AS DOUBLE)
+         / CAST(2 * cs.c_s * n.c AS DOUBLE) AS tv_dist
+FROM terms JOIN cs USING (source), n
+GROUP BY cs.source, cs.c_s, cs.vocab, n.c
+""",
+    tags=("llm", "corpus", "drift"),
+)
+def t_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: total-variation distance between
+    each source's token distribution and the whole corpus's.
+
+    TV(s) = ½·Σ_t |c_st/C_s − c_t/C| — the composition-shift monitor a
+    pipeline alerts on when an ingest source starts sending different
+    content. Rewritten for exact arithmetic: tokens absent from the
+    source contribute c_t·C_s, and Σ_t c_t = C, so
+
+        TV(s) = [Σ_{t∈s}(|c_st·C − c_t·C_s| − c_t·C_s) + C_s·C]
+                / (2·C_s·C)
+
+    needs only tokens PRESENT in the source. The sum is exact BIGINT
+    (order-independent); one final double division makes both engines
+    bit-identical — no logs, no float accumulation.
+
+    Plan: explode → (source, token) partial-agg (the only full-data
+    shuffle); corpus token counts reuse that aggregate (no second
+    scan); C is a broadcast 1-row scalar, never a driver collect; the
+    per-source totals join is source-keyed (tiny). At 100 TB the
+    token-keyed join is vocabulary-sized — AQE broadcasts it while the
+    vocab fits, shuffle-joins beyond. BIGINT bound: the summed terms
+    total ≤ 2·C_s·C, so products stay exact through ~3·10⁹ corpus
+    tokens per 1 source-token (rescale counts to per-million, or go
+    DECIMAL(38,0), beyond that).
+
+    Reference parity: BaronBatch has no corpus monitor; this extends
+    its quality-rollup family (dashboard/app.py aggregate panels) to
+    distribution level.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(X.tokens("text")).alias("tok")
+    )
+    st = tok.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    t = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    cs = st.groupBy("source").agg(
+        F.sum("c_st").alias("c_s"), F.count("*").alias("vocab")
+    )
+    n = t.agg(F.sum("c_t").alias("c"))
+    terms = (
+        st.join(t, "tok")
+        .join(cs, "source")
+        .join(F.broadcast(n))  # 1-row scalar, same shape as t_tfidf
+        .select(
+            "source",
+            (
+                F.abs(F.col("c_st") * F.col("c") - F.col("c_t") * F.col("c_s"))
+                - F.col("c_t") * F.col("c_s")
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(F.sum("term").alias("num_part"))
+        .join(cs, "source")
+        .join(F.broadcast(n))
+        .select(
+            "source",
+            F.col("c_s").alias("n_tokens"),
+            F.col("vocab").alias("vocab_size"),
+            (
+                (F.col("num_part") + F.col("c_s") * F.col("c")).cast("double")
+                / (F.lit(2) * F.col("c_s") * F.col("c")).cast("double")
+            ).alias("tv_dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap: MinHash-estimated + exact Jaccard per source pair
+# ---------------------------------------------------------------------------
+
+def _source_overlap_sql() -> str:
+    mins = ",\n       ".join(
+        f"min(({a}::BIGINT * h + {b}) % {X.POLY_P}) AS m{j}"
+        for j, (a, b) in enumerate(zip(D.MINHASH_A, D.MINHASH_B))
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END"
+        for j in range(D.MINHASH_K)
+    )
+    return f"""
+WITH sh AS (
+    SELECT DISTINCT source, h
+    FROM (SELECT source, unnest({_SQL_SHINGLE_HASHES}) AS h FROM documents)
+),
+sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+sig AS (
+    SELECT source,
+       {mins}
+    FROM sh GROUP BY source
+),
+inter AS (
+    SELECT l.source AS src_a, r.source AS src_b, count(*) AS n_inter
+    FROM sh l JOIN sh r ON l.h = r.h AND l.source < r.source
+    GROUP BY l.source, r.source
+),
+grid AS (
+    SELECT sa.source AS src_a, sb.source AS src_b, sa.n AS n_a, sb.n AS n_b
+    FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+)
+SELECT g.src_a, g.src_b, g.n_a, g.n_b,
+       COALESCE(i.n_inter, 0) AS n_inter,
+       CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         / CAST(g.n_a + g.n_b - COALESCE(i.n_inter, 0) AS DOUBLE)
+         AS exact_jaccard,
+       ({matches}) AS sig_matches,
+       CAST(({matches}) AS DOUBLE) / {D.MINHASH_K}.0 AS est_jaccard
+FROM grid g
+LEFT JOIN inter i ON g.src_a = i.src_a AND g.src_b = i.src_b
+JOIN sig a ON g.src_a = a.source
+JOIN sig b ON g.src_b = b.source
+"""
+
+
+@register(
+    "d_source_overlap",
+    oracle=_source_overlap_sql(),
+    tags=("llm", "corpus", "dedup", "minhash"),
+)
+def d_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level content overlap: exact shingle-set Jaccard
+    next to its MinHash estimate, per source pair — the provenance
+    audit that catches one ingest source mirroring another (and a
+    live calibration of the MinHash estimator against ground truth).
+
+    MinHash's set-union property does the heavy lifting: a source's
+    signature component j is min over ALL its shingles of h_j — a
+    plain groupBy min, so per-source signatures cost one partial-agg
+    shuffle over (source, shingle) rows, identical constants to the
+    per-document family (operators/dedup.py MINHASH_A/B).
+
+    Plan at 100 TB: shingle explode → (source, h) distinct (partial
+    agg); sizes + 16 signature mins fold map-side to |sources| rows;
+    exact intersections are a shingle-keyed self-join — the one real
+    shuffle, linear in distinct (source, shingle) pairs, skew-salted
+    by AQE if one shingle spans many sources. The pair grid is
+    |sources|² — sources are a catalog dimension (thousands at most),
+    so grid and signatures broadcast.
+
+    Estimates divide small ints once (matches/16); exact Jaccard
+    divides BIGINTs once — both bit-stable across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "source", F.explode(X.shingle_hashes("text", 3)).alias("h")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    sig = sh.groupBy("source").agg(
+        *[
+            F.min(
+                (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(X.POLY_P)
+            ).alias(f"m{j}")
+            for j, (a, b) in enumerate(zip(D.MINHASH_A, D.MINHASH_B))
+        ]
+    )
+    inter = (
+        sh.alias("l")
+        .join(
+            sh.alias("r"),
+            (F.col("l.h") == F.col("r.h"))
+            & (F.col("l.source") < F.col("r.source")),
+        )
+        .groupBy(
+            F.col("l.source").alias("src_a"), F.col("r.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    grid = (
+        sizes.alias("sa")
+        .join(
+            F.broadcast(sizes.alias("sb")),
+            F.col("sa.source") < F.col("sb.source"),
+        )
+        .select(
+            F.col("sa.source").alias("src_a"),
+            F.col("sb.source").alias("src_b"),
+            F.col("sa.n").alias("n_a"),
+            F.col("sb.n").alias("n_b"),
+        )
+    )
+    matches = sum(
+        F.when(F.col(f"a.m{j}") == F.col(f"b.m{j}"), 1).otherwise(0)
+        for j in range(D.MINHASH_K)
+    )
+    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+    return (
+        grid.join(inter, ["src_a", "src_b"], "left")
+        .join(F.broadcast(sig.alias("a")), F.col("src_a") == F.col("a.source"))
+        .join(F.broadcast(sig.alias("b")), F.col("src_b") == F.col("b.source"))
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            n_inter.alias("n_inter"),
+            (
+                n_inter.cast("double")
+                / (F.col("n_a") + F.col("n_b") - n_inter).cast("double")
+            ).alias("exact_jaccard"),
+            matches.alias("sig_matches"),
+            (matches.cast("double") / F.lit(float(D.MINHASH_K))).alias(
+                "est_jaccard"
+            ),
+        )
+    )

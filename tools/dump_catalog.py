@@ -18,6 +18,7 @@ GROUPS = {
     "catalog_heavy": "TPC-H shapes / pivots / approx / profiling",
     "catalog_sql": "Spark SQL surface",
     "catalog_llm": "LLM data ops: text / dedup / similarity / multimodal",
+    "catalog_corpus": "Corpus monitoring: drift / cross-source overlap",
     "catalog_curation": "Corpus curation",
     "catalog_streaming": "Streaming batch-twins",
 }
