@@ -99,9 +99,11 @@ _PRIORITY: tuple[str, ...] = (
     # --- shape changed this round: needs a fresh row ---
     "d_bloom_dedup",  # ground-truth digest join replaced forced broadcast
     "j_range_join",  # full-microsecond-precision bounds (operator+oracle)
-    # --- new this round: corpus-level monitoring family ---
+    # --- new this round: corpus monitoring / sketch state / layout ---
     "t_corpus_drift",  # per-source TV drift vs corpus distribution
     "d_source_overlap",  # pairwise source MinHash + exact Jaccard
+    "a_hll_union",  # mergeable HLL sketch state (union invariant)
+    "q_zorder_layout",  # Morton-bucket clustering audit
     # --- flagship + one sentinel per family (r01/r02 rows on file) ---
     "flagship_player_stats",
     "t_token_stats",  # text analysis
@@ -112,8 +114,6 @@ _PRIORITY: tuple[str, ...] = (
     "s_ivf_topk",  # IVF pruned ANN
     "s_kmeans_assign",  # Lloyd trainer
     "mm_features",  # multimodal plumbing
-    "t_contamination",  # curation: decontamination
-    "t_mixture_sample",  # curation: mixture sampling
     "t_corpus_dedup",  # LSH keep-one pipeline
     "w1_retention_trim",  # window top-N-per-key
     "w_sessionize",  # gap sessionization
@@ -156,6 +156,9 @@ WINDOW_EXEMPT: dict[str, str] = {
     "st_dedup_ingest": "st_sliding_agg",  # r02-green, yields its slot
     # set ops — r02-green (set_intersect stays in-window)
     "set_ops": "set_intersect",
+    # curation — r02-green; the in-window capstone composes both stages
+    "t_contamination": "t_training_set",
+    "t_mixture_sample": "t_training_set",
     # SQL surface — r02-green
     "q_sql_exists": "q_sql_recursive",
     "q_sql_scalar_subquery": "q_sql_recursive",

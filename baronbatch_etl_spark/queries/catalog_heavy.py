@@ -818,3 +818,142 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketch state + multidimensional layout clustering
+# ---------------------------------------------------------------------------
+
+@register(
+    "a_hll_union",
+    # Datasketches HLL binaries are engine-specific, so (like
+    # a_approx_distinct) the oracle checks the exact count plus the
+    # invariant the union of per-group sketches must satisfy.
+    oracle="""
+SELECT count(DISTINCT event_type) AS n_sketches,
+       count(DISTINCT user_id) AS exact_users,
+       true AS union_ok
+FROM events
+""",
+    tags=("agg", "approx", "sketch"),
+)
+def a_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable cardinality state: one Datasketches HLL sketch per
+    event_type, then a sketch-level union for the corpus estimate —
+    the re-aggregatable pattern behind incremental distinct counts at
+    100 TB (store per-day/per-partition sketches once; answer any
+    rollup later by unioning bytes, never rescanning the fact table).
+
+    ``a_approx_distinct`` shows the one-shot estimator; this one shows
+    the two-level state: hll_sketch_agg → persistable binary →
+    hll_union_agg → estimate. The union estimate must match a direct
+    whole-table sketch within HLL's error envelope (union of HLLs over
+    a partition of the data is lossless at equal lgConfigK), so
+    ``union_ok`` checks |union_est − exact| ≤ 5%·exact (≈3× the
+    lgConfigK=12 rsd).
+
+    Plan: one partial-agg shuffle to |event_type| sketch rows, then a
+    1-row union — no second scan, no expand.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sketches = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    unioned = sketches.agg(
+        F.count("*").alias("n_sketches"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_union_est"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    return unioned.join(F.broadcast(exact)).select(
+        "n_sketches",
+        "exact_users",
+        (
+            F.abs(F.col("_union_est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("union_ok"),
+    )
+
+
+def _z_terms(x: str, y: str, bits: int, spark_dialect: bool) -> str:
+    """16-bit Morton (z-order) interleave of two ``bits``-bit ints."""
+    if spark_dialect:
+        parts = [
+            f"shiftleft((shiftright({x}, {i}) & 1) + 0, {2 * i}) + "
+            f"shiftleft((shiftright({y}, {i}) & 1) + 0, {2 * i + 1})"
+            for i in range(bits)
+        ]
+    else:
+        parts = [
+            f"((({x} >> {i}) & 1) << {2 * i}) + "
+            f"((({y} >> {i}) & 1) << {2 * i + 1})"
+            for i in range(bits)
+        ]
+    return " + ".join(parts)
+
+
+_Z_SPARK = _z_terms("_zx", "_zy", 8, True)
+_Z_DUCK = _z_terms("zx", "zy", 8, False)
+
+
+@register(
+    "q_zorder_layout",
+    oracle=f"""
+WITH d AS (
+    SELECT o_custkey % 256 AS zx,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 256
+             AS zy
+    FROM orders
+),
+z AS (SELECT zx, zy, ({_Z_DUCK}) AS zval FROM d)
+SELECT zval // 4096 AS z_bucket,
+       count(*) AS n,
+       min(zx) AS min_cust, max(zx) AS max_cust,
+       min(zy) AS min_day, max(zy) AS max_day,
+       max(zx) - min(zx) + 1 AS cust_span,
+       max(zy) - min(zy) + 1 AS day_span
+FROM z GROUP BY z_bucket
+""",
+    tags=("layout", "zorder"),
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) multidimensional clustering audit: interleave
+    the low 8 bits of customer and order-day, bucket rows by the top 4
+    z-bits, and report each bucket's span in BOTH dimensions.
+
+    This is the layout a 100 TB table writer uses so that file-level
+    min/max stats prune scans on EITHER predicate column: sort by
+    ``zval`` before writing (``repartition(n, z_bucket)`` +
+    ``sortWithinPartitions(zval)``) and every output file covers a
+    small rectangle of (customer, day) space — here each of the 16
+    buckets spans ≤ 64 of 256 values per dimension (top 2 bits of each
+    dim pinned), vs a 1-D sort where the second column's span stays
+    full-range. The audit query itself is one partial-agg shuffle on a
+    row-local expression; cheap enough to run after every compaction.
+
+    Deterministic on purpose: bit-prefix buckets, not sampled
+    repartitionByRange boundaries, so the oracle hash-matches.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        (F.col("o_custkey") % 256).alias("_zx"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1995-01-01").cast("date"),
+            )
+            % 256
+        ).cast("bigint").alias("_zy"),
+    )
+    z = d.select("_zx", "_zy", F.expr(_Z_SPARK).alias("zval"))
+    return (
+        z.groupBy((F.col("zval") / 4096).cast("bigint").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("_zx").alias("min_cust"),
+            F.max("_zx").alias("max_cust"),
+            F.min("_zy").alias("min_day"),
+            F.max("_zy").alias("max_day"),
+            (F.max("_zx") - F.min("_zx") + 1).alias("cust_span"),
+            (F.max("_zy") - F.min("_zy") + 1).alias("day_span"),
+        )
+    )
