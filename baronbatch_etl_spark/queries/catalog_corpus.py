@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from baronbatch_etl_spark.io import load_table
+from baronbatch_etl_spark.operators import corpus as C
 from baronbatch_etl_spark.operators import dedup as D
 from baronbatch_etl_spark.operators import text as X
 from baronbatch_etl_spark.queries import register
@@ -85,45 +86,17 @@ def t_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: BaronBatch has no corpus monitor; this extends
     its quality-rollup family (dashboard/app.py aggregate panels) to
-    distribution level.
+    distribution level. The TV fold itself lives in
+    operators/corpus.py, shared with the streaming drift monitor
+    (streaming/ops.py drift_monitor_ingest/read_drift) — counts are
+    the mergeable state, so both paths produce identical bits.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "source", F.explode(X.tokens("text")).alias("tok")
     )
     st = tok.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
-    t = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
-    cs = st.groupBy("source").agg(
-        F.sum("c_st").alias("c_s"), F.count("*").alias("vocab")
-    )
-    n = t.agg(F.sum("c_t").alias("c"))
-    terms = (
-        st.join(t, "tok")
-        .join(cs, "source")
-        .join(F.broadcast(n))  # 1-row scalar, same shape as t_tfidf
-        .select(
-            "source",
-            (
-                F.abs(F.col("c_st") * F.col("c") - F.col("c_t") * F.col("c_s"))
-                - F.col("c_t") * F.col("c_s")
-            ).alias("term"),
-        )
-    )
-    return (
-        terms.groupBy("source")
-        .agg(F.sum("term").alias("num_part"))
-        .join(cs, "source")
-        .join(F.broadcast(n))
-        .select(
-            "source",
-            F.col("c_s").alias("n_tokens"),
-            F.col("vocab").alias("vocab_size"),
-            (
-                (F.col("num_part") + F.col("c_s") * F.col("c")).cast("double")
-                / (F.lit(2) * F.col("c_s") * F.col("c")).cast("double")
-            ).alias("tv_dist"),
-        )
-    )
+    return C.tv_drift_from_counts(st)
 
 
 # ---------------------------------------------------------------------------
@@ -202,11 +175,24 @@ def d_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     divides BIGINTs once — both bit-stable across engines.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # Arrow-vectorized shingle hasher (same arithmetic as the
+    # expression version — parity-tested in test_fast_parity.py):
+    # the char-level Horner fold is the hot loop here, and numpy does
+    # it ~10× faster than nested SQL transforms.
+    from baronbatch_etl_spark.operators.fast_text import shingle_hashes_fast
+
     sh = (
         docs.select(
-            "source", F.explode(X.shingle_hashes("text", 3)).alias("h")
+            "source", F.explode(shingle_hashes_fast(F.col("text"))).alias("h")
         )
         .distinct()
+        # six consumers (sizes ×2 via the grid, signatures ×2, both
+        # self-join sides) would each replay the Arrow hash + explode
+        # + distinct shuffle — materialize the vocabulary-sized set
+        # once instead (same localCheckpoint pattern as
+        # d_dup_clusters; blocks are context-cleaned when the frame
+        # goes out of scope, unlike cache entries)
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
     sig = sh.groupBy("source").agg(

@@ -573,3 +573,71 @@ def with_ingest_metrics(events: DataFrame, name: str = "ingest") -> DataFrame:
             F.lit(0),
         ).cast("long").alias("null_users"),
     )
+
+
+SOURCED_DOCS_DDL = (
+    "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+)
+
+
+def stream_sourced_docs(
+    spark: SparkSession, src_dir: str, glob: str = "*.parquet"
+) -> DataFrame:
+    """File-source stream of provenance-tagged documents (the full
+    fixture schema incl. ``source``) — input to the drift monitor."""
+    return (
+        spark.readStream.format("parquet")
+        .schema(SOURCED_DOCS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", glob)
+        .load(src_dir)
+    )
+
+
+def drift_monitor_ingest(
+    docs: DataFrame, stats_path: str, query_name: str = "drift"
+):
+    """Streaming twin of ``t_corpus_drift``: each micro-batch folds to
+    (source, tok, c_st) token-count partials written to
+    ``{stats_path}/epoch=<id>`` — the same epoch-keyed idempotent sink
+    as incremental_gold (a retried batch overwrites its own epoch, so
+    at-least-once delivery folds to exactly-once counts).
+
+    Counts are the mergeable drift state: ``read_drift`` re-sums them
+    and applies the shared exact-integer TV fold
+    (operators/corpus.py), so the monitor's answer is bit-identical to
+    the batch query over the same documents — no text is retained,
+    only vocabulary-sized counts per epoch.
+    """
+    from baronbatch_etl_spark.operators import text as X
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        (
+            batch.select(
+                "source", F.explode(X.tokens("text")).alias("tok")
+            )
+            .groupBy("source", "tok")
+            .agg(F.count("*").alias("c_st"))
+            .write.mode("overwrite")
+            .parquet(f"{stats_path}/epoch={epoch_id}")
+        )
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+
+
+def read_drift(spark: SparkSession, stats_path: str) -> DataFrame:
+    """Fold the per-epoch token-count partials into current per-source
+    TV drift (the read side of drift_monitor_ingest)."""
+    from baronbatch_etl_spark.operators import corpus as C
+
+    st = (
+        spark.read.parquet(stats_path)
+        .groupBy("source", "tok")
+        .agg(F.sum("c_st").alias("c_st"))
+    )
+    return C.tv_drift_from_counts(st)

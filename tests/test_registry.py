@@ -95,6 +95,8 @@ def test_checker_window_names_resolve():
         assert variant in REGISTRY, variant
         assert sibling in window, f"{variant}'s sibling {sibling} not in window"
     # the north-star families hold their slots
+    # (t_training_set carries the curation slot — it composes
+    # t_contamination/t_mixture_sample, parked in WINDOW_EXEMPT)
     for must in ("flagship_player_stats", "d_minhash_lsh", "t_corpus_dedup",
-                 "s_kmeans_assign", "t_contamination", "st_tumbling_agg"):
+                 "s_kmeans_assign", "t_training_set", "st_tumbling_agg"):
         assert must in window, must

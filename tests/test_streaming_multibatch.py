@@ -332,3 +332,66 @@ def test_ivf_ingest_matches_batch_assignment_and_prunes(
     assert "PartitionFilters: [isnotnull(cell" in plan.replace("#", "")[:100000]
     # the query vector itself was ingested → it is its own top hit
     assert rows[0].vec_id == seeds[2].vec_id
+
+
+def test_multibatch_drift_monitor_matches_batch(spark, sf_dir, tmp_path):
+    # stream the documents table in 3 files; the folded drift state
+    # must equal the batch t_corpus_drift answer bit-for-bit (shared
+    # exact-integer TV fold over mergeable counts)
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = ops.stream_sourced_docs(spark, src)
+    stats_path = str(tmp_path / "drift_stats")
+    q = ops.drift_monitor_ingest(stream, stats_path, "mb_drift").start()
+    try:
+        q.awaitTermination(120)
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert n_batches >= 3, n_batches
+
+    from baronbatch_etl_spark.queries import load_all
+
+    want = {
+        r.source: (r.n_tokens, r.vocab_size, r.tv_dist)
+        for r in load_all()["t_corpus_drift"].fn(spark, sf_dir).collect()
+    }
+    got = {
+        r.source: (r.n_tokens, r.vocab_size, r.tv_dist)
+        for r in ops.read_drift(spark, stats_path).collect()
+    }
+    assert got == want  # exact equality incl. the IEEE division
+
+
+def test_drift_monitor_epoch_idempotent(spark, tmp_path):
+    # replaying an epoch overwrites its own directory: counts don't
+    # double, so at-least-once delivery folds to exactly-once state
+    from pyspark.sql import Row
+
+    batch = spark.createDataFrame(
+        [Row(doc_id=1, text="a a b", lang="en", source="A", n_chars=5),
+         Row(doc_id=2, text="a b b", lang="en", source="B", n_chars=5)]
+    )
+    stats_path = str(tmp_path / "drift_stats")
+    # drive the epoch fold directly (same body as the foreachBatch
+    # sink), replaying epoch 0 to model at-least-once delivery
+    from pyspark.sql import functions as F
+
+    from baronbatch_etl_spark.operators import text as X
+
+    def write_epoch(b, e):
+        (
+            b.select("source", F.explode(X.tokens("text")).alias("tok"))
+            .groupBy("source", "tok")
+            .agg(F.count("*").alias("c_st"))
+            .write.mode("overwrite")
+            .parquet(f"{stats_path}/epoch={e}")
+        )
+
+    write_epoch(batch, 0)
+    write_epoch(batch, 0)  # replay
+    out = {r.source: r.tv_dist for r in ops.read_drift(spark, stats_path).collect()}
+    assert out["A"] == pytest.approx(1 / 6, abs=1e-15)
+    assert out["B"] == pytest.approx(1 / 6, abs=1e-15)
