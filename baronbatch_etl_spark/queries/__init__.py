@@ -104,6 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "d_source_overlap",  # pairwise source MinHash + exact Jaccard
     "a_hll_union",  # mergeable HLL sketch state (union invariant)
     "q_zorder_layout",  # Morton-bucket clustering audit
+    "a_cms_heavy_hitters",  # count-min grid, bit-exact oracle
     # --- flagship + one sentinel per family (r01/r02 rows on file) ---
     "flagship_player_stats",
     "t_token_stats",  # text analysis
@@ -120,7 +121,6 @@ _PRIORITY: tuple[str, ...] = (
     "st_tumbling_agg",  # streaming batch-twin
     "q_sql_recursive",  # SQL surface
     "j1_broadcast_dim_lookup",  # join family
-    "a1_dup_finder",  # agg family
 )
 
 #: Family variants parked just outside the ~50-slot checker window:
@@ -168,6 +168,9 @@ WINDOW_EXEMPT: dict[str, str] = {
     "w_rank_lag_lead": "w_ntile_battery",  # same ranking-window shapes
     "w_range_frame": "w_running_sum",  # same window-frame machinery
     "w_resample_ffill": "w_sessionize",  # same union+carry window core
+    # agg family sentinel — r02-green; yields its slot to the new
+    # a_cms_heavy_hitters (flagship exercises the same group+agg core)
+    "a1_dup_finder": "flagship_player_stats",
 }
 
 _PRIORITY = _PRIORITY + tuple(WINDOW_EXEMPT)

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from baronbatch_etl_spark.functions.scalars import round_half_up, sql_round
 from baronbatch_etl_spark.io import load_table
+from baronbatch_etl_spark.operators import text as X
 from baronbatch_etl_spark.queries import register
 
 # exact decimal revenue term: price(18,2) × (1 − disc(18,2)).
@@ -955,5 +956,138 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("_zy").alias("max_day"),
             (F.max("_zx") - F.min("_zx") + 1).alias("cust_span"),
             (F.max("_zy") - F.min("_zy") + 1).alias("day_span"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable heavy-hitter frequency state
+# ---------------------------------------------------------------------------
+
+#: CMS geometry: d independent hash rows × w counters per row. The
+#: standard bound: est − true ≤ e·N/w with prob ≥ 1 − e^(−d) — here a
+#: d·w = 4·512 = 2048-cell BIGINT grid, ~16 KiB of mergeable state.
+CMS_D = 4
+CMS_W = 512
+CMS_A = (131, 137, 139, 149)
+CMS_B = (17, 19, 23, 29)
+CMS_TOPK = 20
+
+
+def _cms_bucket_sql(j: int, hv: str) -> str:
+    return f"(({CMS_A[j]} * {hv} + {CMS_B[j]}) % {X.POLY_P}) % {CMS_W}"
+
+
+def _cms_oracle() -> str:
+    bucket_rows = "\n    UNION ALL ".join(
+        f"SELECT {j} AS j, {_cms_bucket_sql(j, 'hv')} AS bucket, c FROM h\n"
+        for j in range(CMS_D)
+    )
+    cand_rows = "\n    UNION ALL ".join(
+        f"SELECT tok, c, {j} AS j, {_cms_bucket_sql(j, 'hv')} AS bucket "
+        f"FROM cand\n"
+        for j in range(CMS_D)
+    )
+    return f"""
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+h AS (SELECT tok, c, {X.sql_char_poly_hash('tok')} AS hv FROM cnt),
+buck AS (
+    {bucket_rows}
+),
+cms AS (SELECT j, bucket, CAST(sum(c) AS BIGINT) AS cell
+        FROM buck GROUP BY j, bucket),
+cand AS (SELECT tok, c, hv FROM h ORDER BY c DESC, tok LIMIT {CMS_TOPK}),
+cb AS (
+    {cand_rows}
+),
+est AS (
+    SELECT cb.tok, cb.c, min(cms.cell) AS cms_est
+    FROM cb JOIN cms USING (j, bucket) GROUP BY cb.tok, cb.c
+)
+SELECT tok, c AS exact_count, cms_est,
+       cms_est >= c AS no_undercount
+FROM est
+"""
+
+
+@register(
+    "a_cms_heavy_hitters",
+    oracle=_cms_oracle(),
+    tags=("agg", "approx", "sketch"),
+)
+def a_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream: fold every token
+    into a d×w counter grid, then read the top-k tokens' estimates
+    back out next to their exact counts — the mergeable frequency
+    state behind streaming heavy-hitter monitors (cells are plain
+    sums, so per-partition / per-epoch grids union by adding, the
+    same counts-are-the-state pattern as t_corpus_drift and
+    a_hll_union's sketch bytes).
+
+    Deterministic on purpose (fixed row constants over the portable
+    polynomial hash, integer cells, no floats), so unlike opaque
+    sketch binaries the WHOLE grid is oracle-checkable bit-for-bit;
+    ``no_undercount`` asserts the CMS guarantee est ≥ true on every
+    probed token.
+
+    Plan: token explode → vocab partial agg is the only full-data
+    shuffle (identical shape to t_token_topk); the grid folds the
+    vocab to 2048 cells map-side; candidates are TakeOrderedAndProject
+    (no single-partition window sort); the probe joins the broadcast
+    grid. At 100 TB nothing downstream of the vocab agg grows with
+    the data — and a real deployment can skip the exact-count agg
+    entirely and fold raw tokens straight into per-partition grids.
+
+    Reference parity: extends the counting family
+    (dashboard/app.py:114 aggregate counters) with bounded-memory
+    approximate state; not in the reference.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    h = cnt.select("tok", "c", X.char_poly_hash(F.col("tok")).alias("hv"))
+
+    def _buckets():
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            (F.lit(CMS_A[j]) * F.col("hv") + F.lit(CMS_B[j]))
+                            % F.lit(X.POLY_P)
+                            % F.lit(CMS_W)
+                        ).alias("bucket"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("jb")
+
+    cms = (
+        h.select(_buckets(), "c")
+        .select(F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"), "c")
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").alias("cell"))
+    )
+    cand = h.orderBy(F.desc("c"), F.asc("tok")).limit(CMS_TOPK)
+    probes = cand.select("tok", "c", _buckets()).select(
+        "tok", "c", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("tok", "c")
+        .agg(F.min("cell").alias("cms_est"))
+        .select(
+            "tok",
+            F.col("c").alias("exact_count"),
+            "cms_est",
+            (F.col("cms_est") >= F.col("c")).alias("no_undercount"),
         )
     )
