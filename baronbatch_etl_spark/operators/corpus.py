@@ -1,17 +1,20 @@
-"""Corpus-level distribution monitoring, shared by the batch query
-(queries/catalog_corpus.py) and the streaming drift monitor
-(streaming/ops.py): total-variation drift from (source, token, count)
-partials.
+"""Corpus-level distribution monitoring, shared by the batch queries
+(queries/catalog_corpus.py, catalog_heavy.py) and the streaming
+monitors (streaming/ops.py): total-variation drift from
+(source, token, count) partials, and the count-min sketch grid.
 
 Counts are the mergeable state — they sum across micro-batches /
-epochs / shards, so any holder of per-partition token counts can
-compute the corpus drift without rescanning text.
+epochs / shards, so any holder of per-partition token counts (or
+per-partition CMS grids) can answer the corpus question without
+rescanning text.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from baronbatch_etl_spark.operators.text import POLY_P
 
 
 def tv_drift_from_counts(st: DataFrame) -> DataFrame:
@@ -67,4 +70,55 @@ def tv_drift_from_counts(st: DataFrame) -> DataFrame:
                 / (F.lit(2) * F.col("c_s") * F.col("c")).cast("double")
             ).alias("tv_dist"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch grid (shared by a_cms_heavy_hitters and the
+# streaming cms_monitor_ingest)
+# ---------------------------------------------------------------------------
+
+#: CMS geometry: d independent hash rows × w counters per row. The
+#: standard bound: est − true ≤ e·N/w with prob ≥ 1 − e^(−d) — here a
+#: d·w = 4·512 = 2048-cell BIGINT grid, ~16 KiB of mergeable state.
+CMS_D = 4
+CMS_W = 512
+CMS_A = (131, 137, 139, 149)
+CMS_B = (17, 19, 23, 29)
+
+
+def cms_buckets(hv: Column) -> Column:
+    """array<struct<j,bucket>>: the d (row, bucket) cells a hashed
+    token touches. Fixed constants over the portable polynomial hash,
+    so Spark and the DuckDB oracle agree bit-for-bit."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    (F.lit(CMS_A[j]) * hv + F.lit(CMS_B[j]))
+                    % F.lit(POLY_P)
+                    % F.lit(CMS_W)
+                ).alias("bucket"),
+            )
+            for j in range(CMS_D)
+        ]
+    )
+
+
+def cms_grid_from_hashes(
+    hashed: DataFrame, weight: str | None = None
+) -> DataFrame:
+    """Fold a frame with a token-hash column ``hv`` (optionally
+    pre-counted via ``weight``) into the (j, bucket, cell) grid.
+
+    Cells are plain BIGINT sums, so grids built over any partition of
+    the data — per micro-batch, per shard, per day — merge by adding
+    cells: groupBy (j, bucket) + sum is the union operator.
+    """
+    w = F.col(weight) if weight else F.lit(1).cast("long")
+    return (
+        hashed.select(F.explode(cms_buckets(F.col("hv"))).alias("jb"), w.alias("_w"))
+        .groupBy(F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+        .agg(F.sum("_w").alias("cell"))
     )

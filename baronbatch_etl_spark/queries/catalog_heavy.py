@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from baronbatch_etl_spark.functions.scalars import round_half_up, sql_round
 from baronbatch_etl_spark.io import load_table
+from baronbatch_etl_spark.operators import corpus as CP
 from baronbatch_etl_spark.operators import text as X
 from baronbatch_etl_spark.queries import register
 
@@ -964,29 +965,24 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Count-min sketch: mergeable heavy-hitter frequency state
 # ---------------------------------------------------------------------------
 
-#: CMS geometry: d independent hash rows × w counters per row. The
-#: standard bound: est − true ≤ e·N/w with prob ≥ 1 − e^(−d) — here a
-#: d·w = 4·512 = 2048-cell BIGINT grid, ~16 KiB of mergeable state.
-CMS_D = 4
-CMS_W = 512
-CMS_A = (131, 137, 139, 149)
-CMS_B = (17, 19, 23, 29)
 CMS_TOPK = 20
 
 
 def _cms_bucket_sql(j: int, hv: str) -> str:
-    return f"(({CMS_A[j]} * {hv} + {CMS_B[j]}) % {X.POLY_P}) % {CMS_W}"
+    return (
+        f"(({CP.CMS_A[j]} * {hv} + {CP.CMS_B[j]}) % {X.POLY_P}) % {CP.CMS_W}"
+    )
 
 
 def _cms_oracle() -> str:
     bucket_rows = "\n    UNION ALL ".join(
         f"SELECT {j} AS j, {_cms_bucket_sql(j, 'hv')} AS bucket, c FROM h\n"
-        for j in range(CMS_D)
+        for j in range(CP.CMS_D)
     )
     cand_rows = "\n    UNION ALL ".join(
         f"SELECT tok, c, {j} AS j, {_cms_bucket_sql(j, 'hv')} AS bucket "
         f"FROM cand\n"
-        for j in range(CMS_D)
+        for j in range(CP.CMS_D)
     )
     return f"""
 WITH tok AS (
@@ -1051,33 +1047,18 @@ def a_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
     )
-    h = cnt.select("tok", "c", X.char_poly_hash(F.col("tok")).alias("hv"))
+    # two consumers (grid fold + candidate top-k) would each replay
+    # the full-data token shuffle — materialize the vocab-sized
+    # aggregate once (same pattern as d_source_overlap)
+    h = cnt.select(
+        "tok", "c", X.char_poly_hash(F.col("tok")).alias("hv")
+    ).localCheckpoint(eager=False)
 
-    def _buckets():
-        return F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        (
-                            (F.lit(CMS_A[j]) * F.col("hv") + F.lit(CMS_B[j]))
-                            % F.lit(X.POLY_P)
-                            % F.lit(CMS_W)
-                        ).alias("bucket"),
-                    )
-                    for j in range(CMS_D)
-                ]
-            )
-        ).alias("jb")
-
-    cms = (
-        h.select(_buckets(), "c")
-        .select(F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"), "c")
-        .groupBy("j", "bucket")
-        .agg(F.sum("c").alias("cell"))
-    )
+    cms = CP.cms_grid_from_hashes(h, weight="c")
     cand = h.orderBy(F.desc("c"), F.asc("tok")).limit(CMS_TOPK)
-    probes = cand.select("tok", "c", _buckets()).select(
+    probes = cand.select(
+        "tok", "c", F.explode(CP.cms_buckets(F.col("hv"))).alias("jb")
+    ).select(
         "tok", "c", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket")
     )
     return (

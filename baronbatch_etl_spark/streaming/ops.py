@@ -641,3 +641,55 @@ def read_drift(spark: SparkSession, stats_path: str) -> DataFrame:
         .agg(F.sum("c_st").alias("c_st"))
     )
     return C.tv_drift_from_counts(st)
+
+
+def cms_monitor_ingest(
+    docs: DataFrame, grid_path: str, query_name: str = "cms"
+):
+    """Streaming twin of ``a_cms_heavy_hitters``'s grid build: each
+    micro-batch folds to a partial d×w count-min grid written to
+    ``{grid_path}/epoch=<id>`` — per-batch token counts first (a
+    batch-bounded partial agg), then the shared grid fold
+    (operators/corpus.py), so per-epoch state is ≤ d·w = 2048 BIGINT
+    cells no matter the batch size and no text or vocabulary is
+    retained at all.
+
+    Grids union by cell addition, so ``read_cms``'s re-sum is
+    bit-identical to the batch grid over the same documents. The
+    epoch-keyed overwrite makes at-least-once delivery fold to
+    exactly-once cells (same contract as incremental_gold).
+    """
+    from baronbatch_etl_spark.operators import corpus as C
+    from baronbatch_etl_spark.operators import text as X
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        hashed = (
+            batch.select(F.explode(X.tokens("text")).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("c"))
+            .select(X.char_poly_hash(F.col("tok")).alias("hv"), "c")
+        )
+        (
+            C.cms_grid_from_hashes(hashed, weight="c")
+            .write.mode("overwrite")
+            .parquet(f"{grid_path}/epoch={epoch_id}")
+        )
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+
+
+def read_cms(spark: SparkSession, grid_path: str) -> DataFrame:
+    """Fold the per-epoch partial grids into the current d×w counter
+    grid (the read side of cms_monitor_ingest). Point estimates read
+    as min over the d cells a token hashes to — join
+    operators/corpus.cms_buckets against this frame."""
+    return (
+        spark.read.parquet(grid_path)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cell").alias("cell"))
+    )

@@ -395,3 +395,73 @@ def test_drift_monitor_epoch_idempotent(spark, tmp_path):
     out = {r.source: r.tv_dist for r in ops.read_drift(spark, stats_path).collect()}
     assert out["A"] == pytest.approx(1 / 6, abs=1e-15)
     assert out["B"] == pytest.approx(1 / 6, abs=1e-15)
+
+
+def test_multibatch_cms_monitor_matches_batch(spark, sf_dir, tmp_path):
+    # stream the documents table in 3 files; the summed per-epoch CMS
+    # grids must equal the batch grid over the same corpus cell-for-
+    # cell (grids union by addition — the mergeable-sketch invariant)
+    from baronbatch_etl_spark.operators import corpus as C
+    from baronbatch_etl_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = ops.stream_sourced_docs(spark, src)
+    grid_path = str(tmp_path / "cms_grid")
+    q = ops.cms_monitor_ingest(stream, grid_path, "mb_cms").start()
+    try:
+        q.awaitTermination(120)
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert n_batches >= 3, n_batches
+
+    hashed = (
+        docs.select(F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .select(X.char_poly_hash(F.col("tok")).alias("hv"), "c")
+    )
+    want = {
+        (r.j, r.bucket): r.cell
+        for r in C.cms_grid_from_hashes(hashed, weight="c").collect()
+    }
+    got = {
+        (r.j, r.bucket): r.cell
+        for r in ops.read_cms(spark, grid_path).collect()
+    }
+    assert got == want
+
+
+def test_cms_monitor_epoch_idempotent(spark, tmp_path):
+    # replaying an epoch overwrites its own directory: cells don't
+    # double, so at-least-once delivery folds to exactly-once state
+    from pyspark.sql import Row
+
+    from baronbatch_etl_spark.operators import corpus as C
+    from baronbatch_etl_spark.operators import text as X
+
+    batch = spark.createDataFrame(
+        [Row(doc_id=1, text="a a b"), Row(doc_id=2, text="b c")]
+    )
+    grid_path = str(tmp_path / "cms_grid")
+
+    def write_epoch(b, e):
+        hashed = (
+            b.select(F.explode(X.tokens("text")).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("c"))
+            .select(X.char_poly_hash(F.col("tok")).alias("hv"), "c")
+        )
+        (
+            C.cms_grid_from_hashes(hashed, weight="c")
+            .write.mode("overwrite")
+            .parquet(f"{grid_path}/epoch={e}")
+        )
+
+    write_epoch(batch, 0)
+    write_epoch(batch, 0)  # replay
+    total = sum(r.cell for r in ops.read_cms(spark, grid_path).collect())
+    assert total == 5 * C.CMS_D  # 5 tokens x d rows, counted once
