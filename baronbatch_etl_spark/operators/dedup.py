@@ -115,6 +115,35 @@ def lsh_bands(sig: Column) -> Column:
     return F.array(*keys)
 
 
+def lsh_candidate_pairs(base: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) LSH band-collision candidates from a
+    (doc_id, sig, sh) signature frame — the shared candidate generator
+    for every verify flavor (exact Jaccard, edit distance, ...).
+
+    Docs with no shingles (< n tokens) all share the sentinel
+    signature — banding them would make every short doc a candidate
+    pair with every other (O(n²) on that subset); they can never
+    verify, so they are excluded up front.
+    """
+    banded = base.filter(F.size("sh") > 0).select(
+        "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("band", "key")
+    )
+    # probe side repartitioned: single-file inputs otherwise run the
+    # whole band join in one task (see simhash_near_pairs)
+    left = banded.repartition(F.col("doc_id")).alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, threshold: float = 0.8, n: int = 3
 ) -> DataFrame:
@@ -136,27 +165,7 @@ def minhash_lsh_pairs(
         .select("doc_id", F.col("x.sig").alias("sig"), F.col("x.sh").alias("sh"))
         .cache()
     )
-    # docs with no shingles (< n tokens) all share the sentinel
-    # signature — banding them would make every short doc a candidate
-    # pair with every other (O(n²) on that subset); they can never
-    # verify (empty shingle sets), so exclude them up front
-    banded = base.filter(F.size("sh") > 0).select(
-        "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("band", "key")
-    )
-    # probe side repartitioned: single-file inputs otherwise run the
-    # whole band join in one task (see simhash_near_pairs)
-    left = banded.repartition(F.col("doc_id")).alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = lsh_candidate_pairs(base)
     a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (
@@ -170,6 +179,67 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified
+
+
+def edit_distance_pairs(
+    docs: DataFrame, prefix_len: int = 64, max_dist: int = 8
+) -> DataFrame:
+    """Character-level near-dup pairs: LSH band-collision candidates
+    verified by bounded-prefix Levenshtein ≤ ``max_dist``.
+
+    Edit distance is the strongest (and most expensive) exact
+    verifier, so it never runs all-pairs: candidates come from the
+    shared MinHash banding (`lsh_candidate_pairs` — shuffle only on
+    band keys), and the DP is doubly bounded — on a ``prefix_len``
+    char prefix AND thresholded (Spark's 3-arg ``levenshtein`` stops
+    at ``max_dist+1``, O(k·len) not O(len²); pairs over the threshold
+    return −1 and are filtered). At 100 TB the verify cost is
+    O(candidates · k · prefix_len) — candidate-bounded, like the
+    Jaccard verify.
+
+    Output: (doc_a, doc_b, prefix_dist, prefix_sim) where prefix_sim
+    = 1 − dist/max(|pfx_a|, |pfx_b|) (one IEEE division — oracle
+    bit-stable).
+    """
+    base = (
+        spread(docs)
+        .select(
+            "doc_id",
+            F.substring(F.col("text"), 1, prefix_len).alias("pfx"),
+            sig_and_shingles_fast(F.col("text")).alias("x"),
+        )
+        .select(
+            "doc_id", "pfx",
+            F.col("x.sig").alias("sig"), F.col("x.sh").alias("sh"),
+        )
+        .cache()  # banding + both verification sides reuse it
+    )
+    cand = lsh_candidate_pairs(base)
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pfx_a"))
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pfx_b"))
+    dist = F.levenshtein(F.col("pfx_a"), F.col("pfx_b"), max_dist)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.alias("prefix_dist"),
+            F.greatest(F.length("pfx_a"), F.length("pfx_b")).alias("_m"),
+        )
+        .filter(
+            (F.col("prefix_dist") >= 0) & (F.col("prefix_dist") <= max_dist)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "prefix_dist",
+            (
+                F.lit(1.0)
+                - F.col("prefix_dist").cast("double") / F.col("_m")
+            ).alias("prefix_sim"),
+        )
+    )
 
 
 def connected_components(

@@ -105,10 +105,10 @@ _PRIORITY: tuple[str, ...] = (
     "a_hll_union",  # mergeable HLL sketch state (union invariant)
     "q_zorder_layout",  # Morton-bucket clustering audit
     "a_cms_heavy_hitters",  # count-min grid, bit-exact oracle
+    "d_edit_distance",  # LSH candidates + thresholded Levenshtein verify
     # --- flagship + one sentinel per family (r01/r02 rows on file) ---
     "flagship_player_stats",
     "t_token_stats",  # text analysis
-    "d_exact_dedup",  # exact dedup
     "d_minhash_lsh",  # LSH near-dup
     "d_dup_clusters",  # iterative connected components
     "s_batch_topk",  # brute cosine
@@ -141,6 +141,7 @@ WINDOW_EXEMPT: dict[str, str] = {
     "t_length_filter": "t_outlier_mad",  # same stratum-stats shape
     "t_pack_sequences": "t_training_set",  # capstone runs the packer's shapes
     # dedup — r02-green
+    "d_exact_dedup": "d_bloom_dedup",  # same content-digest machinery
     "d_simhash_pairs": "d_simhash",  # pairs consume the same fingerprint
     "d_ngram_jaccard": "d_minhash_lsh",  # same blocked-pair verify core
     "d_span_dedup": "d_chunk_dedup",  # same segmented-hash dedup core

@@ -540,6 +540,35 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d_edit_distance",
+    # reuses the shared LSH CTE chain for candidates; the `pairs` CTE
+    # (Jaccard verify) is simply unused here
+    oracle=f"""
+WITH {_minhash_ctes()},
+pfx AS (SELECT doc_id, substr(text, 1, 64) AS pfx FROM documents)
+SELECT c.doc_a, c.doc_b,
+       levenshtein(a.pfx, b.pfx) AS prefix_dist,
+       1.0 - CAST(levenshtein(a.pfx, b.pfx) AS DOUBLE)
+           / greatest(length(a.pfx), length(b.pfx)) AS prefix_sim
+FROM cand c
+JOIN pfx a ON c.doc_a = a.doc_id
+JOIN pfx b ON c.doc_b = b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= 8
+""",
+    tags=("llm", "dedup"),
+)
+def d_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs: the shared MinHash-LSH banding
+    generates candidates; a doubly-bounded Levenshtein verifies them
+    (64-char prefix, thresholded DP that stops at k+1 — O(k·len), not
+    O(len²)). The strongest exact verifier in the dedup family, never
+    run all-pairs (operators/dedup.py edit_distance_pairs)."""
+    return D.edit_distance_pairs(
+        load_table(spark, sf_dir, "documents"), prefix_len=64, max_dist=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
