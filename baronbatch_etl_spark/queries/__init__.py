@@ -106,6 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_zorder_layout",  # Morton-bucket clustering audit
     "a_cms_heavy_hitters",  # count-min grid, bit-exact oracle
     "d_edit_distance",  # LSH candidates + thresholded Levenshtein verify
+    "s1_paginated_scan",  # custom Python DataSource (S1 as a source)
     # --- flagship + one sentinel per family (r01/r02 rows on file) ---
     "flagship_player_stats",
     "t_token_stats",  # text analysis
@@ -115,7 +116,6 @@ _PRIORITY: tuple[str, ...] = (
     "s_ivf_topk",  # IVF pruned ANN
     "s_kmeans_assign",  # Lloyd trainer
     "mm_features",  # multimodal plumbing
-    "t_corpus_dedup",  # LSH keep-one pipeline
     "w1_retention_trim",  # window top-N-per-key
     "w_sessionize",  # gap sessionization
     "st_tumbling_agg",  # streaming batch-twin
@@ -160,6 +160,8 @@ WINDOW_EXEMPT: dict[str, str] = {
     # curation — r02-green; the in-window capstone composes both stages
     "t_contamination": "t_training_set",
     "t_mixture_sample": "t_training_set",
+    # LSH keep-one pipeline — r02-green; the capstone runs its stages
+    "t_corpus_dedup": "t_training_set",
     # SQL surface — r02-green
     "q_sql_exists": "q_sql_recursive",
     "q_sql_scalar_subquery": "q_sql_recursive",

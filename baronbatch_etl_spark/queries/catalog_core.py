@@ -654,3 +654,59 @@ def f_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL chunk_windows(d.text) c
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource: the paginated API scan (SURVEY §2.1 S1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s1_paginated_scan",
+    oracle="""
+WITH pages AS (
+    SELECT u.user_id, p.page
+    FROM (SELECT unnest(range(0, 50)) AS user_id) u,
+         (SELECT unnest(range(0, 4)) AS page) p
+),
+ids AS (
+    SELECT user_id, page, page * 25 + i.i AS match_idx,
+           'm-' || CAST(user_id AS VARCHAR) || '-'
+               || CAST(page * 25 + i.i AS VARCHAR) AS match_id
+    FROM pages, (SELECT unnest(range(0, 25)) AS i) i
+)
+SELECT user_id, count(*) AS n_ids, min(match_idx) AS first_idx,
+       max(match_idx) AS last_idx, min(match_id) AS first_id
+FROM ids GROUP BY user_id
+""",
+    tags=("source", "datasource"),
+)
+def s1_paginated_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's paginated REST listing (extractor/main.py:
+    374-402) as a first-class Spark source: a custom Python DataSource
+    whose partition planner IS the pagination — one input partition
+    per (user, page), user_id predicates pushed into the plan to prune
+    pages, per-task throttling where the reference throttled
+    (sources/paged_api.py; streaming twin emits one page per
+    micro-batch with the page as the checkpointed offset).
+
+    The fetch is a deterministic fake in-container, so this query
+    verifies the PLANNER bit-for-bit against a generate_series oracle:
+    50 users × 4 pages × 25 ids, rolled up per user.
+    """
+    from baronbatch_etl_spark.sources import paged_api
+
+    paged_api.register(spark)
+    df = (
+        spark.read.format("paged_api")
+        .option("n_users", 50)
+        .option("pages", 4)
+        .option("page_size", 25)
+        .load()
+    )
+    return df.groupBy("user_id").agg(
+        F.count("*").alias("n_ids"),
+        F.min("match_idx").alias("first_idx"),
+        F.max("match_idx").alias("last_idx"),
+        F.min("match_id").alias("first_id"),
+    )

@@ -95,8 +95,9 @@ def test_checker_window_names_resolve():
         assert variant in REGISTRY, variant
         assert sibling in window, f"{variant}'s sibling {sibling} not in window"
     # the north-star families hold their slots
-    # (t_training_set carries the curation slot — it composes
-    # t_contamination/t_mixture_sample, parked in WINDOW_EXEMPT)
-    for must in ("flagship_player_stats", "d_minhash_lsh", "t_corpus_dedup",
+    # (t_training_set carries the curation AND corpus-dedup slots — it
+    # composes t_contamination/t_mixture_sample/t_corpus_dedup, all
+    # parked in WINDOW_EXEMPT)
+    for must in ("flagship_player_stats", "d_minhash_lsh",
                  "s_kmeans_assign", "t_training_set", "st_tumbling_agg"):
         assert must in window, must

@@ -266,3 +266,107 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
     rows = {r.day: r.payload for r in spark.read.parquet(d).collect()}
     assert rows == {"d1": "old1", "d2": "new2", "d3": "old3"}
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource: paginated API scan (paged_api)
+# ---------------------------------------------------------------------------
+
+
+def test_paged_api_batch_rows_and_partitions(spark):
+    from baronbatch_etl_spark.sources import paged_api
+
+    paged_api.register(spark)
+    df = (
+        spark.read.format("paged_api")
+        .option("n_users", 5)
+        .option("pages", 3)
+        .option("page_size", 4)
+        .load()
+    )
+    assert df.count() == 5 * 3 * 4
+    # pagination IS partition planning: one task per (user, page)
+    assert df.rdd.getNumPartitions() == 5 * 3
+    rows = {(r.user_id, r.match_idx): r.match_id for r in df.collect()}
+    assert rows[(2, 7)] == "m-2-7"  # deterministic fake fetch
+    # filtered read returns exactly one user's pages
+    assert df.filter(F.col("user_id") == 2).count() == 3 * 4
+
+
+def test_paged_api_pushdown_prunes_pages():
+    # in-process unit check of the planner: user_id predicates are
+    # consumed (nothing left over) and the partition plan shrinks to
+    # the matching users' pages only
+    import pyspark.sql.datasource as ds
+
+    from baronbatch_etl_spark.sources.paged_api import PagedApiReader
+
+    opts = {"n_users": "10", "pages": "4", "page_size": "25"}
+    r = PagedApiReader(opts)
+    assert list(r.pushFilters([ds.EqualTo(("user_id",), 7)])) == []
+    assert len(r.partitions()) == 4
+
+    r = PagedApiReader(opts)
+    assert list(r.pushFilters([ds.In(("user_id",), (1, 2, 99))])) == []
+    assert len(r.partitions()) == 2 * 4
+
+    r = PagedApiReader(opts)
+    assert list(r.pushFilters([ds.GreaterThanOrEqual(("user_id",), 8)])) == []
+    assert len(r.partitions()) == 2 * 4
+
+    # filters on other columns are returned unsupported (Spark
+    # re-applies them post-scan) and leave the plan untouched
+    r = PagedApiReader(opts)
+    left = list(r.pushFilters([ds.EqualTo(("page",), 0)]))
+    assert len(left) == 1 and len(r.partitions()) == 10 * 4
+
+
+def test_paged_api_stream_one_page_per_batch(spark, tmp_path):
+    from baronbatch_etl_spark.sources import paged_api
+
+    paged_api.register(spark)
+    stream = (
+        spark.readStream.format("paged_api")
+        .option("n_users", 3)
+        .option("pages", 4)
+        .option("page_size", 2)
+        .load()
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # drained source returns an unchanged offset → terminates
+        q.processAllAvailable()
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    finally:
+        q.stop()
+    out = spark.read.parquet(out_dir)
+    # drained listing: every page exactly once, one page per batch
+    assert out.count() == 3 * 4 * 2
+    assert out.select("page").distinct().count() == 4
+    assert n_batches >= 4
+
+    # restart from the committed offset is a no-op (page=pages)
+    stream2 = (
+        spark.readStream.format("paged_api")
+        .option("n_users", 3)
+        .option("pages", 4)
+        .option("page_size", 2)
+        .load()
+    )
+    q2 = (
+        stream2.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.read.parquet(out_dir).count() == 3 * 4 * 2  # unchanged
