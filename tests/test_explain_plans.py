@@ -288,3 +288,43 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cms_grid_single_full_data_exchange(spark, registry, sf_dir):
+    # the only full-data shuffle is the token partial agg; the grid
+    # fold and candidate top-k reuse the checkpointed vocab — and the
+    # candidates must be TakeOrderedAndProject, not a global sort
+    plan = _plan(spark, registry, "a_cms_heavy_hitters", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # the vocab agg materializes ONCE (checkpoint) and both branches
+    # scan it; the grid itself folds with a map-side partial sum and
+    # reaches the probe as a broadcast
+    assert "Scan ExistingRDD" in plan
+    assert "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_edit_distance_is_candidate_bounded(spark, registry, sf_dir):
+    # LSH banding generates candidates; the DP must be the thresholded
+    # 3-arg form and the plan must never fall back to all-pairs
+    plan = _plan(spark, registry, "d_edit_distance", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan and ", 8)" in plan  # threshold reached the DP
+
+
+def test_paged_api_scan_partitions_are_pages(spark, registry, sf_dir):
+    # pagination IS partition planning: the physical scan fans out one
+    # task per (user, page) — 50 users × 4 pages
+    from baronbatch_etl_spark.sources import paged_api
+
+    paged_api.register(spark)
+    df = (
+        spark.read.format("paged_api")
+        .option("n_users", 50).option("pages", 4).option("page_size", 25)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 200
+    plan = _plan(spark, registry, "s1_paginated_scan", sf_dir)
+    assert "BatchScan paged_api" in plan
