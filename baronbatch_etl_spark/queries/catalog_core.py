@@ -702,6 +702,9 @@ def s1_paginated_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("n_users", 50)
         .option("pages", 4)
         .option("page_size", 25)
+        # bundle one user's pages per task: same 200-page plan, 50
+        # tasks (per-task Python-worker overhead amortized 4×)
+        .option("pages_per_task", 4)
         .load()
     )
     return df.groupBy("user_id").agg(

@@ -72,9 +72,9 @@ def _fetch_page(
 
 
 class _Pages(InputPartition):
-    def __init__(self, user_id: int, page: int):
+    def __init__(self, user_id: int, pages: tuple[int, ...]):
         self.user_id = user_id
-        self.page = page
+        self.pages = pages
 
 
 class PagedApiReader(DataSourceReader):
@@ -83,6 +83,12 @@ class PagedApiReader(DataSourceReader):
         self.pages = int(options.get("pages", 4))
         self.page_size = int(options.get("page_size", 25))
         self.throttle_ms = int(options.get("throttle_ms", 0))
+        # task-overhead amortization: bundle N sequential pages of one
+        # user into a single task (the Kafka-minPartitions /
+        # maxFilesPerTrigger analog). Pruning granularity stays
+        # per-user; fetch granularity stays per-page (the throttle
+        # sleeps once per page, not per task).
+        self.pages_per_task = int(options.get("pages_per_task", 1))
         self._users: Sequence[int] = range(self.n_users)
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -109,14 +115,18 @@ class PagedApiReader(DataSourceReader):
                 yield f
 
     def partitions(self) -> list[_Pages]:
+        step = max(1, self.pages_per_task)
         return [
-            _Pages(u, p) for u in self._users for p in range(self.pages)
+            _Pages(u, tuple(range(p, min(p + step, self.pages))))
+            for u in self._users
+            for p in range(0, self.pages, step)
         ]
 
     def read(self, part: _Pages) -> Iterator[tuple]:
-        if self.throttle_ms:
-            time.sleep(self.throttle_ms / 1000.0)
-        yield from _fetch_page(part.user_id, part.page, self.page_size)
+        for page in part.pages:
+            if self.throttle_ms:
+                time.sleep(self.throttle_ms / 1000.0)
+            yield from _fetch_page(part.user_id, page, self.page_size)
 
 
 class PagedApiStreamReader(SimpleDataSourceStreamReader):

@@ -326,5 +326,15 @@ def test_paged_api_scan_partitions_are_pages(spark, registry, sf_dir):
         .load()
     )
     assert df.rdd.getNumPartitions() == 200
+    # the registered query bundles one user's pages per task (same
+    # 200-page plan, 4× fewer task spin-ups)
+    bundled = (
+        spark.read.format("paged_api")
+        .option("n_users", 50).option("pages", 4).option("page_size", 25)
+        .option("pages_per_task", 4)
+        .load()
+    )
+    assert bundled.rdd.getNumPartitions() == 50
+    assert bundled.count() == 50 * 4 * 25
     plan = _plan(spark, registry, "s1_paginated_scan", sf_dir)
     assert "BatchScan paged_api" in plan
