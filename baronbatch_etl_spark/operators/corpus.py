@@ -37,8 +37,12 @@ def tv_drift_from_counts(st: DataFrame) -> DataFrame:
     Plan: corpus token counts reuse the input aggregate (no rescan);
     C is a broadcast 1-row scalar; the token-keyed join is
     vocabulary-sized (AQE-broadcast while it fits); per-source totals
-    join source-keyed (tiny).
+    join source-keyed (tiny). The input counts frame has four
+    consumers (t, cs, n via t, terms) — materialize it once (lazy
+    localCheckpoint, the d_source_overlap pattern) instead of
+    replaying the upstream explode+agg per consumer.
     """
+    st = st.localCheckpoint(eager=False)
     t = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
     cs = st.groupBy("source").agg(
         F.sum("c_st").alias("c_s"), F.count("*").alias("vocab")
