@@ -387,3 +387,103 @@ def test_quarantine_is_a_partition(spark, vals):
             n for n in ("big", "neg") if (v > 100 if n == "big" else v < 0)
         )
         assert set(r._violations.split(",")) == set(expect.split(","))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=400),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cms_never_undercounts_and_merges_by_addition(spark, tokens):
+    # the CMS contract on EVERY token (not just the probed top-k):
+    # est = min_j cell[j][bucket_j] >= true count; and the grid over a
+    # union is the cell-wise sum of the split grids (mergeable state)
+    from collections import Counter
+
+    from baronbatch_etl_spark.operators import corpus as C
+    from baronbatch_etl_spark.operators.text import char_poly_hash
+
+    df = spark.createDataFrame([(t,) for t in tokens], "tok STRING")
+    hashed = (
+        df.groupBy("tok").count()
+        .select("tok", F.col("count").alias("c"), char_poly_hash(F.col("tok")).alias("hv"))
+    )
+    grid = {
+        (r.j, r.bucket): r.cell
+        for r in C.cms_grid_from_hashes(hashed, weight="c").collect()
+    }
+    # python replica of the bucket arithmetic
+    def buckets(h):
+        return [
+            (j, ((C.CMS_A[j] * h + C.CMS_B[j]) % POLY_P) % C.CMS_W)
+            for j in range(C.CMS_D)
+        ]
+
+    true = Counter(tokens)
+    for tok, n in true.items():
+        est = min(grid[b] for b in buckets(_poly_py(tok)))
+        assert est >= n
+
+    # mergeability: split by parity of position, grids add cell-wise
+    left = [t for i, t in enumerate(tokens) if i % 2 == 0]
+    right = [t for i, t in enumerate(tokens) if i % 2 == 1]
+    merged: dict = {}
+    for part in (left, right):
+        if not part:
+            continue
+        pdf = spark.createDataFrame([(t,) for t in part], "tok STRING")
+        ph = (
+            pdf.groupBy("tok").count()
+            .select("tok", F.col("count").alias("c"), char_poly_hash(F.col("tok")).alias("hv"))
+        )
+        for r in C.cms_grid_from_hashes(ph, weight="c").collect():
+            merged[(r.j, r.bucket)] = merged.get((r.j, r.bucket), 0) + r.cell
+    assert merged == grid
+
+
+def _lev_py(a: str, b: str) -> int:
+    # textbook DP reference
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcd ", min_size=0, max_size=30),
+            st.text(alphabet="abcd ", min_size=0, max_size=30),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_thresholded_levenshtein_matches_reference(spark, pairs):
+    # Spark's 3-arg levenshtein must equal the textbook DP when within
+    # the threshold and return -1 beyond it — the exact contract
+    # edit_distance_pairs filters on
+    k = 8
+    df = spark.createDataFrame(pairs, "a STRING, b STRING")
+    got = df.select(
+        "a", "b", F.levenshtein("a", "b", k).alias("d")
+    ).collect()
+    for r in got:
+        want = _lev_py(r.a, r.b)
+        if want <= k:
+            assert r.d == want, (r.a, r.b)
+        else:
+            assert r.d == -1, (r.a, r.b)
