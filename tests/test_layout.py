@@ -43,3 +43,54 @@ def test_hll_union_invariant(spark, sf_dir):
     r = REG["a_hll_union"].fn(spark, sf_dir).collect()[0]
     assert r.union_ok is True
     assert r.n_sketches >= 1 and r.exact_users >= 1
+
+
+def test_write_zordered_files_bound_both_dimensions(spark, sf_dir, tmp_path):
+    # the WRITE path of the audited property: lay orders out z-ordered
+    # on (custkey mod 256, order-day mod 256) and verify — from the
+    # parquet footers themselves — that every file's min/max bounds
+    # BOTH dimensions inside a 64x64 rectangle, i.e. a predicate on
+    # either column prunes at scan time
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from baronbatch_etl_spark.io import load_table
+    from baronbatch_etl_spark.operators.layout import write_zordered
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 256).alias("cx"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1995-01-01").cast("date"),
+            )
+            % 256
+        ).cast("long").alias("dy"),
+        "o_totalprice",
+    )
+    out = str(tmp_path / "zordered")
+    write_zordered(o, out, "cx", "dy")
+
+    files = glob.glob(f"{out}/z_bucket=*/*.parquet")
+    assert len(files) >= 8
+    n_rows = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        lo = {"cx": 1 << 30, "dy": 1 << 30}
+        hi = {"cx": -1, "dy": -1}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            n_rows += g.num_rows
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name in lo and col.statistics is not None:
+                    lo[name] = min(lo[name], col.statistics.min)
+                    hi[name] = max(hi[name], col.statistics.max)
+        assert hi["cx"] - lo["cx"] < 64, f
+        assert hi["dy"] - lo["dy"] < 64, f
+        # and the rectangle sits inside one 64x64 quadrant cell
+        assert lo["cx"] >> 6 == hi["cx"] >> 6
+        assert lo["dy"] >> 6 == hi["dy"] >> 6
+    assert n_rows == o.count()  # nothing lost in the clustered write
