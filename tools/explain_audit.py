@@ -34,6 +34,10 @@ CROSS_OK = {
     "s_srp_topk",
     "h_top_supplier",
     "s_ivf_recall",  # broadcast held-out query SET scores both rankings
+    # |sources|² pair grid: an inequality join over the broadcast
+    # per-source sizes — sources are a catalog dimension (thousands at
+    # most), the pair grid is the QUERY's own output granularity
+    "d_source_overlap",
 }
 
 
@@ -48,11 +52,16 @@ def _bnlj_is_scalar_attachment(plan: str) -> bool:
     if not n_bnlj:
         return True
     # IdentityBroadcastMode is BNLJ's broadcast; each such exchange
-    # must sit directly on a keyless HashAggregate (1 output row)
+    # must sit directly on a keyless HashAggregate (1 output row) — or
+    # be a ReusedExchange of one (AQE dedups the scalar broadcast when
+    # the same 1-row aggregate attaches at several points)
     lines = plan.splitlines()
     scalar_exchanges = 0
     for i, ln in enumerate(lines):
         if "IdentityBroadcastMode" not in ln:
+            continue
+        if "ReusedExchange" in ln:
+            scalar_exchanges += 1
             continue
         child = next(
             (c for c in lines[i + 1 : i + 3] if re.search(r"[A-Za-z]", c)),
@@ -99,6 +108,9 @@ def main() -> int:
         # and codegen spans (a writer/count would clone the execution)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
+        # audit AQE's FINAL plan only — the trailing "Initial Plan"
+        # section would double-count joins/exchanges it re-planned
+        plan = plan.split("== Initial Plan ==")[0]
         joins = {
             "BHJ": plan.count("BroadcastHashJoin"),
             "SMJ": plan.count("SortMergeJoin"),
