@@ -48,7 +48,25 @@ def _bnlj_is_scalar_attachment(plan: str) -> bool:
     subquery also compiles to); a constant-key equi join is no better,
     since Catalyst folds the condition away and plans the same BNLJ.
     Any OTHER nested-loop join remains a hard violation."""
-    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    lines_all = plan.splitlines()
+    n_bnlj = 0
+    for i, ln in enumerate(lines_all):
+        if "BroadcastNestedLoopJoin" not in ln:
+            continue
+        # a keyless aggregate directly under the join is its STREAM
+        # side: provably 1 row, so the join is a scalar attachment no
+        # matter what the build side is (whose subtree may not even be
+        # visible — toString truncates nested InMemoryRelation plans)
+        child = next(
+            (
+                c
+                for c in lines_all[i + 1 : i + 3]
+                if re.search(r"[A-Za-z]", c)
+            ),
+            "",
+        )
+        if "HashAggregate(keys=[]" not in child:
+            n_bnlj += 1
     if not n_bnlj:
         return True
     # IdentityBroadcastMode is BNLJ's broadcast; each such exchange
