@@ -145,7 +145,8 @@ def lsh_candidate_pairs(base: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, threshold: float = 0.8, n: int = 3
+    docs: DataFrame, threshold: float = 0.8, n: int = 3,
+    ephemeral: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding, verified by exact
     shingle Jaccard ≥ threshold.
@@ -153,9 +154,16 @@ def minhash_lsh_pairs(
     Plan: scan → row-local signature/bands → explode bands (×4 rows)
     → self-join on (band, key) for candidates → join shingle sets back
     → exact-verify. Shuffle only on band keys and candidate doc ids.
+
+    ``ephemeral=True`` materializes the internal signature frame via a
+    lazy localCheckpoint instead of ``.cache()``: checkpoint blocks
+    are freed by the ContextCleaner once the frame is unreferenced, so
+    a long-running caller that builds pairs per micro-batch
+    (streaming curate_ingest) doesn't accumulate one immortal cache
+    entry per batch.
     """
     # Signatures + shingle hashes in one Arrow pass (shared tokenize/
-    # shingle/hash work); the frame is cached because three plan
+    # shingle/hash work); the frame is materialized because three plan
     # branches (banding + both verification sides) reuse it — at
     # 100 TB you'd materialize the signature table the same way.
     base = (
@@ -163,8 +171,8 @@ def minhash_lsh_pairs(
             "doc_id", sig_and_shingles_fast(F.col("text")).alias("x")
         )
         .select("doc_id", F.col("x.sig").alias("sig"), F.col("x.sh").alias("sh"))
-        .cache()
     )
+    base = base.localCheckpoint(eager=False) if ephemeral else base.cache()
     cand = lsh_candidate_pairs(base)
     a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -247,6 +255,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    ephemeral: bool = False,
 ) -> DataFrame:
     """Cluster near-dup pairs into components: (node, component) where
     component = min doc_id reachable through the pair graph — the
@@ -275,8 +284,10 @@ def connected_components(
         )
         .select("e.s", "e.d")
         .distinct()
-        .cache()
     )
+    # ephemeral: checkpoint blocks free with the frame (per-batch
+    # streaming callers); cache: classic, cleared by clearCache
+    edges = edges.localCheckpoint(eager=False) if ephemeral else edges.cache()
     # seed with round 1 directly: label(node) = min(node, neighbors)
     # — one distributed agg instead of a full join round
     labels = edges.groupBy(F.col("s").alias("node")).agg(

@@ -21,10 +21,10 @@ from baronbatch_etl_spark.operators import dedup as D
 from baronbatch_etl_spark.operators import text as X
 from baronbatch_etl_spark.queries import register
 
-_SQL_TOKENS = "string_split(text, ' ')"
-_SQL_SHINGLES = X.sql_word_ngrams(_SQL_TOKENS, 3)
-_SQL_SHINGLE_HASHES = (
-    f"list_transform({_SQL_SHINGLES}, g -> {X.sql_char_poly_hash('g')})"
+# canonical shared fragments — single source of truth in catalog_llm
+# (the module whose dedup oracles verify the same hash arithmetic)
+from baronbatch_etl_spark.queries.catalog_llm import (  # noqa: F401
+    _SQL_SHINGLE_HASHES,
 )
 
 

@@ -902,8 +902,8 @@ _Z_DUCK = _z_terms("zx", "zy", 8, False)
     oracle=f"""
 WITH d AS (
     SELECT o_custkey % 256 AS zx,
-           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 256
-             AS zy
+           ((datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+              % 256) + 256) % 256 AS zy
     FROM orders
 ),
 z AS (SELECT zx, zy, ({_Z_DUCK}) AS zval FROM d)
@@ -938,12 +938,16 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     d = o.select(
         (F.col("o_custkey") % 256).alias("_zx"),
-        (
+        # pmod, not % — Spark's % keeps the dividend's sign, so an
+        # order before the epoch date would yield a negative day
+        # bucket and break the 64×64-span property (fixtures happen
+        # to start at the epoch; real data need not)
+        F.pmod(
             F.datediff(
                 F.col("o_orderdate").cast("date"),
                 F.lit("1995-01-01").cast("date"),
-            )
-            % 256
+            ),
+            F.lit(256),
         ).cast("bigint").alias("_zy"),
     )
     z = d.select("_zx", "_zy", F.expr(_Z_SPARK).alias("zval"))

@@ -195,19 +195,26 @@ def read_gold(spark: SparkSession, gold_path: str) -> DataFrame:
 DOCS_DDL = "doc_id LONG, text STRING"
 
 
-def stream_documents(
-    spark: SparkSession, src_dir: str, glob: str = "*.parquet"
+def _stream_parquet(
+    spark: SparkSession, src_dir: str, ddl: str, glob: str
 ) -> DataFrame:
-    """File-source stream over incoming document files (the corpus
-    ingest path; one file per micro-batch so admission order is the
-    file drop order)."""
+    """Shared file-source stream: one file per micro-batch (admission
+    order = file drop order), declared schema (no inference pass)."""
     return (
         spark.readStream.format("parquet")
-        .schema(DOCS_DDL)
+        .schema(ddl)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", glob)
         .load(src_dir)
     )
+
+
+def stream_documents(
+    spark: SparkSession, src_dir: str, glob: str = "*.parquet"
+) -> DataFrame:
+    """File-source stream over incoming document files (the corpus
+    ingest path)."""
+    return _stream_parquet(spark, src_dir, DOCS_DDL, glob)
 
 
 def _doc_keys(batch: DataFrame) -> DataFrame:
@@ -329,13 +336,7 @@ def stream_corpus(
     """File-source stream of full corpus documents (doc_id, lang,
     text, n_chars) — the ingest side of the streaming training-set
     build (curate_ingest)."""
-    return (
-        spark.readStream.format("parquet")
-        .schema(CORPUS_DDL)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", glob)
-        .load(src_dir)
-    )
+    return _stream_parquet(spark, src_dir, CORPUS_DDL, glob)
 
 
 def curate_ingest(
@@ -406,8 +407,13 @@ def curate_ingest(
             )
         )
         # pairs among accepted docs cannot exist (each was admitted
-        # non-adjacent), so every pair touches this batch
-        pairs = D.minhash_lsh_pairs(pool, threshold=threshold).cache()
+        # non-adjacent), so every pair touches this batch.
+        # ephemeral: the helper's internal signature frame checkpoints
+        # instead of caching, so per-batch state frees with the frame
+        # rather than accumulating one immortal cache entry per epoch
+        pairs = D.minhash_lsh_pairs(
+            pool, threshold=threshold, ephemeral=True
+        ).cache()
         if accepted is not None:
             acc_a = accepted.select(F.col("doc_id").alias("doc_a"))
             acc_b = accepted.select(F.col("doc_id").alias("doc_b"))
@@ -426,7 +432,7 @@ def curate_ingest(
             cand = sdocs.join(store_adj, "doc_id", "left_anti")
         else:
             in_batch, cand = pairs, sdocs
-        comp = D.connected_components(in_batch)
+        comp = D.connected_components(in_batch, ephemeral=True)
         removed = comp.filter(F.col("node") != F.col("comp")).select(
             F.col("node").alias("doc_id")
         )
@@ -585,13 +591,7 @@ def stream_sourced_docs(
 ) -> DataFrame:
     """File-source stream of provenance-tagged documents (the full
     fixture schema incl. ``source``) — input to the drift monitor."""
-    return (
-        spark.readStream.format("parquet")
-        .schema(SOURCED_DOCS_DDL)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", glob)
-        .load(src_dir)
-    )
+    return _stream_parquet(spark, src_dir, SOURCED_DOCS_DDL, glob)
 
 
 def drift_monitor_ingest(

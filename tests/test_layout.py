@@ -94,3 +94,17 @@ def test_write_zordered_files_bound_both_dimensions(spark, sf_dir, tmp_path):
         assert lo["cx"] >> 6 == hi["cx"] >> 6
         assert lo["dy"] >> 6 == hi["dy"] >> 6
     assert n_rows == o.count()  # nothing lost in the clustered write
+
+
+def test_write_zordered_rejects_out_of_range_keys(spark, tmp_path):
+    # out-of-range keys would wrap under the bit mask and silently
+    # void the pruning guarantee — the writer must refuse instead
+    import pytest as _pytest
+
+    from baronbatch_etl_spark.operators.layout import write_zordered
+
+    df = spark.range(10).select(
+        (F.col("id") + 300).alias("cx"), F.col("id").alias("dy")
+    )
+    with _pytest.raises(ValueError, match="outside"):
+        write_zordered(df, str(tmp_path / "z"), "cx", "dy")

@@ -370,3 +370,21 @@ def test_paged_api_stream_one_page_per_batch(spark, tmp_path):
     finally:
         q2.stop()
     assert spark.read.parquet(out_dir).count() == 3 * 4 * 2  # unchanged
+
+
+def test_paged_api_read_between_offsets_replays_exactly():
+    # failure recovery: a batch that reached the WAL but not the
+    # commit log is replayed via readBetweenOffsets — must equal the
+    # rows the lost read() produced, and compose across pages
+    from baronbatch_etl_spark.sources.paged_api import PagedApiStreamReader
+
+    r = PagedApiStreamReader({"n_users": "3", "pages": "4", "page_size": "2"})
+    it, nxt = r.read({"page": 1})
+    assert nxt == {"page": 2}
+    assert list(r.readBetweenOffsets({"page": 1}, {"page": 2})) == list(it)
+    # multi-page replay covers each page exactly once
+    rows = list(r.readBetweenOffsets({"page": 0}, {"page": 4}))
+    assert len(rows) == 3 * 4 * 2
+    assert len(set(rows)) == len(rows)
+    # past-the-end replay is empty (drained source)
+    assert list(r.readBetweenOffsets({"page": 4}, {"page": 4})) == []

@@ -71,22 +71,33 @@ def _bnlj_is_scalar_attachment(plan: str) -> bool:
         return True
     # IdentityBroadcastMode is BNLJ's broadcast; each such exchange
     # must sit directly on a keyless HashAggregate (1 output row) — or
-    # be a ReusedExchange of one (AQE dedups the scalar broadcast when
-    # the same 1-row aggregate attaches at several points)
-    lines = plan.splitlines()
+    # be a ReusedExchange OF ONE (AQE dedups the scalar broadcast when
+    # the same 1-row aggregate attaches at several points; the reuse
+    # only counts if the plan_id it names was itself verified scalar)
+    scalar_ids: set[str] = set()
+    reused_ids: list[str] = []
     scalar_exchanges = 0
-    for i, ln in enumerate(lines):
+    for i, ln in enumerate(lines_all):
         if "IdentityBroadcastMode" not in ln:
             continue
+        pid = re.search(r"plan_id=(\d+)", ln)
         if "ReusedExchange" in ln:
-            scalar_exchanges += 1
+            if pid:
+                reused_ids.append(pid.group(1))
             continue
         child = next(
-            (c for c in lines[i + 1 : i + 3] if re.search(r"[A-Za-z]", c)),
+            (
+                c
+                for c in lines_all[i + 1 : i + 3]
+                if re.search(r"[A-Za-z]", c)
+            ),
             "",
         )
         if "HashAggregate(keys=[]" in child:
             scalar_exchanges += 1
+            if pid:
+                scalar_ids.add(pid.group(1))
+    scalar_exchanges += sum(1 for pid in reused_ids if pid in scalar_ids)
     return scalar_exchanges >= n_bnlj
 # Global-window queries intentionally single-partition at tiny scale.
 SINGLE_PARTITION_OK = {"w2_recent_slice"}
