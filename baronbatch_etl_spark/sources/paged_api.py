@@ -142,16 +142,21 @@ class PagedApiStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"page": 0}
 
-    def _pages_between(self, first: int, last: int) -> Iterator[tuple]:
-        for page in range(first, min(last, self.pages)):
-            for u in range(self.n_users):
-                yield from _fetch_page(u, page, self.page_size)
+    def _pages_between(self, first: int, last: int) -> list[tuple]:
+        # list, not generator: the simple-stream wrapper pickles the
+        # prefetched batch into its cache, and generators can't pickle
+        return [
+            r
+            for page in range(first, min(last, self.pages))
+            for u in range(self.n_users)
+            for r in _fetch_page(u, page, self.page_size)
+        ]
 
     def read(self, start: dict):
         page = int(start["page"])
         if page >= self.pages:
             return iter([]), {"page": page}
-        return self._pages_between(page, page + 1), {"page": page + 1}
+        return iter(self._pages_between(page, page + 1)), {"page": page + 1}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         """Failure recovery: Spark replays a batch that reached the
@@ -159,7 +164,7 @@ class PagedApiStreamReader(SimpleDataSourceStreamReader):
         [start, end). The fetch is deterministic, so the replay is
         bit-identical to the lost batch — without this, a crash
         between WAL and commit would fail every restart."""
-        return self._pages_between(int(start["page"]), int(end["page"]))
+        return iter(self._pages_between(int(start["page"]), int(end["page"])))
 
 
 class PagedApiDataSource(DataSource):
