@@ -687,9 +687,40 @@ def read_cms(spark: SparkSession, grid_path: str) -> DataFrame:
     """Fold the per-epoch partial grids into the current d×w counter
     grid (the read side of cms_monitor_ingest). Point estimates read
     as min over the d cells a token hashes to — join
-    operators/corpus.cms_buckets against this frame."""
+    operators/corpus.cms_buckets against this frame, or use
+    ``cms_estimate`` below."""
     return (
         spark.read.parquet(grid_path)
         .groupBy("j", "bucket")
         .agg(F.sum("cell").alias("cell"))
+    )
+
+
+def cms_estimate(
+    spark: SparkSession, grid_path: str, tokens: list[str]
+) -> DataFrame:
+    """Point-estimate token frequencies from the streamed grid:
+    (tok, cms_est) with the CMS guarantee est ≥ true count over
+    everything ingested so far. The token list is a driver-side probe
+    set (a dashboard's watchlist), the grid is ≤ d·w rows — both
+    sides broadcast-scale, so this runs in milliseconds regardless of
+    how much text the monitor has folded."""
+    from baronbatch_etl_spark.operators import corpus as C
+    from baronbatch_etl_spark.operators import text as X
+
+    probes = (
+        spark.createDataFrame([(t,) for t in tokens], "tok STRING")
+        .select("tok", X.char_poly_hash(F.col("tok")).alias("hv"))
+        .select("tok", F.explode(C.cms_buckets(F.col("hv"))).alias("jb"))
+        .select("tok", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+    )
+    return (
+        probes.join(
+            F.broadcast(read_cms(spark, grid_path)), ["j", "bucket"], "left"
+        )
+        .groupBy("tok")
+        # an absent cell means nothing ever hashed there: its counter
+        # is 0, so the min (the estimate) is 0 — never-seen tokens
+        # report 0, not the min of their non-empty cells
+        .agg(F.min(F.coalesce(F.col("cell"), F.lit(0))).alias("cms_est"))
     )

@@ -465,3 +465,37 @@ def test_cms_monitor_epoch_idempotent(spark, tmp_path):
     write_epoch(batch, 0)  # replay
     total = sum(r.cell for r in ops.read_cms(spark, grid_path).collect())
     assert total == 5 * C.CMS_D  # 5 tokens x d rows, counted once
+
+
+def test_cms_estimate_probes_streamed_grid(spark, tmp_path):
+    # point estimates from the streamed grid: est >= true for ingested
+    # tokens, exactly 0 for never-seen ones (absent cells are zero
+    # counters, not "min of whatever cells exist")
+    from pyspark.sql import Row
+
+    from baronbatch_etl_spark.operators import corpus as C
+    from baronbatch_etl_spark.operators import text as X
+
+    batch = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha alpha beta"), Row(doc_id=2, text="beta gamma")]
+    )
+    grid_path = str(tmp_path / "cms_grid")
+    hashed = (
+        batch.select(F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .select(X.char_poly_hash(F.col("tok")).alias("hv"), "c")
+    )
+    (
+        C.cms_grid_from_hashes(hashed, weight="c")
+        .write.mode("overwrite")
+        .parquet(f"{grid_path}/epoch=0")
+    )
+    est = {
+        r.tok: r.cms_est
+        for r in ops.cms_estimate(
+            spark, grid_path, ["alpha", "beta", "gamma", "never_seen"]
+        ).collect()
+    }
+    assert est["alpha"] >= 2 and est["beta"] >= 2 and est["gamma"] >= 1
+    assert est["never_seen"] == 0
