@@ -107,11 +107,11 @@ _PRIORITY: tuple[str, ...] = (
     "a_cms_heavy_hitters",  # count-min grid, bit-exact oracle
     "d_edit_distance",  # LSH candidates + thresholded Levenshtein verify
     "s1_paginated_scan",  # custom Python DataSource (S1 as a source)
+    "d_dedup_report",  # per-source survivorship rollup (exact+near)
     # --- flagship + one sentinel per family (r01/r02 rows on file) ---
     "flagship_player_stats",
     "t_token_stats",  # text analysis
     "d_minhash_lsh",  # LSH near-dup
-    "d_dup_clusters",  # iterative connected components
     "s_batch_topk",  # brute cosine
     "s_ivf_topk",  # IVF pruned ANN
     "s_kmeans_assign",  # Lloyd trainer
@@ -142,6 +142,8 @@ WINDOW_EXEMPT: dict[str, str] = {
     "t_pack_sequences": "t_training_set",  # capstone runs the packer's shapes
     # dedup — r02-green
     "d_exact_dedup": "d_bloom_dedup",  # same content-digest machinery
+    # r02-green; the survivorship report runs minhash+CC end to end
+    "d_dup_clusters": "d_dedup_report",
     "d_simhash_pairs": "d_simhash",  # pairs consume the same fingerprint
     "d_ngram_jaccard": "d_minhash_lsh",  # same blocked-pair verify core
     "d_span_dedup": "d_chunk_dedup",  # same segmented-hash dedup core

@@ -334,6 +334,100 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d_dedup_report",
+    oracle=f"""
+WITH RECURSIVE surv AS (
+    SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+sdocs AS (SELECT d.* FROM documents d JOIN surv s ON d.doc_id = s.doc_id),
+{_minhash_ctes(src="sdocs")},
+edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION
+    SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(s, d) AS (
+    SELECT s, d FROM edges
+    UNION
+    SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    WHERE e.d <> r.s
+),
+removed AS (
+    SELECT s AS doc_id FROM reach GROUP BY s
+    HAVING least(s, min(d)) <> s
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN s.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_removed,
+       CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_near_removed,
+       CAST(count(*)
+            - sum(CASE WHEN s.doc_id IS NULL THEN 1 ELSE 0 END)
+            - sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_survivors,
+       CAST(sum(CASE WHEN s.doc_id IS NULL OR r.doc_id IS NOT NULL
+                THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_rate
+FROM documents d
+LEFT JOIN surv s ON d.doc_id = s.doc_id
+LEFT JOIN removed r ON d.doc_id = r.doc_id
+GROUP BY d.source
+""",
+    tags=("llm", "dedup", "report"),
+)
+def d_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup survivorship: how much of each ingest source
+    survives exact dedup (md5 keep-min) then near-dedup (MinHash-LSH
+    keep-one-per-cluster) — the rollup an ingest dashboard alerts on
+    when one source starts shipping mirrored or templated content.
+
+    Composes the published stages (d_exact_dedup's keep-min, then
+    d_minhash_lsh + d_dup_clusters over the exact survivors) and folds
+    them to one row per source: n_docs, n_exact_removed,
+    n_near_removed, n_survivors, dup_rate (one IEEE division).
+
+    Plan: the flags are two doc_id-keyed left joins (survivor ids and
+    removed ids are both ≤ corpus-sized id sets — 8-byte join keys,
+    AQE-broadcast while they fit) followed by one source-keyed
+    partial agg. Inherits the banded-LSH / O(diameter)-CC shapes of
+    its stages; reference parity: extends dashboard/app.py's
+    aggregate counter panels to dedup accounting.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (
+        docs.select("doc_id", F.md5("text").alias("_md5"))
+        .groupBy("_md5")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    sdocs = docs.join(keep, "doc_id")
+    comp = D.connected_components(
+        D.minhash_lsh_pairs(sdocs, threshold=0.8)
+    )
+    removed = comp.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    flags = (
+        docs.select("doc_id", "source")
+        .join(keep.withColumn("_surv", F.lit(1)), "doc_id", "left")
+        .join(removed.withColumn("_near", F.lit(1)), "doc_id", "left")
+    )
+    exact_rm = F.sum(F.when(F.col("_surv").isNull(), 1).otherwise(0))
+    near_rm = F.sum(F.when(F.col("_near").isNotNull(), 1).otherwise(0))
+    dup = F.sum(
+        F.when(F.col("_surv").isNull() | F.col("_near").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        exact_rm.cast("long").alias("n_exact_removed"),
+        near_rm.cast("long").alias("n_near_removed"),
+        (F.count("*") - exact_rm - near_rm).cast("long").alias("n_survivors"),
+        (dup.cast("double") / F.count("*")).alias("dup_rate"),
+    )
+
+
+@register(
     "t_token_topk",
     oracle=f"""
 SELECT token, count(*) AS n
