@@ -78,6 +78,13 @@ def main() -> None:
         q.stop()
         grid = ops.read_cms(spark, f"{tmp}/cms")
         print(f"grid cells: {grid.count()} (d*w bounded)")
+        watch = [r.tok for r in
+                 registry["a_cms_heavy_hitters"].fn(spark, sf_dir)
+                 .orderBy("exact_count", ascending=False).limit(5).collect()]
+        print(f"watchlist probe over the streamed grid: {watch}")
+        ops.cms_estimate(spark, f"{tmp}/cms", watch + ["never-seen"]).orderBy(
+            "cms_est", ascending=False
+        ).show(truncate=False)
 
 
 if __name__ == "__main__":
