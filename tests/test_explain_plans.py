@@ -338,3 +338,13 @@ def test_paged_api_scan_partitions_are_pages(spark, registry, sf_dir):
     assert bundled.count() == 50 * 4 * 25
     plan = _plan(spark, registry, "s1_paginated_scan", sf_dir)
     assert "BatchScan paged_api" in plan
+
+
+def test_dedup_report_flags_join_and_aggregate(spark, registry, sf_dir):
+    # the survivorship flags are 8-byte-keyed joins (broadcast at this
+    # scale) + one source-keyed partial agg; composition must never
+    # fall back to a cartesian/nested-loop shape
+    plan = _plan(spark, registry, "d_dedup_report", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
