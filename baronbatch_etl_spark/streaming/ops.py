@@ -192,6 +192,39 @@ def read_gold(spark: SparkSession, gold_path: str) -> DataFrame:
     )
 
 
+def compact_epoch_store(
+    spark: SparkSession,
+    store_path: str,
+    out_path: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> int:
+    """Offline maintenance for the epoch-keyed partial stores (gold /
+    drift counts / CMS grids): fold every ``epoch=*`` partial into ONE
+    base epoch at ``out_path``, so read-side folds stop re-summing an
+    unbounded epoch history.
+
+    All three stores hold commutative sums, so re-aggregation is
+    exact: any read fold over the compacted store is bit-identical to
+    the fold over the raw one (tested). Written to a NEW path — the
+    stream stays epoch-keyed and idempotent: point it (and readers) at
+    the compacted store and let new epochs accumulate on top; run
+    compaction again whenever the directory count matters (the same
+    cadence as parquet small-file compaction, sources/writers.compact).
+
+    The base partial lands under ``epoch=-1`` — retried real epochs
+    (ids ≥ 0) can never collide with it. Returns the number of rows in
+    the compacted base.
+    """
+    folded = (
+        spark.read.parquet(store_path)
+        .groupBy(*group_cols)
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+    )
+    folded.write.mode("overwrite").parquet(f"{out_path}/epoch=-1")
+    return folded.count()
+
+
 DOCS_DDL = "doc_id LONG, text STRING"
 
 

@@ -499,3 +499,56 @@ def test_cms_estimate_probes_streamed_grid(spark, tmp_path):
     }
     assert est["alpha"] >= 2 and est["beta"] >= 2 and est["gamma"] >= 1
     assert est["never_seen"] == 0
+
+
+def test_compact_epoch_store_preserves_every_fold(spark, sf_dir, tmp_path):
+    # compaction folds an epoch history into one base partial; every
+    # read-side fold must be bit-identical before and after — drift
+    # (TV distances incl. the IEEE division) and the CMS grid
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    drift_store = str(tmp_path / "drift")
+    q = ops.drift_monitor_ingest(
+        ops.stream_sourced_docs(spark, src), drift_store, "cp_drift"
+    ).start()
+    q.awaitTermination(120)
+    q.stop()
+
+    before = {
+        r.source: (r.n_tokens, r.vocab_size, r.tv_dist)
+        for r in ops.read_drift(spark, drift_store).collect()
+    }
+    compacted = str(tmp_path / "drift_compacted")
+    n = ops.compact_epoch_store(
+        spark, drift_store, compacted, ["source", "tok"], ["c_st"]
+    )
+    assert n > 0
+    import glob
+
+    assert len(glob.glob(f"{compacted}/epoch=*")) == 1
+    after = {
+        r.source: (r.n_tokens, r.vocab_size, r.tv_dist)
+        for r in ops.read_drift(spark, compacted).collect()
+    }
+    assert after == before
+
+    cms_store = str(tmp_path / "cms")
+    q = ops.cms_monitor_ingest(
+        ops.stream_sourced_docs(spark, src), cms_store, "cp_cms"
+    ).start()
+    q.awaitTermination(120)
+    q.stop()
+    grid_before = {
+        (r.j, r.bucket): r.cell for r in ops.read_cms(spark, cms_store).collect()
+    }
+    cms_compacted = str(tmp_path / "cms_compacted")
+    ops.compact_epoch_store(
+        spark, cms_store, cms_compacted, ["j", "bucket"], ["cell"]
+    )
+    grid_after = {
+        (r.j, r.bucket): r.cell
+        for r in ops.read_cms(spark, cms_compacted).collect()
+    }
+    assert grid_after == grid_before
