@@ -348,3 +348,25 @@ def test_dedup_report_flags_join_and_aggregate(spark, registry, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_corpus_drift_single_full_data_exchange(spark, registry, sf_dir):
+    # the (source, tok) counts materialize once (checkpoint scan); the
+    # corpus total attaches as a 1-row broadcast scalar; no sort-merge
+    # join anywhere — the vocab joins broadcast at this scale
+    plan = _plan(spark, registry, "t_corpus_drift", sf_dir)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Scan ExistingRDD" in final  # shared counts materialization
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+    assert "IdentityBroadcastMode" in final  # 1-row scalar attach
+
+
+def test_source_overlap_reuses_checkpointed_shingles(spark, registry, sf_dir):
+    # six consumers share ONE materialization of the distinct
+    # (source, shingle) set; the pair grid joins broadcast
+    plan = _plan(spark, registry, "d_source_overlap", sf_dir)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Scan ExistingRDD" in final
+    assert "ArrowEvalPython" not in final  # hashing not replayed downstream
+    assert "SortMergeJoin" not in final
