@@ -394,11 +394,14 @@ def d_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate counter panels to dedup accounting.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # survivor id set via the published stage operator; materialized
+    # once — its lineage (full-text scan + md5 + digest shuffle) is
+    # this query's most expensive stage and has two consumers (the
+    # LSH pool and the flags join)
     keep = (
-        docs.select("doc_id", F.md5("text").alias("_md5"))
-        .groupBy("_md5")
-        .agg(F.min("doc_id").alias("doc_id"))
+        D.exact_dedup_survivors(docs)
         .select("doc_id")
+        .localCheckpoint(eager=False)
     )
     sdocs = docs.join(keep, "doc_id")
     comp = D.connected_components(

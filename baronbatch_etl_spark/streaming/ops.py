@@ -216,13 +216,26 @@ def compact_epoch_store(
     (ids ≥ 0) can never collide with it. Returns the number of rows in
     the compacted base.
     """
+    from pathlib import Path
+
+    src, dst = Path(store_path).resolve(), Path(out_path).resolve()
+    if dst == src or src in dst.parents:
+        # writing the base INSIDE the store being read would make
+        # every later fold sum the history plus its own copy — silent
+        # 2× counts; refuse instead
+        raise ValueError(
+            f"compact_epoch_store: out_path {out_path!r} must not be "
+            f"the store itself or inside it ({store_path!r})"
+        )
     folded = (
         spark.read.parquet(store_path)
         .groupBy(*group_cols)
         .agg(*[F.sum(c).alias(c) for c in sum_cols])
     )
     folded.write.mode("overwrite").parquet(f"{out_path}/epoch=-1")
-    return folded.count()
+    # count the just-written base (small), not the lazy plan (which
+    # would re-run the whole history fold a second time)
+    return spark.read.parquet(f"{out_path}/epoch=-1").count()
 
 
 DOCS_DDL = "doc_id LONG, text STRING"

@@ -45,9 +45,8 @@ def main() -> None:
     ).show(20, truncate=False)
 
     print("== count-min heavy hitters (est >= true on every probe) ==")
-    registry["a_cms_heavy_hitters"].fn(spark, sf_dir).orderBy(
-        "exact_count", ascending=False
-    ).show(20, truncate=False)
+    hitters = registry["a_cms_heavy_hitters"].fn(spark, sf_dir)
+    hitters.orderBy("exact_count", ascending=False).show(20, truncate=False)
 
     with tempfile.TemporaryDirectory() as tmp:
         src = f"{tmp}/stream_src"
@@ -78,9 +77,12 @@ def main() -> None:
         q.stop()
         grid = ops.read_cms(spark, f"{tmp}/cms")
         print(f"grid cells: {grid.count()} (d*w bounded)")
-        watch = [r.tok for r in
-                 registry["a_cms_heavy_hitters"].fn(spark, sf_dir)
-                 .orderBy("exact_count", ascending=False).limit(5).collect()]
+        watch = [
+            r.tok
+            for r in hitters.orderBy("exact_count", ascending=False)
+            .limit(5)
+            .collect()
+        ]
         print(f"watchlist probe over the streamed grid: {watch}")
         ops.cms_estimate(spark, f"{tmp}/cms", watch + ["never-seen"]).orderBy(
             "cms_est", ascending=False

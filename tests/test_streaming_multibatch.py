@@ -552,3 +552,20 @@ def test_compact_epoch_store_preserves_every_fold(spark, sf_dir, tmp_path):
         for r in ops.read_cms(spark, cms_compacted).collect()
     }
     assert grid_after == grid_before
+
+
+def test_compact_epoch_store_refuses_in_place(spark, tmp_path):
+    # writing the base inside the store being read would double every
+    # later fold — must refuse, not corrupt
+    import pytest as _pytest
+
+    store = str(tmp_path / "store")
+    spark.createDataFrame([(0, 1)], "k LONG, c LONG").write.parquet(
+        f"{store}/epoch=0"
+    )
+    with _pytest.raises(ValueError, match="must not be"):
+        ops.compact_epoch_store(spark, store, store, ["k"], ["c"])
+    with _pytest.raises(ValueError, match="must not be"):
+        ops.compact_epoch_store(
+            spark, store, f"{store}/nested", ["k"], ["c"]
+        )
