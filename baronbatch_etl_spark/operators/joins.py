@@ -177,3 +177,38 @@ def resample_ffill(
             F.col("fv").alias("filled_value"),
         )
     )
+
+
+def scd2_intervals(
+    changelog: DataFrame,
+    key: str,
+    ts: str,
+    state: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Compress a changelog into slowly-changing-dimension type-2
+    history: per ``key``, consecutive rows with an unchanged ``state``
+    collapse, and each surviving change opens a validity interval
+    [valid_from, valid_to) closed by the next change — valid_to NULL
+    (open-ended) for the current state.
+
+    One (key)-keyed Exchange+Sort serves the change-detection lag, the
+    interval lead and the version row_number (Catalyst reuses the sort
+    for same-spec windows), so the whole build is a single shuffle;
+    keys are numerous and uniform, so no skew at any scale. ``tiebreak``
+    must make (ts, tiebreak) unique per key or lag/lead order — and
+    therefore the output — is nondeterministic.
+    """
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    changed = changelog.withColumn(
+        "_prev", F.lag(state).over(w)
+    ).filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(state)))
+    nxt = F.lead(ts).over(w)
+    return changed.select(
+        key,
+        F.col(state).alias("state"),
+        F.col(ts).alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        nxt.isNull().alias("is_current"),
+    )

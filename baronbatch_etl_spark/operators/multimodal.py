@@ -144,3 +144,133 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             F.lit(None).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+#: Bits in the payload aHash code (56 = 4 bands × 14 bits).
+AHASH_BITS = 56
+
+
+def payload_fingerprints(media: DataFrame) -> DataFrame:
+    """56-bit locality-sensitive fingerprint over the binary payload —
+    the average-hash (aHash) algorithm applied to the byte stream: the
+    payload splits into 56 equal slices, bit_i = 1 iff slice_i's
+    byte-sum exceeds the payload mean (56·slice_sum > total). A small
+    local edit perturbs one slice's sum, flipping at most the bits
+    whose slices sat near the mean — so near-identical payloads land
+    within small hamming distance, exactly the property pHash/aHash
+    gives images. (A real deployment computes this from decoded pixels
+    inside ``extract_features``'s Arrow pass; the decoder is stubbed
+    in this container, so the code is computed over payload bytes
+    directly — same algorithm, different signal. Like real aHash,
+    *flat* inputs — uniform byte streams — all code to 0 and collide;
+    callers treat all-zero codes as low-information matches.)
+
+    The 56 slice folds are column expressions (whole-stage codegen);
+    at 100 TB with real media the same bits come out of the decoder's
+    Arrow batch at no extra pass.
+    """
+    txt = F.decode(F.col("payload"), "UTF-8")
+    n = AHASH_BITS
+    length = F.length(txt)
+
+    def char_sum(piece):
+        return F.aggregate(
+            F.split(piece, ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: acc + F.ascii(ch),
+        )
+
+    total = char_sum(txt)
+
+    def bit(i: int):
+        start = F.floor(F.lit(i) * length / n).cast("long") + 1
+        stop = F.floor(F.lit(i + 1) * length / n).cast("long") + 1
+        s = char_sum(F.substring(txt, start, stop - start))
+        return F.when(F.lit(n) * s > total, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    fp = bit(0)
+    for i in range(1, n):
+        fp = fp + bit(i)
+    return media.select("media_id", fp.alias("fp"))
+
+
+def fingerprint_near_pairs(media: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Near-duplicate media pairs by banded fingerprint blocking: the
+    56-bit code splits into 4 × 14-bit bands; candidates collide on at
+    least one whole band and are verified by popcount(xor).
+
+    Pigeonhole bound: 4 bands catch every pair with hamming ≤ 3 with
+    certainty, and hamming-4 pairs exactly when the flipped bits leave
+    one band intact — with a perceptual code that is the standard
+    recall/cost dial (more bands = more recall, more candidates).
+
+    Scale shape (same as SimHash blocking): per-asset work is
+    row-local, candidates form on (band, key) buckets — never
+    all-pairs — and the verify is a per-candidate popcount. At 100 TB
+    the band exchange carries 4 rows of (14-bit key, id, code) per
+    asset; bucket sizes stay uniform because the code bits are
+    hash-mixed.
+    """
+    fps = payload_fingerprints(media).cache()
+    blocks = fps.select(
+        "media_id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("fp"), 14 * j).bitwiseAND(F.lit(16383))
+                    for j in range(4)
+                ]
+            )
+        ).alias("block", "key"),
+    )
+    left = blocks.select(
+        F.col("media_id").alias("media_a"),
+        F.col("fp").alias("fp_a"),
+        "block",
+        "key",
+    )
+    right = blocks.select(
+        F.col("media_id").alias("media_b"),
+        F.col("fp").alias("fp_b"),
+        "block",
+        "key",
+    )
+    cand = (
+        left.join(right, ["block", "key"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.select(
+        "media_a", "media_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def sql_payload_ahash(expr: str = "text") -> str:
+    """DuckDB twin of ``payload_fingerprints`` over the text column the
+    fixture payload encodes (payload = encode(text), so the byte-sum
+    folds see the same code points in both engines)."""
+    n = AHASH_BITS
+
+    def char_sum(piece: str) -> str:
+        return (
+            "list_reduce(list_prepend(0::BIGINT, "
+            f"list_transform(string_split({piece}, ''), "
+            "c -> ascii(c)::BIGINT)), (a, c) -> a + c)"
+        )
+
+    piece_i = (
+        f"substr({expr}, (floor(i * length({expr}) / {n}))::BIGINT + 1, "
+        f"((floor((i + 1) * length({expr}) / {n})) "
+        f"- (floor(i * length({expr}) / {n})))::BIGINT)"
+    )
+    return (
+        "list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(range(0, {n}), "
+        f"i -> CASE WHEN {n} * {char_sum(piece_i)} > {char_sum(expr)} "
+        "THEN (1::BIGINT << i) ELSE 0::BIGINT END)), (a, v) -> a + v)"
+    )

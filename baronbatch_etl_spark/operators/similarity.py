@@ -158,6 +158,47 @@ def batch_topk(
     )
 
 
+def hard_negatives(
+    embeddings: DataFrame, query_ids: list[int], k: int = 3
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor in a bounded
+    query set, the ``k`` most cosine-similar vectors whose label
+    DIFFERS from the anchor's — the pairs that matter for contrastive /
+    metric-learning training sets (easy negatives teach nothing).
+
+    Same scale shape as ``batch_topk``: the anchor set broadcasts, the
+    label-inequality filter and scoring run map-only over the corpus
+    (no corpus shuffle), and per-anchor top-k is a WindowGroupLimit
+    partial top-k — only ≤ k·|anchors| survivor rows reach the single
+    exchange. At 100 TB with an IVF-clustered corpus the same operator
+    runs per-cell on the anchor's neighboring cells instead of the
+    full scan; the mining semantics are identical.
+    """
+    from pyspark.sql import Window
+
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = (
+        spread(embeddings)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label centroid vectors (the E-step of distributed k-means /
     the IVF coarse-quantizer trainer): posexplode to (label, dim, v),

@@ -108,15 +108,17 @@ _PRIORITY: tuple[str, ...] = (
     "d_edit_distance",  # LSH candidates + thresholded Levenshtein verify
     "s1_paginated_scan",  # custom Python DataSource (S1 as a source)
     "d_dedup_report",  # per-source survivorship rollup (exact+near)
+    # --- new this session: training-pipeline widening ---
+    "s_hard_negatives",  # contrastive hard-negative mining
+    "t_bigram_novelty",  # corpus-unique-bigram quality signal
+    "mm_phash_dedup",  # banded aHash near-dup over binary payloads
+    "j_scd2_history",  # SCD2 validity intervals from a changelog
     # --- flagship + one sentinel per family (r01/r02 rows on file) ---
     "flagship_player_stats",
     "t_token_stats",  # text analysis
     "d_minhash_lsh",  # LSH near-dup
-    "s_batch_topk",  # brute cosine
     "s_ivf_topk",  # IVF pruned ANN
     "s_kmeans_assign",  # Lloyd trainer
-    "mm_features",  # multimodal plumbing
-    "w1_retention_trim",  # window top-N-per-key
     "w_sessionize",  # gap sessionization
     "st_tumbling_agg",  # streaming batch-twin
     "q_sql_recursive",  # SQL surface
@@ -176,6 +178,15 @@ WINDOW_EXEMPT: dict[str, str] = {
     # agg family sentinel — r02-green; yields its slot to the new
     # a_cms_heavy_hitters (flagship exercises the same group+agg core)
     "a1_dup_finder": "flagship_player_stats",
+    # sentinels displaced by this session's new queries — every one
+    # r01/r02-driver-green; the in-window sibling runs the same
+    # machinery (broadcast query set + window top-k / binary media
+    # column + banded near-dup / ranking window + filter / broadcast
+    # dim chain inside the flagship)
+    "s_batch_topk": "s_hard_negatives",
+    "mm_features": "mm_phash_dedup",
+    "w1_retention_trim": "w_ntile_battery",
+    "j1_broadcast_dim_lookup": "flagship_player_stats",
 }
 
 _PRIORITY = _PRIORITY + tuple(WINDOW_EXEMPT)

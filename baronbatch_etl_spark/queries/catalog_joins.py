@@ -422,3 +422,63 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("event_type").alias("display"),
         "value",
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history — the warehouse-side twin of S7's dim upsert:
+# compress a changelog into type-2 validity intervals.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j_scd2_history",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+changed AS (
+    SELECT user_id, ts, event_id, event_type FROM ordered
+    WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type AS state,
+       epoch_ms(CAST(ts AS TIMESTAMP)) AS valid_from_ms,
+       epoch_ms(CAST(lead(ts) OVER w AS TIMESTAMP)) AS valid_to_ms,
+       row_number() OVER w AS version,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM changed WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    tags=("join", "scd2", "dim"),
+)
+def j_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a changelog: per
+    user, consecutive identical states collapse (lag change detection)
+    and each surviving change opens a validity interval [valid_from,
+    valid_to) closed by the NEXT change (lead), open-ended for the
+    current state — the MERGE-free, set-based way to build dim history
+    (reference keeps only latest state via upsert; this retains full
+    history).
+
+    Both windows share one (user_id)-keyed sort — Catalyst plans a
+    single Exchange+Sort reused by lag, lead and row_number, so the
+    whole operator is one shuffle at any scale; users are numerous and
+    uniform, so no skew. Interval bounds surface as epoch ms (exact
+    integers) for the cross-engine hash."""
+    from baronbatch_etl_spark.operators.joins import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = scd2_intervals(
+        ev, key="user_id", ts="ts", state="event_type", tiebreak="event_id"
+    )
+    return out.select(
+        "user_id",
+        "state",
+        F.unix_millis("valid_from").alias("valid_from_ms"),
+        F.unix_millis("valid_to").alias("valid_to_ms"),
+        "version",
+        "is_current",
+    )

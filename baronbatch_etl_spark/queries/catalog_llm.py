@@ -113,6 +113,75 @@ def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_BIGRAMS = X.sql_word_ngrams(_SQL_TOKENS, 2)
+
+
+@register(
+    "t_bigram_novelty",
+    oracle=f"""
+WITH b AS (
+    SELECT doc_id, unnest({_SQL_BIGRAMS}) AS bg FROM documents
+),
+per_bg AS (
+    SELECT bg, count(*) AS n_docs, min(doc_id) AS only_doc
+    FROM b GROUP BY bg
+),
+novel AS (
+    SELECT only_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+    FROM per_bg WHERE n_docs = 1 GROUP BY only_doc
+)
+SELECT d.doc_id,
+       len({_SQL_BIGRAMS}) AS n_bigrams,
+       COALESCE(n.n_novel, 0) AS n_novel,
+       CASE WHEN len({_SQL_BIGRAMS}) > 0
+            THEN COALESCE(n.n_novel, 0) * 1.0 / len({_SQL_BIGRAMS})
+            ELSE 0.0 END AS novelty
+FROM documents d LEFT JOIN novel n ON d.doc_id = n.doc_id
+""",
+    tags=("llm", "text", "quality"),
+)
+def t_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-n-gram novelty signal (the KenLM/CCNet-style quality axis
+    with integer-exact arithmetic): per document, how many of its
+    distinct bigrams appear in NO other document of the corpus.
+    High-novelty docs are either genuinely original or noise; zero
+    novelty flags boilerplate — the corpus-level complement of
+    t_repetition's within-doc signals.
+
+    NO join-back of the corpus vocabulary to the documents: a bigram
+    with doc-frequency 1 lives in exactly one document, so its owner
+    is recoverable from the (bigram → min doc_id) aggregate itself.
+    Shapes: row-local distinct-bigram explode → one bigram-keyed
+    partial-agg shuffle → one tiny doc-keyed agg over the unique
+    survivors → doc_id-keyed join of two per-doc-row frames. Linear,
+    skew-free (bigram keys are near-unique by construction), no
+    vocabulary broadcast — scan-bound at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = X.word_ngrams("text", 2)
+    bg = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    per_bg = bg.groupBy("bg").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("only_doc")
+    )
+    novel = (
+        per_bg.filter(F.col("n_docs") == 1)
+        .groupBy(F.col("only_doc").alias("doc_id"))
+        .agg(F.count("*").alias("n_novel"))
+    )
+    base = docs.select("doc_id", F.size(bigrams).alias("n_bigrams"))
+    n_novel = F.coalesce(F.col("n_novel"), F.lit(0).cast("long"))
+    return base.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_bigrams",
+        n_novel.alias("n_novel"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            n_novel * 1.0 / F.col("n_bigrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("novelty"),
+    )
+
+
 @register(
     "t_lang_id",
     oracle="""
@@ -720,6 +789,37 @@ def s_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s_hard_negatives",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+    FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)
+),
+scored AS (
+    SELECT q.q_id, q.q_label, e.vec_id, e.label AS neg_label,
+           {S.sql_cosine("e.embedding", "q.q_emb")} AS cos_sim
+    FROM embeddings e, q
+    WHERE e.label <> q.q_label
+)
+SELECT q_id, q_label, vec_id, neg_label, cos_sim, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored
+) WHERE rank <= 3
+""",
+    tags=("llm", "similarity", "training"),
+)
+def s_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: top-3 most-similar
+    DIFFERENT-label vectors per anchor — broadcast anchor set,
+    map-only scoring, WindowGroupLimit partial top-k (the
+    metric-learning twin of s_batch_topk)."""
+    return S.hard_negatives(
+        load_table(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4, 5, 6, 7], 3
+    )
+
+
+@register(
     "s_label_centroids",
     oracle="""
 WITH ex AS (
@@ -983,6 +1083,44 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("features_csv"),
     )
+
+
+@register(
+    "mm_phash_dedup",
+    oracle=f"""
+WITH ph AS (
+    SELECT doc_id AS media_id, ({M.sql_payload_ahash('text')}) AS fp
+    FROM documents
+),
+blocks AS (
+    SELECT media_id, fp, u.block, u.key
+    FROM ph, LATERAL (
+        SELECT unnest(range(0, 4)) AS block,
+               unnest([(fp >> 0) & 16383, (fp >> 14) & 16383,
+                       (fp >> 28) & 16383, (fp >> 42) & 16383]) AS key
+    ) u
+),
+cand AS (
+    SELECT DISTINCT l.media_id AS media_a, r.media_id AS media_b,
+           l.fp AS fp_a, r.fp AS fp_b
+    FROM blocks l JOIN blocks r
+      ON l.block = r.block AND l.key = r.key AND l.media_id < r.media_id
+)
+SELECT media_a, media_b, bit_count(xor(fp_a, fp_b)) AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 4
+""",
+    tags=("llm", "multimodal", "dedup"),
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-media detection over the binary payload column:
+    56-bit fingerprint per asset, 4×14-bit band blocking, popcount
+    verify — the exact pipeline a perceptual-hash image dedup runs at
+    100 TB (the fingerprint here is a byte-exact stand-in because the
+    container has no image decoder; see
+    operators/multimodal.payload_fingerprints). The oracle replays the
+    identical folds over the text the payload encodes."""
+    media = M.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return M.fingerprint_near_pairs(media, max_hamming=4)
 
 
 # ---------------------------------------------------------------------------

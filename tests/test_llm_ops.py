@@ -303,3 +303,97 @@ def test_kmeans_k_larger_than_corpus(spark):
     assert len(rows) == 2
     assert {r.cluster for r in rows} == {0, 1}
     assert all(r.dist == 0.0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Payload aHash fingerprints (multimodal near-dup)
+# ---------------------------------------------------------------------------
+
+
+def _media(spark, texts):
+    return M.documents_as_media(_docs(spark, texts))
+
+
+def test_ahash_locality_single_edit(spark):
+    # one flipped character perturbs one slice's sum: the codes of the
+    # original and the edited payload stay within a few bits
+    fps = {
+        r.media_id: r.fp
+        for r in M.payload_fingerprints(_media(spark, [BASE, NEAR])).collect()
+    }
+    assert fps[0] != 0
+    assert bin(fps[0] ^ fps[1]).count("1") <= 8
+
+
+def test_ahash_flat_payload_codes_zero(spark):
+    # uniform byte stream with equal-size slices → every slice sum
+    # equals the mean → code 0 (the documented aHash flat-image
+    # behavior); two flat payloads of the same length always collide
+    fps = M.payload_fingerprints(
+        _media(spark, ["a" * 112, "b" * 112])
+    ).collect()
+    assert fps[0].fp == 0
+    assert fps[1].fp == fps[0].fp
+
+
+def test_fingerprint_near_pairs_finds_exact_dup(spark):
+    out = M.fingerprint_near_pairs(_media(spark, [BASE, OTHER, BASE])).collect()
+    pairs = {(r.media_a, r.media_b): r.hamming for r in out}
+    assert pairs.get((0, 2)) == 0
+    assert (0, 1) not in pairs and (1, 2) not in pairs
+
+
+def test_fingerprint_near_pairs_pigeonhole_recall(spark):
+    # every pair within hamming <= 3 MUST be produced (4-band pigeonhole)
+    fps = {
+        r.media_id: r.fp
+        for r in M.payload_fingerprints(
+            _media(spark, [BASE, NEAR, OTHER])
+        ).collect()
+    }
+    out = M.fingerprint_near_pairs(_media(spark, [BASE, NEAR, OTHER]), 56)
+    got = {(r.media_a, r.media_b) for r in out.collect()}
+    for a in fps:
+        for b in fps:
+            if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3:
+                assert (a, b) in got
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+def _labeled_vecs(spark, rows):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=e, label=lb) for i, (e, lb) in enumerate(rows)]
+    )
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    emb = _labeled_vecs(
+        spark,
+        [
+            ([1.0, 0.0], 0),
+            ([0.99, 0.1], 0),   # same label — never a negative for 0
+            ([0.9, 0.2], 1),    # the hard negative
+            ([-1.0, 0.0], 1),   # easy negative
+        ],
+    )
+    out = S.hard_negatives(emb, [0], k=2).collect()
+    assert [r.vec_id for r in out] == [2, 3]
+    assert all(r.neg_label != r.q_label for r in out)
+    assert [r.rank for r in out] == [1, 2]
+
+
+def test_hard_negatives_k_bounds_per_anchor(spark):
+    emb = _labeled_vecs(
+        spark,
+        [([1.0, 0.0], 0), ([0.0, 1.0], 1)]
+        + [([float(i % 3 - 1), 1.0], 2) for i in range(6)],
+    )
+    out = S.hard_negatives(emb, [0, 1], k=3)
+    counts = {
+        r.q_id: r.n for r in out.groupBy("q_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {0: 3, 1: 3}

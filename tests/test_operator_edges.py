@@ -192,3 +192,53 @@ def test_range_join_sub_millisecond_lower_bound(spark):
     )
     # 10 excluded (later at full precision), 11 in window, 12 equal ok
     assert got == [11, 12]
+
+
+# ---------------------------------------------------------------------------
+# SCD2 interval build (operators/joins.scd2_intervals)
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_compresses_and_chains(spark):
+    from pyspark.sql import Row
+
+    from baronbatch_etl_spark.operators.joins import scd2_intervals
+
+    log = spark.createDataFrame(
+        [
+            Row(k=1, t=1, seq=1, s="bronze"),
+            Row(k=1, t=2, seq=2, s="bronze"),  # unchanged — collapses
+            Row(k=1, t=3, seq=3, s="gold"),
+            Row(k=1, t=4, seq=4, s="bronze"),  # back — new interval
+            Row(k=2, t=9, seq=5, s="silver"),
+        ]
+    )
+    out = sorted(
+        scd2_intervals(log, "k", "t", "s", "seq").collect(),
+        key=lambda r: (r.k, r.version),
+    )
+    assert [(r.k, r.state, r.valid_from, r.valid_to, r.version, r.is_current)
+            for r in out] == [
+        (1, "bronze", 1, 3, 1, False),
+        (1, "gold", 3, 4, 2, False),
+        (1, "bronze", 4, None, 3, True),
+        (2, "silver", 9, None, 1, True),
+    ]
+    # intervals chain: each valid_to equals the next version's valid_from
+    for a, b in zip(out, out[1:]):
+        if a.k == b.k:
+            assert a.valid_to == b.valid_from
+
+
+def test_scd2_single_shuffle_plan(spark):
+    from pyspark.sql import Row
+
+    from baronbatch_etl_spark.operators.joins import scd2_intervals
+
+    log = spark.createDataFrame(
+        [Row(k=i % 3, t=i, seq=i, s=str(i % 2)) for i in range(30)]
+    )
+    plan = scd2_intervals(log, "k", "t", "s", "seq")._jdf.queryExecution(
+    ).executedPlan().toString()
+    # one key-keyed Exchange reused by lag, lead and row_number
+    assert plan.count("Exchange hashpartitioning") == 1, plan
