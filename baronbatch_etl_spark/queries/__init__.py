@@ -113,16 +113,15 @@ _PRIORITY: tuple[str, ...] = (
     "t_bigram_novelty",  # corpus-unique-bigram quality signal
     "mm_phash_dedup",  # banded aHash near-dup over binary payloads
     "j_scd2_history",  # SCD2 validity intervals from a changelog
+    "t_dsir_affinity",  # DSIR importance weight (integer-exact)
     # --- flagship + one sentinel per family (r01/r02 rows on file) ---
     "flagship_player_stats",
     "t_token_stats",  # text analysis
     "d_minhash_lsh",  # LSH near-dup
     "s_ivf_topk",  # IVF pruned ANN
     "s_kmeans_assign",  # Lloyd trainer
-    "w_sessionize",  # gap sessionization
     "st_tumbling_agg",  # streaming batch-twin
     "q_sql_recursive",  # SQL surface
-    "j1_broadcast_dim_lookup",  # join family
 )
 
 #: Family variants parked just outside the ~50-slot checker window:
@@ -174,7 +173,7 @@ WINDOW_EXEMPT: dict[str, str] = {
     # windows — r02-green
     "w_rank_lag_lead": "w_ntile_battery",  # same ranking-window shapes
     "w_range_frame": "w_running_sum",  # same window-frame machinery
-    "w_resample_ffill": "w_sessionize",  # same union+carry window core
+    "w_resample_ffill": "w_running_sum",  # same window-frame machinery
     # agg family sentinel — r02-green; yields its slot to the new
     # a_cms_heavy_hitters (flagship exercises the same group+agg core)
     "a1_dup_finder": "flagship_player_stats",
@@ -187,6 +186,7 @@ WINDOW_EXEMPT: dict[str, str] = {
     "mm_features": "mm_phash_dedup",
     "w1_retention_trim": "w_ntile_battery",
     "j1_broadcast_dim_lookup": "flagship_player_stats",
+    "w_sessionize": "w_running_sum",
 }
 
 _PRIORITY = _PRIORITY + tuple(WINDOW_EXEMPT)

@@ -720,3 +720,83 @@ def t_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dev") > 3 * F.col("mad")).alias("is_outlier"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style target-domain affinity (data-selection importance weight)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_dsir_affinity",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+    FROM documents
+),
+vocab AS (
+    SELECT tok,
+           CAST(count(*) AS BIGINT) AS c_all,
+           CAST(count(*) FILTER (source = 'src0') AS BIGINT) AS c_t
+    FROM tok GROUP BY tok
+),
+totals AS (
+    SELECT CAST(sum(c_all) AS BIGINT) AS n_all,
+           CAST(sum(c_t) AS BIGINT) AS n_t
+    FROM vocab
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(v.c_t * totals.n_all - v.c_all * totals.n_t)
+            AS BIGINT) AS affinity,
+       (sum(v.c_t * totals.n_all - v.c_all * totals.n_t) > 0)
+           AS target_like
+FROM tok t JOIN vocab v ON t.tok = v.tok, totals
+GROUP BY t.doc_id
+""",
+    tags=("llm", "curation", "sampling"),
+)
+def t_dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection weight (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by how much more likely its unigrams are under a
+    TARGET domain (source 'src0' stands in for the high-quality
+    domain) than under the whole corpus, then resample high scorers.
+
+    Integer-exact variant: instead of Σ log(p_t/p_c) (whose float
+    accumulation is executor-order-dependent), the per-token evidence
+    is the cross-multiplied difference c_t·N_all − c_all·N_t — same
+    sign, monotone in p_t − p_c, and a BIGINT sum, so the score is
+    exact and the positive/negative decision boundary (p_t > p_c on
+    average) is bit-stable. At trillion-token scale the products need
+    per-million scaled frequencies or the double log-space form (the
+    standard DSIR estimator); the plan is identical.
+
+    Shapes: one explode → (token) partial-agg builds BOTH the corpus
+    and target counts in a single pass (conditional sum — no second
+    scan of the target slice); the two totals fold to one broadcast
+    row; docs join the vocabulary token-keyed (AQE broadcasts it while
+    it fits, shuffles both sides beyond that) and reduce per doc_id.
+    Linear, skew-bounded by token frequencies already counted."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread(docs).select(
+        "doc_id", "source", F.explode(X.tokens("text")).alias("tok")
+    )
+    vocab = tok.groupBy("tok").agg(
+        F.count("*").alias("c_all"),
+        F.count(F.when(F.col("source") == "src0", 1)).alias("c_t"),
+    )
+    totals = vocab.agg(
+        F.sum("c_all").alias("n_all"), F.sum("c_t").alias("n_t")
+    )
+    evidence = F.col("c_t") * F.col("n_all") - F.col("c_all") * F.col("n_t")
+    return (
+        tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(evidence).alias("affinity"),
+            (F.sum(evidence) > 0).alias("target_like"),
+        )
+    )
