@@ -366,3 +366,16 @@ def make_simhash_udf(bits: int = 60, half: int = 30):
         return pd.Series(out)
 
     return simhash_fast
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def word_bigrams_fast(texts: pd.Series) -> pd.Series:
+    """Arrow twin of text.word_ngrams(_, 2) — the distinct bigram
+    STRINGS (not hashes: t_bigram_novelty's corpus-frequency semantics
+    are exact on strings, while a 2^30-space hash would merge distinct
+    bigrams at corpus scale). Same tokenizer and distinct-set contract
+    as _doc_shingles; set-equal to the expression version (order
+    differs — every consumer is order-insensitive)."""
+    return pd.Series(
+        [_doc_shingles(t if isinstance(t, str) else "", 2) for t in texts]
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -150,24 +151,14 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 AHASH_BITS = 56
 
 
-def payload_fingerprints(media: DataFrame) -> DataFrame:
-    """56-bit locality-sensitive fingerprint over the binary payload —
-    the average-hash (aHash) algorithm applied to the byte stream: the
-    payload splits into 56 equal slices, bit_i = 1 iff slice_i's
-    byte-sum exceeds the payload mean (56·slice_sum > total). A small
-    local edit perturbs one slice's sum, flipping at most the bits
-    whose slices sat near the mean — so near-identical payloads land
-    within small hamming distance, exactly the property pHash/aHash
-    gives images. (A real deployment computes this from decoded pixels
-    inside ``extract_features``'s Arrow pass; the decoder is stubbed
-    in this container, so the code is computed over payload bytes
-    directly — same algorithm, different signal. Like real aHash,
-    *flat* inputs — uniform byte streams — all code to 0 and collide;
-    callers treat all-zero codes as low-information matches.)
-
-    The 56 slice folds are column expressions (whole-stage codegen);
-    at 100 TB with real media the same bits come out of the decoder's
-    Arrow batch at no extra pass.
+def payload_fingerprints_expr(media: DataFrame) -> DataFrame:
+    """Pure-expression twin of :func:`payload_fingerprints` — the
+    readable spec of the arithmetic (and the shape the DuckDB oracle
+    mirrors, :func:`sql_payload_ahash`). Spark does not whole-stage-
+    codegen higher-order-function lambdas, so the 57 per-character
+    folds here run interpreted; the Arrow UDF below computes the same
+    integers in one vectorized pass (~10×) and is what queries use —
+    the two are bit-parity-tested in tests/test_fast_parity.py.
     """
     txt = F.decode(F.col("payload"), "UTF-8")
     n = AHASH_BITS
@@ -193,10 +184,85 @@ def payload_fingerprints(media: DataFrame) -> DataFrame:
     fp = bit(0)
     for i in range(1, n):
         fp = fp + bit(i)
+    # when()'s null condition falls to otherwise(0) — force a null
+    # payload to a null code (the UDF's and the SQL oracle's semantic)
+    fp = F.when(F.col("payload").isNull(), F.lit(None).cast("long")).otherwise(fp)
     return media.select("media_id", fp.alias("fp"))
 
 
-def fingerprint_near_pairs(media: DataFrame, max_hamming: int = 4) -> DataFrame:
+@F.pandas_udf(T.LongType())
+def _ahash_fast(payloads: pd.Series) -> pd.Series:
+    """Arrow-vectorized aHash: one pass builds a flat codepoint array
+    for the whole batch, one cumulative sum, and all 56 slice sums
+    fall out as cumsum differences at the slice boundaries — the
+    fast_text.py pattern. Intermediates stay < 2^47 (codepoint < 2^21,
+    length < 2^20, ×56) — int64-exact, bit-identical to the
+    expression twin and the DuckDB oracle.
+    """
+    n = AHASH_BITS
+    out: list[int | None] = [None] * len(payloads)
+    idx: list[int] = []
+    bufs: list[bytes] = []
+    for i, p in enumerate(payloads):
+        if p is None:
+            continue
+        # contract: in this container the payload is UTF-8 text bytes
+        # (see payload_fingerprints docstring); a malformed payload
+        # raises here exactly as Spark 4's ANSI decode() does in the
+        # expression twin — same guard, same failure surface.
+        idx.append(i)
+        bufs.append(bytes(p).decode("utf-8").encode("utf-32-le"))
+    if idx:
+        lens = np.fromiter((len(b) >> 2 for b in bufs), dtype=np.int64, count=len(bufs))
+        flat = np.frombuffer(b"".join(bufs), dtype=np.uint32).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        cum = np.concatenate(([0], np.cumsum(flat)))
+        # slice boundaries: (docs × 57) codepoint positions, absolute
+        bounds = (np.arange(n + 1, dtype=np.int64)[None, :] * lens[:, None]) // n
+        pos = offs[:-1, None] + bounds
+        s = cum[pos[:, 1:]] - cum[pos[:, :-1]]  # (docs × 56) slice sums
+        total = cum[offs[1:]] - cum[offs[:-1]]
+        fps = (
+            ((n * s > total[:, None])
+             * (np.int64(1) << np.arange(n, dtype=np.int64))[None, :])
+            .sum(axis=1, dtype=np.int64)
+        )
+        for j, i in enumerate(idx):
+            out[i] = int(fps[j])
+    return pd.Series(out, dtype=object)
+
+
+def payload_fingerprints(media: DataFrame) -> DataFrame:
+    """56-bit locality-sensitive fingerprint over the binary payload —
+    the average-hash (aHash) algorithm: the payload splits into 56
+    equal slices, bit_i = 1 iff slice_i's value-sum exceeds the
+    payload mean (56·slice_sum > total). A small local edit perturbs
+    one slice's sum, flipping at most the bits whose slices sat near
+    the mean — so near-identical payloads land within small hamming
+    distance, exactly the property pHash/aHash gives images.
+
+    Contract: in this container the payload carries UTF-8 text bytes
+    (``documents_as_media`` encodes the fixture text), and the hash
+    sums Unicode code points after decoding — NOT raw bytes — so it
+    matches the character-indexed DuckDB oracle on non-ASCII text
+    too. A non-UTF-8 payload fails fast (decode error), the same
+    guard Spark 4's ANSI ``decode()`` gives the expression twin. A
+    real deployment computes these bits from decoded pixels inside
+    ``extract_features``'s Arrow pass instead — same algorithm,
+    different signal. Like real aHash, *flat* inputs (uniform byte
+    streams) all code to 0 and collide; callers treat all-zero codes
+    as low-information matches.
+
+    One Arrow pass per batch (``_ahash_fast``); at 100 TB this is a
+    single vectorized scan of the payload column, no interpreted
+    per-character folds.
+    """
+    return media.select("media_id", _ahash_fast(F.col("payload")).alias("fp"))
+
+
+def fingerprint_near_pairs(
+    media: DataFrame, max_hamming: int = 4, fps: DataFrame | None = None
+) -> DataFrame:
     """Near-duplicate media pairs by banded fingerprint blocking: the
     56-bit code splits into 4 × 14-bit bands; candidates collide on at
     least one whole band and are verified by popcount(xor).
@@ -212,8 +278,16 @@ def fingerprint_near_pairs(media: DataFrame, max_hamming: int = 4) -> DataFrame:
     the band exchange carries 4 rows of (14-bit key, id, code) per
     asset; bucket sizes stay uniform because the code bits are
     hash-mixed.
+
+    The fingerprint branch feeds both join sides and so computes
+    twice — deliberate: one Arrow pass is cheaper than pinning the
+    fingerprint frame in executor storage for the session (an
+    unbounded ``cache()`` here leaked across a 138-query catalog
+    run), and at scale a caller who already materialized fingerprints
+    passes them through ``fps`` instead.
     """
-    fps = payload_fingerprints(media).cache()
+    if fps is None:
+        fps = payload_fingerprints(media)
     blocks = fps.select(
         "media_id",
         "fp",

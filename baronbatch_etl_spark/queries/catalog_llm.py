@@ -13,7 +13,10 @@ from pyspark.sql import functions as F
 
 from baronbatch_etl_spark.io import load_table, spread
 from baronbatch_etl_spark.operators import dedup as D
-from baronbatch_etl_spark.operators.fast_text import make_cdc_chunks_udf
+from baronbatch_etl_spark.operators.fast_text import (
+    make_cdc_chunks_udf,
+    word_bigrams_fast,
+)
 from baronbatch_etl_spark.operators import multimodal as M
 from baronbatch_etl_spark.operators import similarity as S
 from baronbatch_etl_spark.operators import text as X
@@ -148,34 +151,50 @@ def t_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     novelty flags boilerplate — the corpus-level complement of
     t_repetition's within-doc signals.
 
-    NO join-back of the corpus vocabulary to the documents: a bigram
-    with doc-frequency 1 lives in exactly one document, so its owner
-    is recoverable from the (bigram → min doc_id) aggregate itself.
-    Shapes: row-local distinct-bigram explode → one bigram-keyed
-    partial-agg shuffle → one tiny doc-keyed agg over the unique
-    survivors → doc_id-keyed join of two per-doc-row frames. Linear,
-    skew-free (bigram keys are near-unique by construction), no
-    vocabulary broadcast — scan-bound at 100 TB."""
+    NO join-back of the corpus vocabulary to the documents, and the
+    expensive distinct-bigram build runs ONCE (not once per branch):
+    a space-free per-doc sentinel rides along the posexplode — a true
+    bigram always contains the join space, so ``cast(doc_id)`` can
+    never collide with one. The sentinel sits at array position
+    size(bigrams), so its ``pos`` IS the doc's distinct-bigram count;
+    it is corpus-unique, so it always survives the doc-frequency-1
+    filter, keeping every document in the final aggregate (n_novel =
+    survivors − 1, the sentinel itself). Shapes: row-local explode →
+    one bigram-keyed partial-agg shuffle → one tiny doc-keyed agg.
+    Linear, skew-free (bigram keys are near-unique by construction),
+    no vocabulary broadcast, no second document scan — scan-bound at
+    100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    bigrams = X.word_ngrams("text", 2)
-    bg = docs.select("doc_id", F.explode(bigrams).alias("bg"))
-    per_bg = bg.groupBy("bg").agg(
-        F.count("*").alias("n_docs"), F.min("doc_id").alias("only_doc")
+    bigrams = word_bigrams_fast(F.col("text"))
+    sentinel = F.col("doc_id").cast("string")
+    exploded = docs.select(
+        "doc_id",
+        F.posexplode(F.concat(bigrams, F.array(sentinel))).alias("pos", "bg"),
     )
-    novel = (
+    per_bg = exploded.groupBy("bg").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("doc_id"),
+        F.min("pos").alias("pos"),
+    )
+    per_doc = (
         per_bg.filter(F.col("n_docs") == 1)
-        .groupBy(F.col("only_doc").alias("doc_id"))
-        .agg(F.count("*").alias("n_novel"))
+        .groupBy("doc_id")
+        .agg(
+            (F.count("*") - 1).alias("n_novel"),
+            F.max(
+                F.when(
+                    F.col("bg") == F.col("doc_id").cast("string"), F.col("pos")
+                )
+            ).alias("n_bigrams"),
+        )
     )
-    base = docs.select("doc_id", F.size(bigrams).alias("n_bigrams"))
-    n_novel = F.coalesce(F.col("n_novel"), F.lit(0).cast("long"))
-    return base.join(novel, "doc_id", "left").select(
+    return per_doc.select(
         "doc_id",
         "n_bigrams",
-        n_novel.alias("n_novel"),
+        "n_novel",
         F.when(
             F.col("n_bigrams") > 0,
-            n_novel * 1.0 / F.col("n_bigrams"),
+            F.col("n_novel") * 1.0 / F.col("n_bigrams"),
         )
         .otherwise(F.lit(0.0))
         .alias("novelty"),

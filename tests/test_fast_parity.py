@@ -165,3 +165,22 @@ def test_sig_and_shingles_parity(spark):
     for r in out:
         assert r.sig1 == r.x.sig
         assert r.sh1 == r.x.sh
+
+
+def test_payload_ahash_parity(spark):
+    # the Arrow aHash must be bit-identical to the 57-fold expression
+    # twin — including non-ASCII codepoints (character-indexed slices)
+    # and null payloads
+    from baronbatch_etl_spark.operators import multimodal as M
+
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(TEXTS)]
+    media = M.documents_as_media(spark.createDataFrame(rows))
+    media = media.unionByName(
+        spark.createDataFrame(
+            [Row(media_id=99, payload=None, meta=None)], M.MEDIA_SCHEMA
+        )
+    )
+    expr = {r.media_id: r.fp for r in M.payload_fingerprints_expr(media).collect()}
+    fast = {r.media_id: r.fp for r in M.payload_fingerprints(media).collect()}
+    assert expr == fast
+    assert fast[99] is None
