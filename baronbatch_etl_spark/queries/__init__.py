@@ -55,146 +55,23 @@ def register(
 
 
 # Registry iteration order. External checkers run the catalog front to
-# back under a bounded per-run budget (~50 queries). Round-3 goal:
-# EVERY catalog query green in CORRECTNESS_r01 ∪ r02 ∪ r03 — so the 28
-# queries that never had a driver row lead, then the two whose shape
-# changed this round, then the flagship + one sentinel per family
-# (their r01/r02 rows stay on file). Redundant TPC-H variants (same §2
-# operator shapes as the five kept) sit at the very end.
-#
-# The first 50 names are the checker window. The family variants in
-# ``WINDOW_EXEMPT`` sit immediately after it (positions 51+): each one's
-# machinery is exercised by a named in-window sibling, so they give up
-# their slot — but still run first if the budget turns out larger.
+# back under a bounded per-run budget (~50 queries). Round-4 goal:
+# ROTATE THE STALE ROWS — 46 queries' newest driver row was r01 and 42
+# more were last checked in r02 (round 3 spent its window on the
+# then-new entries, all now green in CORRECTNESS_r03). So the oldest
+# rows lead: every r01-last query except p1/p2 (trivial projections
+# whose machinery every other window query re-exercises — parked at
+# 51-52), then the r02 stragglers the round-3 review called out by
+# name (j_salted_skew_join, f_url_encode, the st_* streaming twins)
+# plus mm_features — the catalog's only driver-checked exerciser of
+# the mapInPandas/Arrow Python-worker path, kept in-window per the
+# round-3 advice. Everything r03-green sits after the r02 remainder:
+# freshest rows last. tests/test_registry.py re-derives this invariant
+# from the CORRECTNESS_r0*.json files so the rotation can't silently
+# rot.
 _PRIORITY: tuple[str, ...] = (
-    # --- never driver-checked in r01/r02 (28) ---
-    "t_training_set",  # the capstone composite — most important row
-    "q_validate_expectations",
-    "t_eval_sample",
-    "t_outlier_mad",
-    "a_approx_quantiles",
-    "q_profile_table",
-    "f_udaf_median",
-    "f_udtf_chunks",
-    "t_bm25",
-    "d_semantic_dedup",
-    "t_cdc_chunks",
-    "d_chunk_dedup",
-    "d_lsh_recall",
-    "t_split_assign",
-    "t_hash_sample",
-    "w_ntile_battery",
-    "w_running_sum",
-    "w2_recent_slice",
-    "o1_topk_orders",
-    "st_sliding_agg",
-    "set_intersect",
-    "s_cosine_topk",
-    "s_srp_codes",
-    "s_dim_stats",
-    "d_simhash",
-    "t_bpe_merges",
-    "t_shard_plan",
-    "mm_frame_sample",
-    # --- shape changed this round: needs a fresh row ---
-    "d_bloom_dedup",  # ground-truth digest join replaced forced broadcast
-    "j_range_join",  # full-microsecond-precision bounds (operator+oracle)
-    # --- new this round: corpus monitoring / sketch state / layout ---
-    "t_corpus_drift",  # per-source TV drift vs corpus distribution
-    "d_source_overlap",  # pairwise source MinHash + exact Jaccard
-    "a_hll_union",  # mergeable HLL sketch state (union invariant)
-    "q_zorder_layout",  # Morton-bucket clustering audit
-    "a_cms_heavy_hitters",  # count-min grid, bit-exact oracle
-    "d_edit_distance",  # LSH candidates + thresholded Levenshtein verify
-    "s1_paginated_scan",  # custom Python DataSource (S1 as a source)
-    "d_dedup_report",  # per-source survivorship rollup (exact+near)
-    # --- new this session: training-pipeline widening ---
-    "s_hard_negatives",  # contrastive hard-negative mining
-    "t_bigram_novelty",  # corpus-unique-bigram quality signal
-    "mm_phash_dedup",  # banded aHash near-dup over binary payloads
-    "j_scd2_history",  # SCD2 validity intervals from a changelog
-    "t_dsir_affinity",  # DSIR importance weight (integer-exact)
-    # --- flagship + one sentinel per family (r01/r02 rows on file) ---
-    "flagship_player_stats",
-    "t_token_stats",  # text analysis
-    "d_minhash_lsh",  # LSH near-dup
-    "s_ivf_topk",  # IVF pruned ANN
-    "s_kmeans_assign",  # Lloyd trainer
-    "st_tumbling_agg",  # streaming batch-twin
-    "q_sql_recursive",  # SQL surface
-)
-
-#: Family variants parked just outside the ~50-slot checker window:
-#: variant → the in-window sibling that exercises the same machinery.
-#: Every entry here ALREADY HAS a green driver row in CORRECTNESS_r01
-#: or r02 (and still has a full oracle + runs in pytest/the local
-#: checker) — it only yields its driver slot this round.
-WINDOW_EXEMPT: dict[str, str] = {
-    # text analysis (row-local shapes) — r02-green
-    "t_repetition": "t_token_stats",
-    "t_lang_id": "t_token_stats",
-    "t_quality_score": "t_token_stats",
-    "t_pii_redact": "t_token_stats",
-    "t_fingerprint": "t_cdc_chunks",  # same Horner fold
-    "t_token_topk": "t_bpe_merges",  # same count+TakeOrdered shape
-    "t_bpe_tokens": "t_bpe_merges",
-    "t_tfidf": "t_bm25",  # same corpus-stats join machinery
-    "t_length_filter": "t_outlier_mad",  # same stratum-stats shape
-    "t_pack_sequences": "t_training_set",  # capstone runs the packer's shapes
-    # dedup — r02-green
-    "d_exact_dedup": "d_bloom_dedup",  # same content-digest machinery
-    # r02-green; the survivorship report runs minhash+CC end to end
-    "d_dup_clusters": "d_dedup_report",
-    "d_simhash_pairs": "d_simhash",  # pairs consume the same fingerprint
-    "d_ngram_jaccard": "d_minhash_lsh",  # same blocked-pair verify core
-    "d_span_dedup": "d_chunk_dedup",  # same segmented-hash dedup core
-    "d_embedding_neardup": "d_semantic_dedup",  # same blocked pair core
-    # similarity — r02-green
-    "s_label_centroids": "s_dim_stats",  # same fixed-point explode agg
-    "s_srp_topk": "s_srp_codes",  # same SRP hyperplane codes
-    "s_ivf_recall": "s_ivf_topk",  # same cell-pruned search
-    "s_quantize_int8": "s_ivf_topk",  # same map-only index transform
-    # streaming batch-twins — r02-green
-    "st_session_window": "st_tumbling_agg",
-    "st_stream_join": "st_tumbling_agg",
-    "st_dedup_ingest": "st_sliding_agg",  # r02-green, yields its slot
-    # set ops — r02-green (set_intersect stays in-window)
-    "set_ops": "set_intersect",
-    # curation — r02-green; the in-window capstone composes both stages
-    "t_contamination": "t_training_set",
-    "t_mixture_sample": "t_training_set",
-    # LSH keep-one pipeline — r02-green; the capstone runs its stages
-    "t_corpus_dedup": "t_training_set",
-    # SQL surface — r02-green
-    "q_sql_exists": "q_sql_recursive",
-    "q_sql_scalar_subquery": "q_sql_recursive",
-    "q_sql_grouping_sets": "q_sql_recursive",
-    "q_sql_lateral": "q_sql_recursive",
-    # windows — r02-green
-    "w_rank_lag_lead": "w_ntile_battery",  # same ranking-window shapes
-    "w_range_frame": "w_running_sum",  # same window-frame machinery
-    "w_resample_ffill": "w_running_sum",  # same window-frame machinery
-    # agg family sentinel — r02-green; yields its slot to the new
-    # a_cms_heavy_hitters (flagship exercises the same group+agg core)
-    "a1_dup_finder": "flagship_player_stats",
-    # sentinels displaced by this session's new queries — every one
-    # r01/r02-driver-green; the in-window sibling runs the same
-    # machinery (broadcast query set + window top-k / binary media
-    # column + banded near-dup / ranking window + filter / broadcast
-    # dim chain inside the flagship)
-    "s_batch_topk": "s_hard_negatives",
-    "mm_features": "mm_phash_dedup",
-    "w1_retention_trim": "w_ntile_battery",
-    "j1_broadcast_dim_lookup": "flagship_player_stats",
-    "w_sessionize": "w_running_sum",
-}
-
-_PRIORITY = _PRIORITY + tuple(WINDOW_EXEMPT)
-
-# Redundant TPC-H shapes: same §2 operators as the five kept
-# (Q1/Q3/Q6/Q15/Q18 analogues) — verified once in round 1, parked at
-# the registry tail so they never consume checker budget.
-_TAIL: tuple[str, ...] = (
+    # --- r4 window (50): newest driver row r01 — TPC-H shapes checked
+    # only in round 1 first ---
     "h_local_supplier_volume",
     "h_order_priority",
     "h_returned_items",
@@ -202,7 +79,100 @@ _TAIL: tuple[str, ...] = (
     "h_disjunctive_revenue",
     "h_nation_volume",
     "h_promo_revenue",
+    # joins (r01)
+    "j2_staged_resolution",
+    "j3_anti_orphans",
+    "j4_semi_user_matches",
+    "j5_ingest_dedup",
+    "j6_lookup_with_default",
+    "j7_membership_scan",
+    "j1_broadcast_dim_lookup",
+    "j_asof_join",
+    # aggregations (r01)
+    "a2_grouped_rollup",
+    "a3_champion_rollup",
+    "a5_scalar_aggs",
+    "a6_distinct_sorted",
+    "a7_table_counts",
+    "a8_keep_first_dedup",
+    "a_count_distinct",
+    "a_percentiles",
+    "a_rollup_hierarchy",
+    # kept TPC-H five (r01)
+    "h_pricing_summary",
+    "h_shipping_priority",
+    "h_large_volume_customer",
+    "h_forecast_revenue",
+    "h_top_supplier",
+    # SQL-surface reshapes (r01)
+    "q_pivot_status",
+    "q_cube_status_priority",
+    "q_unpivot",
+    # scalar-function families (r01)
+    "f_string_ops",
+    "f_norm_concat",
+    "f_derived_metrics",
+    "f_date_ops",
+    "f_array_ops",
+    "f_map_lookup",
+    "f_json_extract",
+    "f_rlike_match",
+    # filters/projections (r01)
+    "p3_ci_name_lookup",
+    "p4_membership",
+    "p5_array_first_match",
+    "p12_posexplode",
+    # --- r02 stragglers named by the round-3 review ---
+    "j_salted_skew_join",
+    "f_url_encode",
+    "mm_features",  # the mapInPandas/Arrow-worker path exerciser
+    "st_dedup_ingest",
+    "st_session_window",
+    "st_stream_join",
+    # --- 51-52: the two parked r01 rows (trivial, plan-asserted;
+    # every window query runs the same scan/project machinery) ---
+    "p1_projection",
+    "p2_filter_eq",
+    # --- r02-last remainder: next-oldest rows ---
+    "a1_dup_finder",
+    "a_approx_distinct",
+    "d_exact_dedup",
+    "d_dup_clusters",
+    "d_embedding_neardup",
+    "d_ngram_jaccard",
+    "d_simhash_pairs",
+    "d_span_dedup",
+    "q_sql_exists",
+    "q_sql_grouping_sets",
+    "q_sql_lateral",
+    "q_sql_scalar_subquery",
+    "s_batch_topk",
+    "s_ivf_recall",
+    "s_label_centroids",
+    "s_quantize_int8",
+    "s_srp_topk",
+    "set_ops",
+    "t_bpe_tokens",
+    "t_contamination",
+    "t_corpus_dedup",
+    "t_fingerprint",
+    "t_lang_id",
+    "t_length_filter",
+    "t_mixture_sample",
+    "t_pack_sequences",
+    "t_pii_redact",
+    "t_quality_score",
+    "t_repetition",
+    "t_tfidf",
+    "t_token_topk",
+    "w1_retention_trim",
+    "w_range_frame",
+    "w_rank_lag_lead",
+    "w_resample_ffill",
+    "w_sessionize",
 )
+# Everything else (all r03-green — freshest rows) follows in
+# registration order via load_all().
 
 
 def load_all() -> dict[str, QuerySpec]:
@@ -223,11 +193,8 @@ def load_all() -> dict[str, QuerySpec]:
 
     ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
     ordered.update(
-        (n, s)
-        for n, s in REGISTRY.items()
-        if n not in ordered and n not in _TAIL
+        (n, s) for n, s in REGISTRY.items() if n not in ordered
     )
-    ordered.update((n, REGISTRY[n]) for n in _TAIL if n in REGISTRY)
     REGISTRY.clear()
     REGISTRY.update(ordered)
     return REGISTRY

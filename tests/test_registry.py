@@ -52,52 +52,47 @@ def test_query_output_is_scalar_only(spark, sf_dir, name):
         )
 
 
-def test_priority_window_covers_fresh_families():
+def test_priority_window_rotates_stale_rows():
     # the external checker verifies ~the first 50 registry entries per
-    # round; every query from the families that most need fresh rows
-    # must sit inside that window — except the declared family variants
-    # (WINDOW_EXEMPT), each of which must (a) have its covering sibling
-    # in the window and (b) sit immediately after it, so a larger
-    # budget still reaches them first
-    from baronbatch_etl_spark.queries import WINDOW_EXEMPT
+    # round, front to back. Round-4 invariant, derived from the actual
+    # driver records: the oldest green rows rotate in first — every
+    # query whose newest CORRECTNESS row is r01 sits in the window
+    # (except p1/p2, trivial plan-asserted projections parked at
+    # 51-52), and nothing with a fresh r03 row takes a slot from an
+    # r01/r02-last query.
+    import json
+    from pathlib import Path
 
+    root = Path(__file__).resolve().parent.parent
+    last: dict[str, int] = {}
+    for r in (1, 2, 3):
+        f = root / f"CORRECTNESS_r0{r}.json"
+        if f.exists():
+            for name in json.loads(f.read_text()):
+                last[name] = r
+    if not last:  # fresh clone without driver records — nothing to pin
+        return
     names = list(REGISTRY)
     window = set(names[:50])
-    must_cover = [
-        n
-        for n, s in REGISTRY.items()
-        if {"llm", "streaming", "sql"} & set(s.tags)
-        or n.startswith(("w", "o1_", "set_"))
-    ]
-    missing = [
-        n for n in must_cover if n not in window and n not in WINDOW_EXEMPT
-    ]
-    assert not missing, f"outside checker window: {missing}"
-    for variant, sibling in WINDOW_EXEMPT.items():
-        assert sibling in window, f"{variant}'s sibling {sibling} not in window"
-    just_after = set(names[50 : 50 + len(WINDOW_EXEMPT)])
-    assert just_after == set(WINDOW_EXEMPT), (
-        f"exempt variants not parked at 51+: {just_after ^ set(WINDOW_EXEMPT)}"
+    r01_stale = {n for n, r in last.items() if r == 1 and n in REGISTRY}
+    parked = {"p1_projection", "p2_filter_eq"}
+    missing = r01_stale - window - parked
+    assert not missing, f"r01-stale rows outside checker window: {missing}"
+    assert parked <= set(names[50:52])
+    fresh_in_window = {n for n in window if last.get(n) == 3}
+    assert not fresh_in_window, (
+        f"r03-green rows holding window slots: {fresh_in_window}"
     )
+    # the round-3 advice: keep the mapInPandas/Arrow-worker path
+    # driver-checked — mm_features is its only catalog exerciser
+    assert "mm_features" in window
 
 
 def test_checker_window_names_resolve():
-    # a typo in the priority tables silently drops a query from the
+    # a typo in the priority table silently drops a query from the
     # driver's ~50-slot checker window — fail loudly instead
     from baronbatch_etl_spark import queries as Q
 
-    for n in list(Q._PRIORITY) + list(Q._TAIL):
-        assert n in REGISTRY, f"unknown name in priority tables: {n}"
-    names = list(REGISTRY)
-    window = set(names[:50])
-    # every parked variant's in-window sibling really is in-window
-    for variant, sibling in Q.WINDOW_EXEMPT.items():
-        assert variant in REGISTRY, variant
-        assert sibling in window, f"{variant}'s sibling {sibling} not in window"
-    # the north-star families hold their slots
-    # (t_training_set carries the curation AND corpus-dedup slots — it
-    # composes t_contamination/t_mixture_sample/t_corpus_dedup, all
-    # parked in WINDOW_EXEMPT)
-    for must in ("flagship_player_stats", "d_minhash_lsh",
-                 "s_kmeans_assign", "t_training_set", "st_tumbling_agg"):
-        assert must in window, must
+    for n in Q._PRIORITY:
+        assert n in REGISTRY, f"unknown name in priority table: {n}"
+    assert len(set(Q._PRIORITY)) == len(Q._PRIORITY), "duplicate priority name"
