@@ -58,6 +58,64 @@ from pyspark.sql.datasource import (
 SCHEMA = "user_id BIGINT, page INT, match_idx BIGINT, match_id STRING"
 
 
+class RateLimited(Exception):
+    """The fetch hit the API rate limit (HTTP 429 analog)."""
+
+
+class StaleKey(Exception):
+    """The fetch was rejected for a stale credential/identifier (the
+    reference's 400 + "Exception decrypting" response)."""
+
+
+class RetryPolicy:
+    """The reference extractor's two recovery paths as a bounded,
+    injectable policy (extractor/main.py:61-63 sleeps 120 s and retries
+    on 429 — unbounded recursion there, bounded here; extractor/
+    main.py:379-391 re-resolves the local PUUID and refetches once on a
+    decryption-key mismatch).
+
+    Runs inside each fetch task, so on a cluster every page task
+    recovers independently — a 429 burst degrades throughput instead
+    of failing the stage, and a bounded ``max_retries`` turns a dead
+    API into a task error Spark's own task-retry/blacklisting handles
+    (the unbounded reference loop would hang the executor forever).
+
+    ``sleep`` is injectable for tests; the default backoff mirrors the
+    reference's flat 120 s pause.
+    """
+
+    def __init__(
+        self,
+        max_retries: int = 5,
+        backoff_ms: int = 120_000,
+        sleep=time.sleep,
+    ):
+        self.max_retries = max_retries
+        self.backoff_ms = backoff_ms
+        self.sleep = sleep
+
+    def call(self, fetch, refresh_key=None):
+        """Run ``fetch()`` with bounded 429 backoff; on ``StaleKey``,
+        call ``refresh_key()`` once and refetch (a second StaleKey —
+        or no resolver — propagates, matching the reference's
+        abort-batch path)."""
+        refreshed = False
+        rate_hits = 0
+        while True:
+            try:
+                return fetch()
+            except RateLimited:
+                if rate_hits >= self.max_retries:
+                    raise
+                rate_hits += 1
+                self.sleep(self.backoff_ms / 1000.0)
+            except StaleKey:
+                if refreshed or refresh_key is None:
+                    raise
+                refresh_key()
+                refreshed = True
+
+
 def _fetch_page(
     user_id: int, page: int, page_size: int
 ) -> list[tuple[int, int, int, str]]:
@@ -89,6 +147,10 @@ class PagedApiReader(DataSourceReader):
         # per-user; fetch granularity stays per-page (the throttle
         # sleeps once per page, not per task).
         self.pages_per_task = int(options.get("pages_per_task", 1))
+        self.retry = RetryPolicy(
+            max_retries=int(options.get("max_retries", 5)),
+            backoff_ms=int(options.get("retry_backoff_ms", 120_000)),
+        )
         self._users: Sequence[int] = range(self.n_users)
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -126,7 +188,11 @@ class PagedApiReader(DataSourceReader):
         for page in part.pages:
             if self.throttle_ms:
                 time.sleep(self.throttle_ms / 1000.0)
-            yield from _fetch_page(part.user_id, page, self.page_size)
+            # the in-container fake never raises; a real _fetch_page
+            # raises RateLimited/StaleKey and recovers per the policy
+            yield from self.retry.call(
+                lambda: _fetch_page(part.user_id, page, self.page_size)
+            )
 
 
 class PagedApiStreamReader(SimpleDataSourceStreamReader):

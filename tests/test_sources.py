@@ -388,3 +388,103 @@ def test_paged_api_read_between_offsets_replays_exactly():
     assert len(set(rows)) == len(rows)
     # past-the-end replay is empty (drained source)
     assert list(r.readBetweenOffsets({"page": 4}, {"page": 4})) == []
+
+
+# ---------------------------------------------------------------------------
+# Retry policy: the reference's 429 sleep-and-retry and key-mismatch
+# refetch (extractor/main.py:61-63, 379-391) as bounded recovery
+
+
+def test_retry_policy_backs_off_then_succeeds():
+    from baronbatch_etl_spark.sources.paged_api import RateLimited, RetryPolicy
+
+    sleeps: list[float] = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] <= 3:
+            raise RateLimited()
+        return ["row"]
+
+    p = RetryPolicy(max_retries=5, backoff_ms=120_000, sleep=sleeps.append)
+    assert p.call(flaky) == ["row"]
+    assert calls["n"] == 4
+    assert sleeps == [120.0, 120.0, 120.0]  # the reference's flat 2 min
+
+
+def test_retry_policy_bounded_gives_up():
+    import pytest
+
+    from baronbatch_etl_spark.sources.paged_api import RateLimited, RetryPolicy
+
+    sleeps: list[float] = []
+
+    def dead():
+        raise RateLimited()
+
+    p = RetryPolicy(max_retries=2, backoff_ms=1_000, sleep=sleeps.append)
+    with pytest.raises(RateLimited):
+        p.call(dead)
+    assert len(sleeps) == 2  # retried exactly max_retries times
+
+
+def test_retry_policy_stale_key_refreshes_once():
+    import pytest
+
+    from baronbatch_etl_spark.sources.paged_api import RetryPolicy, StaleKey
+
+    state = {"key": "stale", "refreshes": 0}
+
+    def fetch():
+        if state["key"] == "stale":
+            raise StaleKey()
+        return [state["key"]]
+
+    def refresh():
+        state["refreshes"] += 1
+        state["key"] = "fresh"
+
+    p = RetryPolicy(sleep=lambda s: None)
+    assert p.call(fetch, refresh_key=refresh) == ["fresh"]
+    assert state["refreshes"] == 1
+
+    # a refresh that does NOT fix the key aborts (the reference's
+    # "Failed to resolve local PUUID. Aborting batch." path)
+    state2 = {"refreshes": 0}
+
+    def still_stale():
+        raise StaleKey()
+
+    def refresh2():
+        state2["refreshes"] += 1
+
+    with pytest.raises(StaleKey):
+        p.call(still_stale, refresh_key=refresh2)
+    assert state2["refreshes"] == 1
+    # and with no resolver at all, the first StaleKey propagates
+    with pytest.raises(StaleKey):
+        p.call(still_stale)
+
+
+def test_retry_policy_mixed_rate_limit_and_stale_key():
+    from baronbatch_etl_spark.sources.paged_api import (
+        RateLimited,
+        RetryPolicy,
+        StaleKey,
+    )
+
+    sleeps: list[float] = []
+    seq = [RateLimited(), StaleKey(), RateLimited(), None]
+    state = {"i": 0}
+
+    def fetch():
+        e = seq[state["i"]]
+        state["i"] += 1
+        if e is not None:
+            raise e
+        return ["ok"]
+
+    p = RetryPolicy(max_retries=5, backoff_ms=2_000, sleep=sleeps.append)
+    assert p.call(fetch, refresh_key=lambda: None) == ["ok"]
+    assert sleeps == [2.0, 2.0]  # 429s backed off; StaleKey did not

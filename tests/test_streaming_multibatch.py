@@ -569,3 +569,142 @@ def test_compact_epoch_store_refuses_in_place(spark, tmp_path):
         ops.compact_epoch_store(
             spark, store, f"{store}/nested", ["k"], ["c"]
         )
+
+
+# ---------------------------------------------------------------------------
+# Late / out-of-order event differential: the live watermark paths vs
+# their batch twins over the same event set
+
+
+_MIN_NS = 60_000_000_000  # one minute of epoch-nanos
+
+
+def _write_event_batches(spark, root, batches):
+    """One parquet file per micro-batch (mtime-ordered, matching the
+    file source's oldest-first admission), ts in epoch-nanos LONG."""
+    import glob as g
+    import os
+    import shutil
+    import time
+
+    os.makedirs(root)
+    now = time.time()
+    for i, rs in enumerate(batches):
+        rows = [(e, m * _MIN_NS, u, t, 1.0, "{}") for (e, m, u, t) in rs]
+        stage = f"{root}/_s{i}"
+        spark.createDataFrame(rows, ops.EVENTS_DDL).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        (part,) = g.glob(f"{stage}/part-*.parquet")
+        dst = f"{root}/b{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (now - 100 + i * 5, now - 100 + i * 5))
+        shutil.rmtree(stage)
+
+
+def _drain(df_stream, name):
+    q = (
+        df_stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+    return batches
+
+
+def test_late_dedup_differential_vs_batch_twin(spark, tmp_path):
+    """Out-of-order + late events through watermark_dedup across real
+    micro-batches, asserted against the batch dropDuplicates twin.
+
+    Probed Spark 4 semantics this test pins: dropDuplicatesWithinWatermark
+    ADMITS rows below the watermark (no late-row filter; the watermark
+    bounds STATE, not admission), and a duplicate arriving in a later
+    micro-batch within the delay is collapsed — so the stream output
+    must equal batch dedup over all events, exactly once each."""
+    d = str(tmp_path / "late_dedup")
+    # b0: 1@100, 2@120  -> watermark := 110 after the batch
+    # b1 (wm 110): 1@100 replayed dup (state alive: 100+10 >= 110),
+    #              4@105 and 5@100 genuinely late NEW rows,
+    #              3@121 on time
+    _write_event_batches(
+        spark,
+        d,
+        [
+            [(1, 100, 1, "c"), (2, 120, 1, "c")],
+            [(1, 100, 1, "c"), (4, 105, 1, "c"), (5, 100, 1, "c"), (3, 121, 1, "c")],
+        ],
+    )
+    stream = ops.stream_events(spark, d, glob="*.parquet")
+    batches = _drain(ops.watermark_dedup(stream), "late_dedup_diff")
+    assert len(batches) >= 2, "events must arrive across micro-batches"
+
+    got = {
+        (r.event_id, r.c)
+        for r in spark.sql(
+            "SELECT event_id, count(*) c FROM late_dedup_diff GROUP BY event_id"
+        ).collect()
+    }
+    twin = spark.read.parquet(d).dropDuplicates(["event_id"])
+    want = {(r.event_id, 1) for r in twin.collect()}
+    assert got == want  # every event exactly once — replay collapsed
+
+
+def test_late_session_differential_vs_batch_twin(spark, tmp_path):
+    """Out-of-order + late events through session_aggregate across
+    micro-batches vs the batch session-window twin.
+
+    Probed Spark 4 semantics this test pins: session rows below the
+    watermark still enter state (admission is not cut off — a very
+    late disjoint row opens its own session), the watermark instead
+    gates append-mode EMISSION: a session emits exactly once, only
+    after the watermark passes its close. A far-future flush event
+    closes everything, so stream output must equal the batch
+    session_window aggregate over ALL events."""
+    d = str(tmp_path / "late_sess")
+    # gap 30m, delay 10m
+    # b0: u1@100, u1@110, u2@140          -> wm := 130
+    # b1 (wm 130): u1@105 merges into the live session, u1@99 extends
+    #              its start, u1@30 (disjoint, fully below wm) opens
+    #              its own session, u3@700 flushes the watermark
+    _write_event_batches(
+        spark,
+        d,
+        [
+            [(1, 100, 1, "c"), (2, 110, 1, "c"), (3, 140, 2, "c")],
+            [(4, 105, 1, "c"), (5, 99, 1, "c"), (6, 30, 1, "c"), (7, 700, 3, "c")],
+        ],
+    )
+    stream = ops.stream_events(spark, d, glob="*.parquet")
+    batches = _drain(ops.session_aggregate(stream), "late_sess_diff")
+    assert len(batches) >= 2
+
+    got = {
+        (r.user_id, r.session_start_ms, r.n_events)
+        for r in spark.sql("SELECT * FROM late_sess_diff").collect()
+    }
+    ev = spark.read.parquet(d).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    twin = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            "n_events",
+        )
+    )
+    want = {
+        (r.user_id, r.session_start_ms, r.n_events)
+        for r in twin.collect()
+        if r.user_id != 3  # u3's flush session never closes in-stream
+    }
+    assert got == want
+    # append-mode closure: each session emitted exactly once
+    n = spark.sql("SELECT count(*) c FROM late_sess_diff").collect()[0].c
+    assert n == len(got)
