@@ -370,3 +370,27 @@ def test_source_overlap_reuses_checkpointed_shingles(spark, registry, sf_dir):
     assert "Scan ExistingRDD" in final
     assert "ArrowEvalPython" not in final  # hashing not replayed downstream
     assert "SortMergeJoin" not in final
+
+
+def test_bigram_novelty_is_single_pass_no_join(spark, registry, sf_dir):
+    # the sentinel-trick rewrite: ONE generate (posexplode) over ONE
+    # document scan, two aggregations, and NO join back to documents —
+    # a second Generate or any join means the distinct-bigram build
+    # regressed to per-branch recomputation
+    plan = _plan(spark, registry, "t_bigram_novelty", sf_dir)
+    # AQE dumps final + initial plans; count shapes in the final only
+    plan = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"\bGenerate\b", plan)) == 1, plan
+    assert "Join" not in plan, "no join-back of the corpus vocabulary"
+    assert len(re.findall(r"ArrowEvalPython", plan)) == 1, (
+        "bigrams must come from one Arrow pass"
+    )
+
+
+def test_phash_fingerprint_is_arrow_not_hof(spark, registry, sf_dir):
+    # the aHash must run as Arrow-vectorized pandas UDF passes (one
+    # per join side), not as interpreted higher-order aggregate folds
+    plan = _plan(spark, registry, "mm_phash_dedup", sf_dir)
+    assert "ArrowEvalPython" in plan
+    assert "aggregate(" not in plan, "HOF fold found in the hot path"
+    assert "CartesianProduct" not in plan

@@ -487,3 +487,41 @@ def test_thresholded_levenshtein_matches_reference(spark, pairs):
             assert r.d == want, (r.a, r.b)
         else:
             assert r.d == -1, (r.a, r.b)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            # any non-surrogate codepoint (payloads are UTF-8 bytes)
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_payload_ahash_matches_python_reference(spark, texts):
+    # the Arrow aHash (batch cumsum + slice indexing) must equal a
+    # direct per-row Python transcription of the spec on arbitrary
+    # unicode — slice boundaries are CHARACTER-indexed
+    from baronbatch_etl_spark.operators import multimodal as M
+
+    def ref(t: str) -> int:
+        cps = [ord(c) for c in t]
+        L, n = len(cps), M.AHASH_BITS
+        total = sum(cps)
+        fp = 0
+        for i in range(n):
+            s = sum(cps[i * L // n : (i + 1) * L // n])
+            if n * s > total:
+                fp |= 1 << i
+        return fp
+
+    media = M.documents_as_media(
+        spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        )
+    )
+    got = {r.media_id: r.fp for r in M.payload_fingerprints(media).collect()}
+    assert got == {i: ref(t) for i, t in enumerate(texts)}
