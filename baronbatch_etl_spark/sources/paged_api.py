@@ -204,6 +204,13 @@ class PagedApiStreamReader(SimpleDataSourceStreamReader):
         self.n_users = int(options.get("n_users", 50))
         self.pages = int(options.get("pages", 4))
         self.page_size = int(options.get("page_size", 25))
+        # same bounded recovery as the batch reader — a 429 mid-batch
+        # backs off instead of failing the micro-batch (whose replay
+        # would refetch every page of the offset range)
+        self.retry = RetryPolicy(
+            max_retries=int(options.get("max_retries", 5)),
+            backoff_ms=int(options.get("retry_backoff_ms", 120_000)),
+        )
 
     def initialOffset(self) -> dict:
         return {"page": 0}
@@ -215,7 +222,9 @@ class PagedApiStreamReader(SimpleDataSourceStreamReader):
             r
             for page in range(first, min(last, self.pages))
             for u in range(self.n_users)
-            for r in _fetch_page(u, page, self.page_size)
+            for r in self.retry.call(
+                lambda: _fetch_page(u, page, self.page_size)
+            )
         ]
 
     def read(self, start: dict):

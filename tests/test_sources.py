@@ -488,3 +488,27 @@ def test_retry_policy_mixed_rate_limit_and_stale_key():
     p = RetryPolicy(max_retries=5, backoff_ms=2_000, sleep=sleeps.append)
     assert p.call(fetch, refresh_key=lambda: None) == ["ok"]
     assert sleeps == [2.0, 2.0]  # 429s backed off; StaleKey did not
+
+
+def test_stream_reader_retries_through_rate_limits(monkeypatch):
+    # a flaky fetch inside a micro-batch read recovers via the same
+    # bounded policy as the batch reader — the batch replays intact
+    from baronbatch_etl_spark.sources import paged_api as P
+
+    real = P._fetch_page
+    fails = {"left": 2}
+
+    def flaky(user_id, page, page_size):
+        if fails["left"]:
+            fails["left"] -= 1
+            raise P.RateLimited()
+        return real(user_id, page, page_size)
+
+    monkeypatch.setattr(P, "_fetch_page", flaky)
+    r = P.PagedApiStreamReader(
+        {"n_users": "3", "pages": "2", "page_size": "2",
+         "retry_backoff_ms": "0"}
+    )
+    rows = r._pages_between(0, 2)
+    assert len(rows) == 3 * 2 * 2
+    assert fails["left"] == 0  # the failures actually happened
