@@ -3,11 +3,14 @@ family). Images/audio/video ride through the engine as opaque
 ``binary`` columns with a typed metadata struct; decode/feature
 steps are Arrow-batched ``mapInPandas`` operators.
 
-The container has no image/audio libraries, so the actual decoders
-are STUBS (clearly marked); everything around them — schema, batch
-iteration, partitioning, output shape — is real and tested. Swapping
-`_decode_image_stub` for a PIL/torchvision call is the only change a
-real deployment makes.
+Decode is layered: PIL when the library is importable, else a pure
+stdlib PNG reference decoder (`_decode_png` — 8-bit, all five
+scanline filters, tested against a round-trip encoder), else a loud
+NotImplementedError. So `extract_features(use_real_decoder=True)`
+runs end to end even in this imaging-library-free container, and the
+fake length-derived features remain the default for non-image fixture
+payloads. Everything around the decoder — schema, Arrow batch
+iteration, partitioning, output shape — is identical on every path.
 """
 
 from __future__ import annotations
@@ -55,22 +58,97 @@ try:  # import-guarded: PIL is absent in this container but the real
 except ImportError:  # pragma: no cover — exercised where PIL exists
     _PIL_Image = None
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-def _decode_image(payload: bytes):
-    """Decode an image payload with PIL when the library is present;
-    otherwise raise — clearly marked, so the ``use_real_decoder=True``
-    claim is falsifiable in any environment that ships an imaging
-    stack (tests skip, not fail, where it doesn't)."""
-    if _PIL_Image is None:
-        raise NotImplementedError(
-            "image decode requires PIL, not present in this "
-            "environment; see module docstring"
-        )
-    import io
 
-    with _PIL_Image.open(io.BytesIO(payload)) as img:  # pragma: no cover
-        img.load()
-        return img.size
+def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Minimal stdlib PNG decoder: 8-bit gray/gray+alpha/RGB/RGBA,
+    non-interlaced, all five scanline filters. Returns (width,
+    height, channels, raw pixel bytes row-major).
+
+    This is the CORRECTNESS REFERENCE for the decode step — pure
+    stdlib (zlib + struct), so the real-decoder path is testable in
+    any container. A production deployment decodes with PIL/libjpeg
+    (taken first, below) — per-byte Python unfiltering is not the
+    100 TB hot path, the Arrow batching around it is identical either
+    way."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, hdr = 8, [], None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[pos : pos + 8])
+        pos += 8
+        data = payload[pos : pos + ln]
+        pos += ln + 4  # chunk CRC skipped (zlib adler + our tests cover)
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if hdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = hdr
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError("stdlib decoder: 8-bit non-interlaced only")
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        p += 1
+        line = bytearray(raw[p : p + stride])
+        p += stride
+        if f == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 255
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 255
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 255
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 255
+        elif f != 0:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return w, h, ch, bytes(out)
+
+
+def _decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an image payload to (width, height, channels, pixel
+    bytes): PIL when the library is present, the stdlib PNG reference
+    decoder for PNG payloads otherwise. Anything else raises — the
+    ``use_real_decoder=True`` claim stays falsifiable everywhere."""
+    if _PIL_Image is not None:  # pragma: no cover — needs PIL
+        import io
+
+        with _PIL_Image.open(io.BytesIO(payload)) as img:
+            img.load()
+            px = img.tobytes()
+            ch = len(img.getbands())
+            return img.width, img.height, ch, px
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
+    raise NotImplementedError(
+        "image decode beyond PNG requires PIL, not present in this "
+        "environment; see module docstring"
+    )
 
 
 #: Back-compat alias for the documented stub name.
@@ -84,28 +162,47 @@ def _fake_features(byte_len: int) -> list[float]:
     return [float((byte_len * (i + 7)) % 256) for i in range(FEATURE_DIM)]
 
 
+def _pixel_features(payload: bytes) -> list[float]:
+    """FEATURE_DIM real features from decoded pixels: width, height,
+    channels, overall mean, then per-channel means (zero-padded to 4
+    channels). Deterministic float64 over uint8 pixels."""
+    w, h, ch, px = _decode_image(payload)
+    arr = np.frombuffer(px, dtype=np.uint8).astype(np.float64)
+    mat = arr.reshape(-1, ch) if arr.size else np.zeros((0, ch))
+    means = mat.mean(axis=0) if mat.size else np.zeros(ch)
+    out = [float(w), float(h), float(ch), float(arr.mean()) if arr.size else 0.0]
+    out += [float(m) for m in means[:4]] + [0.0] * (4 - min(ch, 4))
+    return out[:FEATURE_DIM]
+
+
 def extract_features(media: DataFrame, use_real_decoder: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     ``mapInPandas`` keeps whole Arrow batches in flight (no per-row
     serde); at 100 TB this is the pattern for any Python-side media
     op — the batch iterator bounds memory regardless of file count.
+
+    ``use_real_decoder=True`` decodes every payload (PIL where
+    present, the stdlib PNG reference decoder otherwise) and emits
+    real pixel statistics (`_pixel_features`); the default path emits
+    the deterministic length-derived fake so the distributed plumbing
+    is exercised on fixture payloads that are not images.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             lens = pdf["payload"].map(lambda p: 0 if p is None else len(p))
             if use_real_decoder:
-                # decode-validate every payload (PIL where present;
-                # raises NotImplementedError otherwise)
-                pdf["payload"].map(
-                    lambda p: None if p is None else _decode_image(p)
+                feats = pdf["payload"].map(
+                    lambda p: None if p is None else _pixel_features(bytes(p))
                 )
+            else:
+                feats = lens.map(_fake_features)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "byte_len": lens.astype("int64"),
-                    "features": lens.map(_fake_features),
+                    "features": feats,
                 }
             )
 
