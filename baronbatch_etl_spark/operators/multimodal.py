@@ -467,3 +467,82 @@ def sql_payload_ahash(expr: str = "text") -> str:
         f"i -> CASE WHEN {n} * {char_sum(piece_i)} > {char_sum(expr)} "
         "THEN (1::BIGINT << i) ELSE 0::BIGINT END)), (a, v) -> a + v)"
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("byte_len", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Stdlib WAV decode (the audio twin of `_decode_png`): returns
+    (sample_rate, n_channels, n_frames, samples[frame, channel] as
+    float64). 16-bit and 8-bit PCM — the formats `wave` emits."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        ch, width, rate, n = (
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getframerate(),
+            w.getnframes(),
+        )
+        frames = w.readframes(n)
+    if width == 2:
+        arr = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+    elif width == 1:  # 8-bit WAV is unsigned, centered at 128
+        arr = np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0
+    else:
+        raise NotImplementedError(f"{8 * width}-bit PCM not supported")
+    return rate, ch, n, arr.reshape(-1, ch)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio feature extraction over binary WAV payloads — the same
+    Arrow `mapInPandas` shape as `extract_features`, second modality:
+    per asset, sample rate / channel count / duration and per-channel
+    RMS amplitude (float64 over the PCM samples). The decode is pure
+    stdlib (`wave`), so unlike most imaging stacks this path has no
+    optional dependency at all; a production deployment swaps in
+    soundfile/ffmpeg for compressed codecs behind the same batch
+    iterator."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "byte_len": [],
+                "sample_rate": [],
+                "n_channels": [],
+                "duration_ms": [],
+                "rms": [],
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                if p is None:
+                    for k in ("byte_len", "sample_rate", "n_channels",
+                              "duration_ms", "rms"):
+                        out[k].append(None)
+                    continue
+                b = bytes(p)
+                rate, ch, n, mat = _decode_wav(b)
+                out["byte_len"].append(len(b))
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(ch)
+                out["duration_ms"].append(int(n * 1000) // rate if rate else 0)
+                out["rms"].append(
+                    [float(v) for v in np.sqrt((mat * mat).mean(axis=0))]
+                    if n
+                    else [0.0] * ch
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(op, AUDIO_FEATURES_SCHEMA)

@@ -510,3 +510,42 @@ def test_extract_features_real_decoder_stdlib_png(spark):
         float(m) for m in mat.mean(axis=0)
     ] + [0.0]
     assert row.features == pytest.approx(want[:8])
+
+
+def _wav_bytes(rate, ch, frames16):
+    """In-test stdlib WAV encoder: frames16 is an int16 numpy array
+    shaped (n_frames, ch)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(frames16.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_extract_audio_features_stdlib_wav(spark):
+    import numpy as np
+
+    rate = 8000
+    t = np.arange(rate)  # one second
+    left = (1000 * np.sign(np.sin(2 * np.pi * 440 * t / rate))).astype("<i2")
+    right = np.full(rate, 500, dtype="<i2")
+    wav = _wav_bytes(rate, 2, np.stack([left, right], axis=1))
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(wav), meta=None),
+            Row(media_id=2, payload=None, meta=None),
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in M.extract_audio_features(media).collect()}
+    r = rows[1]
+    assert (r.sample_rate, r.n_channels, r.duration_ms) == (rate, 2, 1000)
+    mat = np.stack([left, right], axis=1).astype(float)
+    want = np.sqrt((mat * mat).mean(axis=0))
+    assert r.rms == pytest.approx([want[0], want[1]])
+    assert rows[2].rms is None  # null payload propagates
