@@ -546,3 +546,34 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(op, AUDIO_FEATURES_SCHEMA)
+
+
+def make_wav_synth_udf(n_frames: int = 64, rate: int = 8000):
+    """Deterministic WAV synthesizer (Arrow pandas UDF): mono 16-bit
+    payloads whose samples alternate +amp / −(amp//2) — so RMS has the
+    closed form sqrt((amp² + (amp//2)²)/2) and the full encode →
+    decode → feature path is oracle-checkable without audio fixtures.
+    ``n_frames`` must be even so the two magnitudes weigh equally."""
+    assert n_frames % 2 == 0
+
+    @F.pandas_udf(T.BinaryType())
+    def synth_wav(amps: pd.Series) -> pd.Series:
+        import io
+        import wave
+
+        out = []
+        for a in amps:
+            a = int(a)
+            samples = np.empty(n_frames, dtype="<i2")
+            samples[0::2] = a
+            samples[1::2] = -(a // 2)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(samples.tobytes())
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    return synth_wav

@@ -133,6 +133,9 @@ _PRIORITY: tuple[str, ...] = (
     # every window query runs the same scan/project machinery) ---
     "p1_projection",
     "p2_filter_eq",
+    # --- new this round (no driver row yet; first overflow slot
+    # after the parked pair, window next round) ---
+    "mm_audio_stats",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

@@ -1365,6 +1365,48 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_audio_stats",
+    oracle="""
+SELECT doc_id AS media_id,
+       8000 AS sample_rate,
+       1 AS n_channels,
+       CAST(8 AS BIGINT) AS duration_ms,
+       sqrt((amp * amp + (amp // 2) * (amp // 2)) / 2.0) AS rms_0
+FROM (SELECT doc_id, 100 + doc_id % 900 AS amp FROM documents)
+""",
+    tags=("llm", "multimodal", "audio"),
+)
+def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality end to end, oracle-checked: synthesize a
+    deterministic mono WAV per document (samples alternate +amp /
+    −(amp//2), amp = 100 + doc_id % 900), run the real stdlib decode
+    + RMS extraction (operators/multimodal.extract_audio_features),
+    and compare against the closed-form RMS sqrt((amp²+(amp//2)²)/2)
+    — both sides one correctly-rounded IEEE sqrt, bit-stable.
+
+    Unlike mm_features (length-derived fake features), every byte of
+    this path is real: wave encode, RIFF parse, PCM decode, float64
+    RMS — the plumbing a 100 TB audio corpus runs per Arrow batch,
+    minus only the compressed-codec library."""
+    docs = load_table(spark, sf_dir, "documents")
+    synth = M.make_wav_synth_udf()
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        synth((F.lit(100) + F.col("doc_id") % 900).cast("int")).alias(
+            "payload"
+        ),
+        F.lit(None).cast(M.MEDIA_META).alias("meta"),
+    )
+    return M.extract_audio_features(media).select(
+        "media_id",
+        "sample_rate",
+        "n_channels",
+        "duration_ms",
+        F.element_at("rms", 1).alias("rms_0"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Substring-level and incremental dedup
 # ---------------------------------------------------------------------------
