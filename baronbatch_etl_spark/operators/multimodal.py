@@ -577,3 +577,86 @@ def make_wav_synth_udf(n_frames: int = 64, rate: int = 8000):
         return pd.Series(out)
 
     return synth_wav
+
+
+def _encode_png_gray(w: int, h: int) -> bytes:
+    """Deterministic 8-bit grayscale PNG (filter-0 rows): pixel(x, y)
+    = (7x + 13y) mod 256 — the synthetic gradient the resize oracle
+    replays in closed form."""
+    import binascii
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw.extend((7 * x + 13 * y) & 255 for x in range(w))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_gradient_png(ws: pd.Series, hs: pd.Series) -> pd.Series:
+    """Arrow UDF: per-row gradient PNG payloads (see _encode_png_gray)."""
+    return pd.Series(
+        [_encode_png_gray(int(w), int(h)) for w, h in zip(ws, hs)]
+    )
+
+
+def resize_nn(payload: bytes, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbor resize over the decoded image: source index
+    sx(j) = j·w//tw, sy(i) = i·h//th (floor sampling — the integer
+    convention the SQL oracle replays). Returns (th, tw, ch) uint8."""
+    w, h, ch, px = _decode_image(bytes(payload))
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return arr[ys][:, xs]
+
+
+RESIZE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("target_w", T.IntegerType(), False),
+        T.StructField("target_h", T.IntegerType(), False),
+        T.StructField("px_mean", T.DoubleType(), True),
+    ]
+)
+
+
+def resized_pixel_stats(media: DataFrame, tw: int, th: int) -> DataFrame:
+    """Decode → nearest-neighbor resize → mean pixel value, one Arrow
+    batch at a time — the executable counterpart of `resize_spec`'s
+    planning columns. Division by the fixed target area is a power-of
+    -two-friendly exact float op for the oracle sizes used in tests."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            means = [
+                None
+                if p is None
+                else float(resize_nn(p, tw, th).astype(np.float64).mean())
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "target_w": tw,
+                    "target_h": th,
+                    "px_mean": means,
+                }
+            )
+
+    return media.mapInPandas(op, RESIZE_STATS_SCHEMA)

@@ -136,6 +136,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- new this round (no driver row yet; first overflow slot
     # after the parked pair, window next round) ---
     "mm_audio_stats",
+    "mm_resize_stats",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

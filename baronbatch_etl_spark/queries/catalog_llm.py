@@ -1407,6 +1407,47 @@ def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_resize_stats",
+    oracle="""
+SELECT doc_id AS media_id,
+       4 AS target_w,
+       4 AS target_h,
+       list_sum(flatten(list_transform(range(0, 4), i ->
+           list_transform(range(0, 4), j ->
+               (7 * ((j * w) // 4) + 13 * ((i * h) // 4)) % 256))))
+       / 16.0 AS px_mean
+FROM (SELECT doc_id,
+             8 + doc_id % 5 AS w,
+             6 + doc_id % 3 AS h
+      FROM documents)
+""",
+    tags=("llm", "multimodal", "image"),
+)
+def mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize end to end, oracle-checked: synthesize a gradient
+    grayscale PNG per document (pixel = (7x+13y) mod 256, dimensions
+    derived from doc_id), run the real stdlib decode + nearest-
+    neighbor resize to 4×4 (operators/multimodal.resize_nn), and
+    compare the resized pixel mean against the closed-form replay of
+    the floor-sampling convention in SQL. Division by the fixed 16-
+    pixel target is exact in float64 — hash-stable.
+
+    With mm_audio_stats this closes the decode loop for both media
+    families: every byte of the PNG path (zlib, filters, resize
+    kernel) executes in both engines' gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        M.synth_gradient_png(
+            (F.lit(8) + F.col("doc_id") % 5).cast("int"),
+            (F.lit(6) + F.col("doc_id") % 3).cast("int"),
+        ).alias("payload"),
+        F.lit(None).cast(M.MEDIA_META).alias("meta"),
+    )
+    return M.resized_pixel_stats(media, tw=4, th=4)
+
+
 # ---------------------------------------------------------------------------
 # Substring-level and incremental dedup
 # ---------------------------------------------------------------------------

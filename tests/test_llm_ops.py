@@ -549,3 +549,19 @@ def test_extract_audio_features_stdlib_wav(spark):
     want = np.sqrt((mat * mat).mean(axis=0))
     assert r.rms == pytest.approx([want[0], want[1]])
     assert rows[2].rms is None  # null payload propagates
+
+
+def test_resize_nn_matches_numpy_reference():
+    import numpy as np
+
+    png = M._encode_png_gray(9, 7)
+    out = M.resize_nn(png, 4, 4)
+    src = np.array(
+        [[(7 * x + 13 * y) % 256 for x in range(9)] for y in range(7)]
+    )
+    want = src[(np.arange(4) * 7) // 4][:, (np.arange(4) * 9) // 4]
+    assert out.shape == (4, 4, 1)
+    assert (out[:, :, 0] == want).all()
+    # identity resize reproduces the image exactly
+    ident = M.resize_nn(png, 9, 7)
+    assert (ident[:, :, 0] == src).all()
