@@ -92,8 +92,11 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     if hdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, _comp, _filt, interlace = hdr
-    if depth != 8 or interlace != 0:
-        raise NotImplementedError("stdlib decoder: 8-bit non-interlaced only")
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 4, 6):
+        # ctype 3 (palette) included: indices need the PLTE lookup
+        raise NotImplementedError(
+            "stdlib decoder: 8-bit non-interlaced gray/GA/RGB/RGBA only"
+        )
     ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
     raw = zlib.decompress(b"".join(idat))
     stride = w * ch
@@ -139,6 +142,11 @@ def _decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         import io
 
         with _PIL_Image.open(io.BytesIO(payload)) as img:
+            # normalize to unpacked 8-bit bands: mode "1" is
+            # bit-packed and "P" carries palette indices — tobytes()
+            # on either would feed garbage to the pixel math below
+            if img.mode not in ("L", "LA", "RGB", "RGBA"):
+                img = img.convert("RGBA" if "A" in img.mode else "RGB")
             img.load()
             px = img.tobytes()
             ch = len(img.getbands())
@@ -333,7 +341,9 @@ def _ahash_fast(payloads: pd.Series) -> pd.Series:
         bufs.append(bytes(p).decode("utf-8").encode("utf-32-le"))
     if idx:
         lens = np.fromiter((len(b) >> 2 for b in bufs), dtype=np.int64, count=len(bufs))
-        flat = np.frombuffer(b"".join(bufs), dtype=np.uint32).astype(np.int64)
+        # "<u4": the buffer is explicitly utf-32-LE — native-endian
+        # uint32 would byte-swap codepoints on big-endian hosts
+        flat = np.frombuffer(b"".join(bufs), dtype="<u4").astype(np.int64)
         offs = np.concatenate(([0], np.cumsum(lens)))
         cum = np.concatenate(([0], np.cumsum(flat)))
         # slice boundaries: (docs × 57) codepoint positions, absolute

@@ -142,9 +142,15 @@ def test_multimodal_features_deterministic(spark):
     assert out[1].byte_len == 2
 
 
-def test_multimodal_decoder_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        M._decode_image_stub(b"\x89PNG")
+def test_multimodal_decoder_rejects_unknown_formats():
+    # non-PNG payloads without an imaging library must fail loudly
+    # (with PIL present, PIL raises its own decode error instead)
+    exc = NotImplementedError if M._PIL_Image is None else Exception
+    with pytest.raises(exc):
+        M._decode_image(b"GIF89a not actually supported here")
+    # a truncated PNG signature is not a PNG either
+    with pytest.raises(Exception):
+        M._decode_image(b"\x89PNG")
 
 
 def test_frame_sample_and_resize_plans(spark):

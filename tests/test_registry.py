@@ -65,24 +65,41 @@ def test_priority_window_rotates_stale_rows():
 
     root = Path(__file__).resolve().parent.parent
     last: dict[str, int] = {}
-    for r in (1, 2, 3):
-        f = root / f"CORRECTNESS_r0{r}.json"
-        if f.exists():
-            for name in json.loads(f.read_text()):
-                last[name] = r
+    # derive rounds from disk so a new CORRECTNESS_r0N.json re-derives
+    # the staleness classification instead of silently aging out
+    records = sorted(root.glob("CORRECTNESS_r*.json"))
+    latest = len(records)
+    for r, f in enumerate(records, start=1):
+        for name in json.loads(f.read_text()):
+            last[name] = r
     if not last:  # fresh clone without driver records — nothing to pin
         return
     names = list(REGISTRY)
     window = set(names[:50])
-    r01_stale = {n for n, r in last.items() if r == 1 and n in REGISTRY}
-    parked = {"p1_projection", "p2_filter_eq"}
-    missing = r01_stale - window - parked
-    assert not missing, f"r01-stale rows outside checker window: {missing}"
-    assert parked <= set(names[50:52])
-    fresh_in_window = {n for n in window if last.get(n) == 3}
-    assert not fresh_in_window, (
-        f"r03-green rows holding window slots: {fresh_in_window}"
-    )
+    # this window was designed against 3 rounds of records; strict
+    # staleness classes only make sense at design time. Once a newer
+    # record lands, flip to the outcome check: the rotation must have
+    # actually refreshed the window's rows.
+    if latest == 3:
+        r01_stale = {n for n, r in last.items() if r == 1 and n in REGISTRY}
+        parked = {"p1_projection", "p2_filter_eq"}
+        missing = r01_stale - window - parked
+        assert not missing, f"r01-stale rows outside checker window: {missing}"
+        assert parked <= set(names[50:52])
+        fresh_in_window = {n for n in window if last.get(n) == 3}
+        assert not fresh_in_window, (
+            f"r03-green rows holding window slots: {fresh_in_window}"
+        )
+    else:
+        import json as _json
+
+        newest = set(_json.loads(records[-1].read_text()))
+        refreshed = len(window & newest)
+        assert refreshed >= 25, (
+            f"rotation failed: only {refreshed} of the 50-slot window "
+            f"appear in {records[-1].name} — re-rotate the registry "
+            "order for the new round"
+        )
     # the round-3 advice: keep the mapInPandas/Arrow-worker path
     # driver-checked — mm_features is its only catalog exerciser
     assert "mm_features" in window
