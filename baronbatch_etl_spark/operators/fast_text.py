@@ -39,7 +39,9 @@ def _hash_strings(strings: list[str], base: int = 31) -> np.ndarray:
     if max_len == 0:
         return np.zeros(n, dtype=np.int64)
     mat = np.zeros((n, max_len), dtype=np.int64)
-    flat = np.frombuffer(b"".join(bufs), dtype=np.uint32).astype(np.int64)
+    # "<u4": the buffer is explicitly utf-32-LE — native-endian uint32
+    # would byte-swap codepoints on big-endian hosts
+    flat = np.frombuffer(b"".join(bufs), dtype="<u4").astype(np.int64)
     # row i occupies flat[offsets[i]:offsets[i]+lens[i]]
     col = np.arange(max_len)
     mask = col[None, :] < lens[:, None]
