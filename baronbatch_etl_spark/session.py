@@ -46,12 +46,6 @@ def get_spark(
         # Files: 128 MiB splits is the at-scale default; harmless locally.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # localCheckpoint blocks (CC rounds, survivor sets) are freed
-        # by the ContextCleaner only after a JVM GC notices the frame
-        # is unreferenced; the default 30 min periodic GC lets blocks
-        # pile up across a 138-query catalog run — 5 min bounds that
-        # on long-lived drivers (cluster-sane: it is a driver-side GC).
-        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
     )
