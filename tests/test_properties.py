@@ -525,3 +525,35 @@ def test_payload_ahash_matches_python_reference(spark, texts):
     )
     got = {r.media_id: r.fp for r in M.payload_fingerprints(media).collect()}
     assert got == {i: ref(t) for i, t in enumerate(texts)}
+
+
+@given(
+    fps=st.lists(
+        st.integers(min_value=0, max_value=(1 << 56) - 1),
+        min_size=2,
+        max_size=24,
+        unique=True,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_fingerprint_banding_pigeonhole_guarantee(spark, fps):
+    # 4 bands over 56 bits: every pair within hamming <= 3 MUST share
+    # at least one intact 14-bit band (pigeonhole), so banded blocking
+    # is lossless there; and no emitted pair may exceed max_hamming
+    from baronbatch_etl_spark.operators import multimodal as M
+
+    frame = spark.createDataFrame(
+        [Row(media_id=i, fp=f) for i, f in enumerate(fps)]
+    )
+    got = {
+        (r.media_a, r.media_b): r.hamming
+        for r in M.fingerprint_near_pairs(
+            media=None, max_hamming=3, fps=frame
+        ).collect()
+    }
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            d = bin(fps[i] ^ fps[j]).count("1")
+            if d <= 3:
+                assert got.get((i, j)) == d, (i, j, d)
+    assert all(h <= 3 for h in got.values())
