@@ -708,3 +708,43 @@ def test_late_session_differential_vs_batch_twin(spark, tmp_path):
     # append-mode closure: each session emitted exactly once
     n = spark.sql("SELECT count(*) c FROM late_sess_diff").collect()[0].c
     assert n == len(got)
+
+
+def test_late_stream_join_differential_vs_batch_twin(spark, tmp_path):
+    """Out-of-order clicks/purchases through the stream-stream
+    interval join across micro-batches vs the batch twin: matches
+    whose two sides arrive in different micro-batches (including a
+    purchase arriving after the watermark passed its click) must still
+    emit exactly once, and the drained output must equal the batch
+    join over all events."""
+    d = str(tmp_path / "late_join")
+    # joins attribute purchases to same-user clicks in the PRECEDING
+    # 30 minutes; watermark delay 10m on both sides
+    # b0: click@100, purchase@120 (matches click@100? 20m gap - yes),
+    #     click@200 (no purchase yet)          -> wm := 190
+    # b1: purchase@205 (matches click@200), purchase@115 (LATE,
+    #     below wm; matches click@100 while its state lives),
+    #     click@700 (flush)
+    _write_event_batches(
+        spark,
+        d,
+        [
+            [(1, 100, 1, "click"), (2, 120, 1, "purchase"), (3, 200, 2, "click")],
+            [(4, 205, 2, "purchase"), (5, 115, 1, "purchase"), (6, 700, 3, "click")],
+        ],
+    )
+    stream = ops.stream_events(spark, d, glob="*.parquet")
+    batches = _drain(ops.click_purchase_join(stream), "late_join_diff")
+    assert len(batches) >= 2
+
+    got = sorted(
+        (r.click_id, r.buy_id)
+        for r in spark.sql("SELECT * FROM late_join_diff").collect()
+    )
+    ev = spark.read.parquet(d).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    twin = ops.click_purchase_join(ev)
+    want = sorted((r.click_id, r.buy_id) for r in twin.collect())
+    assert got == want
+    assert len(got) == len(set(got))  # each match exactly once
