@@ -557,3 +557,43 @@ def test_fingerprint_banding_pigeonhole_guarantee(spark, fps):
             if d <= 3:
                 assert got.get((i, j)) == d, (i, j, d)
     assert all(h <= 3 for h in got.values())
+
+
+@given(
+    lefts=st.lists(
+        st.integers(min_value=-(10**8), max_value=10**8),  # micros
+        min_size=1, max_size=12,
+    ),
+    rights=st.lists(
+        st.integers(min_value=-(10**8), max_value=10**8),
+        min_size=1, max_size=12,
+    ),
+    interval_ms=st.integers(min_value=1, max_value=5000),
+    bucket_ms=st.integers(min_value=1, max_value=7000),
+)
+@settings(max_examples=15, deadline=None)
+def test_range_join_matches_bruteforce(
+    spark, lefts, rights, interval_ms, bucket_ms
+):
+    # the banded equi-join must produce EXACTLY the brute-force pair
+    # set 0 <= l − r < interval (microsecond precision, pre-epoch
+    # timestamps included) for any bucket width — lossless banding
+    from baronbatch_etl_spark.operators.joins import range_join_bucketed
+
+    ldf = spark.createDataFrame(
+        [Row(lid=i, lts=datetime(1970, 1, 1) + timedelta(microseconds=v))
+         for i, v in enumerate(lefts)]
+    )
+    rdf = spark.createDataFrame(
+        [Row(rid=i, rts=datetime(1970, 1, 1) + timedelta(microseconds=v))
+         for i, v in enumerate(rights)]
+    )
+    out = range_join_bucketed(ldf, rdf, "lts", "rts", interval_ms, bucket_ms)
+    got = sorted((r.lid, r.rid) for r in out.collect())
+    want = sorted(
+        (i, j)
+        for i, lv in enumerate(lefts)
+        for j, rv in enumerate(rights)
+        if 0 <= lv - rv < interval_ms * 1000
+    )
+    assert got == want
