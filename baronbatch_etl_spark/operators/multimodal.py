@@ -159,10 +159,6 @@ def _decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     )
 
 
-#: Back-compat alias for the documented stub name.
-_decode_image_stub = _decode_image
-
-
 def _fake_features(byte_len: int) -> list[float]:
     """Deterministic fake embedding derived from payload length —
     stands in for the decoder+encoder so the distributed plumbing
@@ -390,7 +386,9 @@ def payload_fingerprints(media: DataFrame) -> DataFrame:
 
 
 def fingerprint_near_pairs(
-    media: DataFrame, max_hamming: int = 4, fps: DataFrame | None = None
+    media: DataFrame | None,
+    max_hamming: int = 4,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate media pairs by banded fingerprint blocking: the
     56-bit code splits into 4 × 14-bit bands; candidates collide on at
@@ -416,6 +414,8 @@ def fingerprint_near_pairs(
     passes them through ``fps`` instead.
     """
     if fps is None:
+        if media is None:
+            raise ValueError("pass media or a precomputed fps frame")
         fps = payload_fingerprints(media)
     blocks = fps.select(
         "media_id",
