@@ -184,3 +184,19 @@ def test_payload_ahash_parity(spark):
     fast = {r.media_id: r.fp for r in M.payload_fingerprints(media).collect()}
     assert expr == fast
     assert fast[99] is None
+
+
+def test_word_bigrams_parity(spark):
+    # the Arrow bigram twin must be SET-equal to word_ngrams(_, 2)
+    # (order differs; every consumer is order-insensitive)
+    from baronbatch_etl_spark.operators import text as X2
+    from baronbatch_etl_spark.operators.fast_text import word_bigrams_fast
+
+    df = _df(spark)
+    out = df.select(
+        X2.word_ngrams(F.col("text"), 2).alias("expr"),
+        word_bigrams_fast(F.col("text")).alias("fast"),
+    ).collect()
+    for r in out:
+        assert sorted(set(r.expr)) == sorted(set(r.fast))
+        assert len(set(r.fast)) == len(r.fast)  # distinct contract

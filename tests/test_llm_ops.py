@@ -571,3 +571,51 @@ def test_resize_nn_matches_numpy_reference():
     # identity resize reproduces the image exactly
     ident = M.resize_nn(png, 9, 7)
     assert (ident[:, :, 0] == src).all()
+
+
+def test_decode_wav_8bit_branch():
+    # 8-bit PCM is unsigned centered at 128 — the width==1 branch
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(1000)
+        w.writeframes(bytes([128, 255, 0, 128]))
+    rate, ch, n, mat = M._decode_wav(buf.getvalue())
+    assert (rate, ch, n) == (1000, 1, 4)
+    assert mat[:, 0].tolist() == [0.0, 127.0, -128.0, 0.0]
+    # 24-bit PCM is out of scope and must refuse loudly
+    buf2 = io.BytesIO()
+    with wave.open(buf2, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(1000)
+        w.writeframes(bytes(6))
+    with pytest.raises(NotImplementedError):
+        M._decode_wav(buf2.getvalue())
+
+
+def test_resize_nn_random_shapes():
+    import random
+
+    import numpy as np
+
+    rnd = random.Random(11)
+    for _ in range(6):
+        w, h = rnd.randrange(1, 12), rnd.randrange(1, 12)
+        tw, th = rnd.randrange(1, 9), rnd.randrange(1, 9)
+        png = M._encode_png_gray(w, h)
+        out = M.resize_nn(png, tw, th)
+        src = np.array(
+            [[(7 * x + 13 * y) % 256 for x in range(w)] for y in range(h)]
+        )
+        ys = (np.arange(th) * h) // th
+        xs = (np.arange(tw) * w) // tw
+        want = src[ys][:, xs]
+        assert out.shape == (th, tw, 1)
+        assert (out[:, :, 0] == want).all()
