@@ -670,3 +670,26 @@ def resized_pixel_stats(media: DataFrame, tw: int, th: int) -> DataFrame:
             )
 
     return media.mapInPandas(op, RESIZE_STATS_SCHEMA)
+
+
+@F.pandas_udf(T.LongType())
+def pixel_ahash(payloads: pd.Series) -> pd.Series:
+    """TRUE image average-hash over decoded pixels — the real
+    perceptual fingerprint (`payload_fingerprints` is its byte-stream
+    stand-in for non-image payloads): decode → grayscale (channel
+    mean) → 8×7 nearest-neighbor downsample (floor sampling, same
+    convention as `resize_nn`) → bit k set iff cell_k > mean of the
+    56 cells. Strict '>' keeps flat images at code 0 (the classic
+    aHash low-information case). One Arrow batch per invocation;
+    the decode is the stdlib/PIL layered path."""
+    out: list[int | None] = []
+    for p in payloads:
+        if p is None:
+            out.append(None)
+            continue
+        cells = resize_nn(bytes(p), 8, 7).astype(np.float64).mean(axis=2)
+        flat = cells.reshape(-1)  # row-major: k = i*8 + j
+        mean = flat.mean()
+        bits = flat > mean
+        out.append(int((bits * (np.int64(1) << np.arange(56))).sum()))
+    return pd.Series(out, dtype=object)

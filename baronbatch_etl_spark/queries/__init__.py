@@ -137,6 +137,7 @@ _PRIORITY: tuple[str, ...] = (
     # after the parked pair, window next round) ---
     "mm_audio_stats",
     "mm_resize_stats",
+    "mm_pixel_ahash",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

@@ -1448,6 +1448,49 @@ def mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.resized_pixel_stats(media, tw=4, th=4)
 
 
+@register(
+    "mm_pixel_ahash",
+    oracle="""
+WITH px AS (
+    SELECT doc_id,
+           list_transform(range(0, 56), k ->
+               (7 * (((k % 8) * (8 + doc_id % 5)) // 8)
+                + 13 * (((k // 8) * (6 + doc_id % 3)) // 7)) % 256
+           ) AS cells
+    FROM documents
+)
+SELECT doc_id AS media_id,
+       list_sum(list_transform(range(0, 56), k ->
+           CASE WHEN cells[k + 1] > list_sum(cells) / 56.0
+                THEN (1::BIGINT << k) ELSE 0::BIGINT END)) AS ahash
+FROM px
+""",
+    tags=("llm", "multimodal", "image", "fingerprint"),
+)
+def mm_pixel_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE perceptual average-hash, oracle-checked end to end: the
+    per-document gradient PNG decodes through the stdlib reference
+    decoder, downsamples 8×7 by floor-sampled nearest neighbor, and
+    thresholds each cell against the 56-cell mean
+    (operators/multimodal.pixel_ahash). The oracle replays the whole
+    chain in closed form — pixel(x,y) = (7x+13y) mod 256, NN index
+    arithmetic, exact integer cells vs one float mean. This is the
+    fingerprint mm_phash_dedup's banded blocking consumes in a real
+    image deployment; here every byte of the pixel path runs in both
+    engines' gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        M.synth_gradient_png(
+            (F.lit(8) + F.col("doc_id") % 5).cast("int"),
+            (F.lit(6) + F.col("doc_id") % 3).cast("int"),
+        ).alias("payload"),
+    )
+    return media.select(
+        "media_id", M.pixel_ahash(F.col("payload")).alias("ahash")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Substring-level and incremental dedup
 # ---------------------------------------------------------------------------

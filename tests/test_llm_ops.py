@@ -619,3 +619,52 @@ def test_resize_nn_random_shapes():
         want = src[ys][:, xs]
         assert out.shape == (th, tw, 1)
         assert (out[:, :, 0] == want).all()
+
+
+def test_pixel_ahash_perceptual_properties(spark):
+    import io
+    import struct
+    import zlib
+    import binascii
+
+    def gray_png(pixels, w, h):  # filter-0 grayscale PNG from a matrix
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
+            )
+        raw = bytearray()
+        for y in range(h):
+            raw.append(0)
+            raw.extend(pixels[y * w : (y + 1) * w])
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    w, h = 16, 14
+    grad = bytes(((x * 16) // w) * 16 for y in range(h) for x in range(w))
+    # local perturbation: brighten one pixel slightly
+    near = bytearray(grad)
+    near[5] = min(255, near[5] + 8)
+    flat = bytes([77]) * (w * h)
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(gray_png(grad, w, h)), meta=None),
+            Row(media_id=2, payload=bytearray(gray_png(bytes(near), w, h)), meta=None),
+            Row(media_id=3, payload=bytearray(gray_png(flat, w, h)), meta=None),
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    out = {
+        r.media_id: r.h
+        for r in media.select(
+            "media_id", M.pixel_ahash(F.col("payload")).alias("h")
+        ).collect()
+    }
+    assert out[3] == 0  # flat image -> all cells == mean -> code 0
+    assert out[1] != 0
+    ham = bin(out[1] ^ out[2]).count("1")
+    assert ham <= 4  # local edit moves few bits — perceptual locality
