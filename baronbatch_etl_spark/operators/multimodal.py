@@ -218,8 +218,8 @@ def frame_sample_offsets(
 ) -> DataFrame:
     """Video frame-sampling plumbing: evenly spaced sample timestamps
     from the duration metadata (first/…/last-exclusive convention,
-    offset_i = i·duration/n). The actual frame decode is the stubbed
-    step (`_decode_image_stub`); offset planning — the distributed
+    offset_i = i·duration/n). The actual frame decode is the
+    layered step (`_decode_image`); offset planning — the distributed
     part — is a pure column expression, so a 100 TB video corpus
     plans its sampling at scan speed and only the decoder fans out."""
     dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0).cast("long"))
@@ -386,7 +386,7 @@ def payload_fingerprints(media: DataFrame) -> DataFrame:
 
 
 def fingerprint_near_pairs(
-    media: DataFrame | None,
+    media: DataFrame | None = None,
     max_hamming: int = 4,
     fps: DataFrame | None = None,
 ) -> DataFrame:
@@ -589,10 +589,11 @@ def make_wav_synth_udf(n_frames: int = 64, rate: int = 8000):
     return synth_wav
 
 
-def _encode_png_gray(w: int, h: int) -> bytes:
-    """Deterministic 8-bit grayscale PNG (filter-0 rows): pixel(x, y)
-    = (7x + 13y) mod 256 — the synthetic gradient the resize oracle
-    replays in closed form."""
+def _encode_png_gray(w: int, h: int, pixels: bytes | None = None) -> bytes:
+    """8-bit grayscale PNG (filter-0 rows). Default pixels are the
+    deterministic gradient pixel(x, y) = (7x + 13y) mod 256 — the
+    pattern the resize/ahash oracles replay in closed form; pass
+    ``pixels`` (row-major, w·h bytes) for arbitrary test images."""
     import binascii
     import struct
     import zlib
@@ -605,10 +606,14 @@ def _encode_png_gray(w: int, h: int) -> bytes:
             + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
         )
 
+    if pixels is None:
+        pixels = bytes(
+            (7 * x + 13 * y) & 255 for y in range(h) for x in range(w)
+        )
     raw = bytearray()
     for y in range(h):
         raw.append(0)
-        raw.extend((7 * x + 13 * y) & 255 for x in range(w))
+        raw.extend(pixels[y * w : (y + 1) * w])
     return (
         _PNG_SIG
         + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
@@ -682,6 +687,7 @@ def pixel_ahash(payloads: pd.Series) -> pd.Series:
     56 cells. Strict '>' keeps flat images at code 0 (the classic
     aHash low-information case). One Arrow batch per invocation;
     the decode is the stdlib/PIL layered path."""
+    weights = np.int64(1) << np.arange(56)
     out: list[int | None] = []
     for p in payloads:
         if p is None:
@@ -689,7 +695,6 @@ def pixel_ahash(payloads: pd.Series) -> pd.Series:
             continue
         cells = resize_nn(bytes(p), 8, 7).astype(np.float64).mean(axis=2)
         flat = cells.reshape(-1)  # row-major: k = i*8 + j
-        mean = flat.mean()
-        bits = flat > mean
-        out.append(int((bits * (np.int64(1) << np.arange(56))).sum()))
+        bits = flat > flat.mean()
+        out.append(int((bits * weights).sum()))
     return pd.Series(out, dtype=object)

@@ -49,20 +49,21 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
     )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
     # Env override for robustness sweeps without touching callers —
     # e.g. SPARK_GRAFT_EXTRA_CONF='{"spark.sql.adaptive.enabled":
     # "false"}' python tools/check_oracle.py … re-runs the whole gate
     # under a different planner regime (results must not depend on
-    # AQE/partitioning knobs; only speed may).
+    # AQE/partitioning knobs; only speed may). Applied LAST so the
+    # sweep wins over caller-supplied conf.
     env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
     if env_conf:
         import json
 
         for k, v in json.loads(env_conf).items():
             builder = builder.config(k, str(v))
-    if extra_conf:
-        for k, v in extra_conf.items():
-            builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -622,27 +622,8 @@ def test_resize_nn_random_shapes():
 
 
 def test_pixel_ahash_perceptual_properties(spark):
-    import io
-    import struct
-    import zlib
-    import binascii
-
-    def gray_png(pixels, w, h):  # filter-0 grayscale PNG from a matrix
-        def chunk(typ, data):
-            return (
-                struct.pack(">I", len(data)) + typ + data
-                + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
-            )
-        raw = bytearray()
-        for y in range(h):
-            raw.append(0)
-            raw.extend(pixels[y * w : (y + 1) * w])
-        return (
-            b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
-            + chunk(b"IDAT", zlib.compress(bytes(raw)))
-            + chunk(b"IEND", b"")
-        )
+    def gray_png(pixels, w, h):
+        return M._encode_png_gray(w, h, bytes(pixels))
 
     w, h = 16, 14
     grad = bytes(((x * 16) // w) * 16 for y in range(h) for x in range(w))
