@@ -770,3 +770,47 @@ def cms_estimate(
         # report 0, not the min of their non-empty cells
         .agg(F.min(F.coalesce(F.col("cell"), F.lit(0))).alias("cms_est"))
     )
+
+
+def media_features_ingest(
+    docs: DataFrame, features_path: str, query_name: str = "media_features"
+):
+    """Streaming twin of the multimodal feature lane (mm_features +
+    the aHash fingerprint): each micro-batch maps documents through
+    the media convention, runs the Arrow feature extraction and
+    payload fingerprint, and writes the rows to
+    ``{features_path}/epoch=<id>`` — the same epoch-keyed idempotent
+    sink as incremental_gold (a retried batch overwrites its own
+    epoch). Feature extraction is row-local — no cross-batch state —
+    so the union of epochs equals the batch operators over the union
+    of inputs, bit-for-bit (asserted in
+    tests/test_streaming_multibatch.py). At 100 TB this is the shape
+    for continuous media-asset enrichment: decode cost rides the
+    ingest stream once, and downstream near-dup blocking reads the
+    accumulated fingerprint store instead of re-decoding the corpus.
+    """
+    from baronbatch_etl_spark.operators import multimodal as M
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        media = M.documents_as_media(batch)
+        (
+            M.extract_features(media)
+            .join(M.payload_fingerprints(media), "media_id")
+            .write.mode("overwrite")
+            .parquet(f"{features_path}/epoch={epoch_id}")
+        )
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+
+
+def read_media_features(spark: SparkSession, features_path: str) -> DataFrame:
+    """Read side of media_features_ingest: the epoch union IS the
+    feature store (media ids are unique across an append-only ingest,
+    so no fold is needed — a replayed epoch was overwritten in place).
+    """
+    return spark.read.parquet(features_path)

@@ -748,3 +748,47 @@ def test_late_stream_join_differential_vs_batch_twin(spark, tmp_path):
     want = sorted((r.click_id, r.buy_id) for r in twin.collect())
     assert got == want
     assert len(got) == len(set(got))  # each match exactly once
+
+
+def test_media_features_ingest_matches_batch(spark, tmp_path):
+    # the multimodal streaming twin: per-epoch feature/fingerprint
+    # rows must union to EXACTLY the batch operators' output over the
+    # same documents (row-local ops -> no cross-batch state to drift)
+    from baronbatch_etl_spark.operators import multimodal as M
+
+    batches = [
+        [(0, BASE), (1, OTHER)],
+        [(2, NEAR)],
+        [(3, THIRD), (4, "tiny")],
+    ]
+    src = str(tmp_path / "src")
+    _write_doc_files(spark, src, batches)
+    stream = ops.stream_documents(spark, src)
+    feats = str(tmp_path / "media_feats")
+    q = (
+        ops.media_features_ingest(stream, feats, "mb_media")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    finally:
+        q.stop()
+    assert n_batches >= 3, n_batches
+
+    got = {
+        r.media_id: (r.byte_len, tuple(r.features), r.fp)
+        for r in ops.read_media_features(spark, feats).collect()
+    }
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id LONG, text STRING"
+    )
+    media = M.documents_as_media(all_docs)
+    want = {
+        r.media_id: (r.byte_len, tuple(r.features), r.fp)
+        for r in M.extract_features(media)
+        .join(M.payload_fingerprints(media), "media_id")
+        .collect()
+    }
+    assert got == want
