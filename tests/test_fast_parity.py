@@ -24,6 +24,10 @@ TEXTS = [
     "",  # empty doc
     "répétition déjà vu naïve ﬁsh",  # non-ASCII codepoints
     "a a a a a a",  # heavy repetition → distinct shingles collapse
+    # astral-plane codepoints (UTF-16 surrogate pairs JVM-side): the
+    # utf-32 fast path and Spark's ascii() must agree beyond the BMP
+    "hello \U0001F600 world \U0001F680 rocket launch pad",
+    "\U0001F600\U0001F601 pair \U00010348 gothic letter here",
 ]
 
 
