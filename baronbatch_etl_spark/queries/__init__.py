@@ -138,6 +138,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_audio_stats",
     "mm_resize_stats",
     "mm_pixel_ahash",
+    "t_mixture_plan",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

@@ -178,6 +178,132 @@ def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Target-mixture stratified sampling
 # ---------------------------------------------------------------------------
 
+@register(
+    "t_mixture_plan",
+    oracle=f"""
+WITH stats AS (
+    SELECT source, SUM({_SQL_TOKEN_COUNT})::BIGINT AS avail
+    FROM documents GROUP BY source
+),
+win AS (
+    SELECT source, avail,
+           row_number() OVER ord AS rn,
+           count(*) OVER () AS n,
+           sum(avail) OVER ord_cum AS prefix,
+           sum(avail) OVER () AS total
+    FROM stats
+    WINDOW ord AS (ORDER BY avail, source),
+           ord_cum AS (ORDER BY avail, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+flag AS (
+    SELECT *, (total * 3) // 5 AS budget,
+           (prefix - avail) + avail * (n - rn + 1) <= (total * 3) // 5
+               AS capped
+    FROM win
+),
+agg AS (
+    SELECT *,
+           sum(CASE WHEN capped THEN avail ELSE 0 END) OVER () AS sum_capped,
+           sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS n_capped,
+           row_number() OVER (PARTITION BY capped
+                              ORDER BY avail, source) AS urank
+    FROM flag
+)
+SELECT source, avail AS avail_tokens,
+       CASE WHEN capped THEN avail
+            ELSE least(avail,
+                (budget - sum_capped) // greatest(n - n_capped, 1)
+                + CASE WHEN urank <=
+                       (budget - sum_capped) % greatest(n - n_capped, 1)
+                       THEN 1 ELSE 0 END)
+       END AS alloc_tokens,
+       capped
+FROM agg
+""",
+    tags=("llm", "curation", "mixture", "window"),
+)
+def t_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-driven mixture planning — compute the per-source token
+    allocation t_mixture_sample's rates come FROM, instead of
+    hardcoding them: exact integer waterfilling against a target
+    budget (60 % of corpus tokens here). Sources below the water
+    level keep every token (capped=true); the rest split the residual
+    budget evenly, with the integer remainder distributed to the
+    smallest uncapped sources by deterministic rank — all BIGINT
+    arithmetic, so the plan hash-matches the SQL twin bit-for-bit.
+
+    The classic waterfill criterion, one pass over the SORTED
+    per-source stats: source i (availability ascending) is capped iff
+    prefix_{{i-1}} + avail_i · slots_i ≤ budget.
+
+    Scale shape: the corpus scan folds to |sources| rows via one
+    partial-agg shuffle (token counts are row-local); everything
+    after is window math over a catalog-dimension-sized frame — a few
+    thousand rows at 100 TB. The single-partition windows are fine at
+    that cardinality and never see the corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = (
+        docs.select("source", X.token_count("text").alias("tk"))
+        .groupBy("source")
+        .agg(F.sum("tk").cast("long").alias("avail"))
+    )
+    ord_w = Window.orderBy(F.col("avail").asc(), F.col("source").asc())
+    unb = ord_w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = ord_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    win = stats.select(
+        "source",
+        "avail",
+        F.row_number().over(ord_w).alias("rn"),
+        F.count("*").over(unb).alias("n"),
+        F.sum("avail").over(cum).alias("prefix"),
+        F.sum("avail").over(unb).alias("total"),
+    )
+    flag = win.withColumn(
+        "budget", F.expr("(total * 3) DIV 5")
+    ).withColumn(
+        "capped",
+        (F.col("prefix") - F.col("avail"))
+        + F.col("avail") * (F.col("n") - F.col("rn") + 1)
+        <= F.col("budget"),
+    )
+    cap_w = Window.partitionBy("capped").orderBy(
+        F.col("avail").asc(), F.col("source").asc()
+    )
+    agg = flag.select(
+        "*",
+        F.sum(F.when(F.col("capped"), F.col("avail")).otherwise(0))
+        .over(unb)
+        .alias("sum_capped"),
+        F.sum(F.when(F.col("capped"), 1).otherwise(0))
+        .over(unb)
+        .alias("n_capped"),
+        F.row_number().over(cap_w).alias("urank"),
+    )
+    n_unc = F.greatest(F.col("n") - F.col("n_capped"), F.lit(1))
+    residual = F.col("budget") - F.col("sum_capped")
+    base = F.expr(
+        "(budget - sum_capped) DIV greatest(n - n_capped, 1L)"
+    )
+    alloc = F.when(F.col("capped"), F.col("avail")).otherwise(
+        F.least(
+            F.col("avail"),
+            base
+            + F.when(F.col("urank") <= residual % n_unc, 1).otherwise(0),
+        )
+    )
+    return agg.select(
+        "source",
+        F.col("avail").alias("avail_tokens"),
+        alloc.cast("long").alias("alloc_tokens"),
+        "capped",
+    )
+
+
 #: Per-language keep-rates out of 100 (the target mixture): downsample
 #: the dominant language, keep more of the rest.
 _MIX_RATES: dict[str, int] = {"en": 10, "de": 30, "es": 30, "fr": 30, "zh": 20}

@@ -105,3 +105,48 @@ def test_length_filter_trims_tails_per_lang(spark, sf_dir):
         docs.alias("d"), "doc_id"
     ).filter(F.col("k.n_chars") != F.col("d.n_chars"))
     assert joined.count() == 0
+
+
+def test_mixture_plan_waterfill_exact(spark, monkeypatch, tmp_path):
+    # hand-computed waterfill: avail {1, 2, 7, 7}, budget = 17*3//5 = 10
+    # -> sources 1 and 2 capped (keep all), residual 7 splits 4/3 with
+    # the +1 remainder going to the smaller-ranked uncapped source
+    import baronbatch_etl_spark.queries.catalog_curation as C
+
+    rows = []
+    did = 0
+    for src, toks in (("s1", 1), ("s2", 2), ("s3", 7), ("s4", 7)):
+        text = " ".join(["w"] * toks)
+        rows.append((did, text, "en", src, len(text)))
+        did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    d = str(tmp_path / "documents.parquet")
+    df.write.parquet(d)
+    out = {
+        r.source: (r.avail_tokens, r.alloc_tokens, r.capped)
+        for r in C.t_mixture_plan(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "s1": (1, 1, True),
+        "s2": (2, 2, True),
+        "s3": (7, 4, False),  # smaller rank gets the remainder token
+        "s4": (7, 3, False),
+    }
+    assert sum(a for _, a, _ in out.values()) == 10  # exactly the budget
+
+
+def test_mixture_plan_invariants_on_fixture(spark, sf_dir):
+    import baronbatch_etl_spark.queries.catalog_curation as C
+
+    rows = C.t_mixture_plan(spark, sf_dir).collect()
+    budget = sum(r.avail_tokens for r in rows) * 3 // 5
+    assert sum(r.alloc_tokens for r in rows) == budget  # spends it all
+    for r in rows:
+        assert 0 <= r.alloc_tokens <= r.avail_tokens
+        if r.capped:
+            assert r.alloc_tokens == r.avail_tokens
+    unc = sorted(r.alloc_tokens for r in rows if not r.capped)
+    if unc:
+        assert unc[-1] - unc[0] <= 1  # even split, remainder ±1
