@@ -139,6 +139,9 @@ _PRIORITY: tuple[str, ...] = (
     "mm_resize_stats",
     "mm_pixel_ahash",
     "t_mixture_plan",
+    "h_order_count_distribution",
+    "h_waiting_suppliers",
+    "h_dormant_customers",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

@@ -1076,3 +1076,216 @@ def a_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") >= F.col("c")).alias("no_undercount"),
         )
     )
+
+
+@register(
+    "h_order_count_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT OUTER JOIN orders o
+      ON c.c_custkey = o.o_custkey
+     AND o.o_orderpriority = '1-URGENT'
+    GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    tags=("heavy", "outer-join", "agg"),
+)
+def h_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer-join count distribution (how many
+    customers placed 0, 1, 2, … urgent orders). Rather than dragging
+    every customer row through a customer⟕orders join and counting
+    after, aggregate orders down to (custkey, cnt) FIRST — custkey is
+    the customer PK, so ``customer ⟕ per-custkey-counts`` is
+    row-equivalent to counting the joined rows, and the outer join
+    runs on agg-sized input. Two key-hashed shuffles total (custkey,
+    then c_count with partial aggregation); at 100 TB the orders
+    pre-agg is the only fact-sized exchange.
+
+    Reference parity: the dashboard's per-player game-count histogram
+    (dashboard/app.py:114 aggregate counters) generalized to the
+    zero-bucket via the outer join.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    per_cust = c.join(
+        o, c.c_custkey == o.o_custkey, "left_outer"
+    ).select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "h_waiting_suppliers",
+    oracle="""
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+  AND n.n_name = 'NATION_7'
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""",
+    tags=("heavy", "semi-join", "anti-join", "topk"),
+)
+def h_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone shipped late (>90 days
+    after the order date) on multi-supplier finished orders. The two
+    correlated subqueries (EXISTS another-supplier line, NOT EXISTS
+    another-supplier LATE line) collapse into ONE per-order aggregate:
+    ``n_supp = countDistinct(suppkey)`` and ``n_late_supp =
+    countDistinct(suppkey) FILTER (late)``. A late l1 row survives iff
+    ``n_supp > 1 AND n_late_supp = 1`` — l1 itself is late, so the
+    single late supplier must be l1's. One orderkey shuffle for the
+    agg, one orderkey join back, broadcast supplier/nation; no
+    correlated re-scan of lineitem, which at 100 TB is the difference
+    between 2 fact passes and 4.
+
+    Reference parity: multi-participant per-match blame attribution —
+    the shape of transformer_loader/main.py:102-131's per-match
+    participant resolution, pushed through EXISTS/NOT-EXISTS.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    l1 = (
+        lo.filter(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        l1.join(F.broadcast(sn), l1.l_suppkey == sn.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@register(
+    "h_dormant_customers",
+    oracle="""
+SELECT CAST(c_nationkey AS VARCHAR) AS cntrycode,
+       count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c_nationkey IN (8, 9, 10, 11, 12, 13, 14)
+  AND c_acctbal > (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*)
+        FROM customer
+        WHERE c_acctbal > 0.0
+          AND c_nationkey IN (8, 9, 10, 11, 12, 13, 14))
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY cntrycode
+ORDER BY cntrycode
+""",
+    tags=("heavy", "anti-join", "scalar-subquery"),
+)
+def h_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded-but-dormant accounts — customers
+    in a nation block whose balance beats the block's positive-balance
+    mean and who placed no order since 2000. The scalar subquery is a
+    one-row aggregate cross-joined in (broadcast nested loop over a
+    single row); the mean is computed as exact DECIMAL sum ÷ count so
+    Spark and the oracle threshold on the bit-identical IEEE double
+    regardless of partition order. NOT EXISTS is a left-anti join
+    against the date-filtered orders keys. One customer-scan + one
+    pushdown-filtered orders scan; no correlated evaluation.
+
+    Reference parity: the dashboard's stale-player pruning
+    (api_service/main.py:199-261 cleanup scans) as a declarative
+    anti-join instead of a per-row lookup loop.
+    """
+    NATIONS = [8, 9, 10, 11, 12, 13, 14]
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(NATIONS)
+    )
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("avg_bal")
+        )
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    rich = cust.join(F.broadcast(thresh)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return (
+        dormant.groupBy(
+            F.col("c_nationkey").cast("string").alias("cntrycode")
+        )
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
