@@ -142,6 +142,7 @@ _PRIORITY: tuple[str, ...] = (
     "h_order_count_distribution",
     "h_waiting_suppliers",
     "h_dormant_customers",
+    "t_weighted_sample",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

@@ -926,3 +926,77 @@ def t_dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(evidence) > 0).alias("target_like"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-size weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+_WSAMP_K = 500
+
+_SQL_WSAMP_U = (
+    "((" + X.sql_char_poly_hash("concat('wsamp:', doc_id::VARCHAR)")
+    + ") + 1.0) / 1000000008.0"
+)
+
+
+@register(
+    "t_weighted_sample",
+    oracle=f"""
+WITH keyed AS (
+    SELECT doc_id, source, n_chars,
+           ln({_SQL_WSAMP_U}) / n_chars AS es_key
+    FROM documents
+    WHERE n_chars > 0
+)
+SELECT doc_id, source, n_chars
+FROM keyed
+ORDER BY es_key DESC, doc_id
+LIMIT {_WSAMP_K}
+""",
+    tags=("llm", "curation", "sampling", "topk"),
+)
+def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size weighted sampling WITHOUT replacement — one pass,
+    no per-stratum sort: the Efraimidis–Spirakis exponential race.
+    Each doc draws a deterministic uniform u ∈ (0,1] (portable
+    polynomial hash of 'wsamp:'||doc_id, so the sample is reproducible
+    across runs AND engines) and enters the race with key
+    ln(u)/weight; the k largest keys ARE a weight-proportional
+    size-k sample (Efraimidis & Spirakis 2006 — monotone transform of
+    u^(1/w)). Weight here = n_chars, i.e. sample probability tracks
+    document length, the usual proxy for token contribution.
+
+    Scale shape: the keying is a row-local projection (scan speed);
+    the global top-k is TakeOrderedAndProject — every partition keeps
+    only its local k, the driver merges P·k rows — so 'sample exactly
+    50k docs from 100 TB, proportional to length' never sorts or
+    shuffles the corpus. The float key stays OUT of the output (ints/
+    strings only) so cross-engine ulp noise in ln() cannot touch the
+    hash; doc_id breaks any residual tie deterministically.
+
+    Complements t_mixture_sample (rate-based Bernoulli, approximate
+    stratum sizes) with the exact-k primitive ("give me exactly N
+    eval docs") the reference's fixed-size queue drains approximate
+    (extractor/main.py:393-396 bounded batch pops).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    u = (
+        X.char_poly_hash(
+            F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))
+        )
+        + F.lit(1.0)
+    ) / F.lit(1000000008.0)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.log(u) / F.col("n_chars")).alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(_WSAMP_K)
+        .select("doc_id", "source", "n_chars")
+    )

@@ -394,3 +394,13 @@ def test_phash_fingerprint_is_arrow_not_hof(spark, registry, sf_dir):
     assert "ArrowEvalPython" in plan
     assert "aggregate(" not in plan, "HOF fold found in the hot path"
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_take_ordered_scan(spark, registry, sf_dir):
+    # the ES race must be a row-local projection + TakeOrderedAndProject
+    # (per-partition top-k): no Exchange, no global Sort, no join
+    plan = _plan(spark, registry, "t_weighted_sample", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "\nSort " not in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
