@@ -143,6 +143,7 @@ _PRIORITY: tuple[str, ...] = (
     "h_waiting_suppliers",
     "h_dormant_customers",
     "t_weighted_sample",
+    "w_funnel",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

@@ -339,3 +339,122 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return f.intersect(op)
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: ordered multi-stage conversion over the event stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_funnel",
+    oracle="""
+WITH v AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t1
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    GROUP BY e.user_id
+)
+SELECT * FROM (
+    SELECT 1 AS stage_idx, 'view' AS stage,
+           (SELECT count(*) FROM v) AS users,
+           1.0 AS conv FROM (VALUES (1)) 
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM c),
+           (SELECT count(*) FROM c)::DOUBLE
+             / (SELECT count(*) FROM v) FROM (VALUES (1))
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM p),
+           (SELECT count(*) FROM p)::DOUBLE
+             / (SELECT count(*) FROM v) FROM (VALUES (1))
+) ORDER BY stage_idx
+""",
+    tags=("window", "events", "sequence"),
+)
+def w_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion: how many users did view → click →
+    purchase with STRICTLY increasing timestamps (each stage's clock
+    starts at the previous stage's first qualifying event). Spark has
+    no native funnel operator; the SQL decorrelation is three chained
+    min-aggregate + join passes over the fact (the oracle does exactly
+    that). The engine instead folds each user's ts-sorted (ts, type)
+    sequence once with a 3-field O(1) state — first view, first
+    later click, first still-later purchase — so the WHOLE funnel is
+    ONE narrow-projected shuffle keyed by user_id plus a 3-row global
+    rollup. Depth-k funnels stay one pass (state grows by one field
+    per stage), while the join rewrite re-shuffles the fact per stage:
+    at 100 TB that is 1 fact pass vs k.
+
+    Tie safety: the fold checks strict ``ts > state`` itself, so
+    equal-timestamp events (microsecond collisions at sf0.1+) resolve
+    identically to the oracle's ``e.ts > v.t1`` no matter where
+    array_sort places them within the tie.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", F.col("event_type").alias("et"))
+    )
+    nil = F.lit(None).cast("timestamp")
+    state = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("ts", "et"))),
+        F.struct(nil.alias("v"), nil.alias("c"), nil.alias("p")),
+        lambda acc, x: F.struct(
+            F.when(
+                acc["v"].isNull() & (x["et"] == "view"), x["ts"]
+            ).otherwise(acc["v"]).alias("v"),
+            F.when(
+                acc["c"].isNull()
+                & acc["v"].isNotNull()
+                & (x["et"] == "click")
+                & (x["ts"] > acc["v"]),
+                x["ts"],
+            ).otherwise(acc["c"]).alias("c"),
+            F.when(
+                acc["p"].isNull()
+                & acc["c"].isNotNull()
+                & (x["et"] == "purchase")
+                & (x["ts"] > acc["c"]),
+                x["ts"],
+            ).otherwise(acc["p"]).alias("p"),
+        ),
+    )
+    per_user = ev.groupBy("user_id").agg(state.alias("s"))
+    counts = per_user.agg(
+        F.count(F.col("s.v")).alias("n1"),
+        F.count(F.col("s.c")).alias("n2"),
+        F.count(F.col("s.p")).alias("n3"),
+    )
+    stages = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage_idx"),
+                    F.lit("view").alias("stage"),
+                    F.col("n1").alias("users"),
+                    F.lit(1.0).alias("conv"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage_idx"),
+                    F.lit("click").alias("stage"),
+                    F.col("n2").alias("users"),
+                    (F.col("n2").cast("double") / F.col("n1")).alias("conv"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage_idx"),
+                    F.lit("purchase").alias("stage"),
+                    F.col("n3").alias("users"),
+                    (F.col("n3").cast("double") / F.col("n1")).alias("conv"),
+                ),
+            )
+        ).alias("r")
+    )
+    return stages.select("r.stage_idx", "r.stage", "r.users", "r.conv")
