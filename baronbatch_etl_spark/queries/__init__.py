@@ -144,6 +144,7 @@ _PRIORITY: tuple[str, ...] = (
     "h_dormant_customers",
     "t_weighted_sample",
     "w_funnel",
+    "w_cohort_retention",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

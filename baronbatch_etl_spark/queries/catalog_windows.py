@@ -458,3 +458,83 @@ def w_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     )
     return stages.select("r.stage_idx", "r.stage", "r.users", "r.conv")
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: first-purchase-day cohorts × day-offset activity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_cohort_retention",
+    oracle="""
+WITH first_ev AS (
+    SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+    FROM events WHERE event_type = 'purchase'
+), grid AS (
+    SELECT f.cohort_day,
+           datediff('day', f.cohort_day, a.d) AS day_offset,
+           count(*) AS active_users
+    FROM activity a JOIN first_ev f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+)
+SELECT cohort_day, day_offset, active_users,
+       active_users::DOUBLE / max(CASE WHEN day_offset = 0
+                                       THEN active_users END)
+                              OVER (PARTITION BY cohort_day) AS retention
+FROM grid
+ORDER BY cohort_day, day_offset
+""",
+    tags=("window", "events", "cohort"),
+)
+def w_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-purchase day,
+    activity = distinct purchase days, cells = users from cohort c
+    still purchasing at day offset k (plus retention as a fraction of
+    the cohort's day-0 size). The textbook decorrelation is two
+    aggregates + a user join (the oracle); the engine collapses it to
+    ONE user-keyed shuffle: ``collect_set(day)`` per user (set-dedup
+    partials fold map-side, state bounded by history length in days),
+    the cohort is ``array_min`` of the set — no join back — and the
+    exploded offsets reduce into the cohort×offset grid, which is
+    calendar-bounded (days², not data-sized), so the retention window
+    runs on dimension-scale rows. At 100 TB: one fact shuffle of
+    (user, day) pairs, everything after is dim-sized.
+
+    Reference parity: the dashboard's per-player activity timelines
+    (dashboard/app.py:498-550 date formatting over match history)
+    lifted to the population-level retention rollup.
+    """
+    purch = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+    )
+    per_user = purch.groupBy("user_id").agg(
+        F.collect_set("d").alias("days")
+    )
+    grid = (
+        per_user.select(
+            F.array_min("days").alias("cohort_day"),
+            F.explode("days").alias("d"),
+        )
+        .groupBy(
+            "cohort_day",
+            F.datediff("d", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
+    w = Window.partitionBy("cohort_day")
+    return (
+        grid.withColumn(
+            "retention",
+            F.col("active_users").cast("double")
+            / F.max(
+                F.when(F.col("day_offset") == 0, F.col("active_users"))
+            ).over(w),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
