@@ -145,6 +145,7 @@ _PRIORITY: tuple[str, ...] = (
     "t_weighted_sample",
     "w_funnel",
     "w_cohort_retention",
+    "w_event_transitions",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

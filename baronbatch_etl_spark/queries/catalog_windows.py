@@ -538,3 +538,70 @@ def w_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix: first-order Markov counts over user streams
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_event_transitions",
+    oracle="""
+WITH seq AS (
+    SELECT event_type AS et,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS next_et
+    FROM events
+), grid AS (
+    SELECT et, next_et, count(*) AS transitions
+    FROM seq WHERE next_et IS NOT NULL
+    GROUP BY et, next_et
+)
+SELECT et, next_et, transitions,
+       transitions::DOUBLE
+         / sum(transitions) OVER (PARTITION BY et) AS prob
+FROM grid
+ORDER BY et, next_et
+""",
+    tags=("window", "events", "sequence"),
+)
+def w_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for each (event_type → next event_type) adjacency, the
+    raw count and the row-normalized transition probability. The
+    transition pairing is ONE user-keyed window (lead over ts with
+    event_id as the unique tiebreaker — deterministic under the
+    microsecond-collision fixtures); the count reduces with map-side
+    partials into a |types|² grid, so the probability normalization
+    window runs on dimension-scale rows. At 100 TB: one fact shuffle
+    keyed by user_id, everything downstream is O(|event types|²).
+    Prob denominators are exact BIGINT sums → the double division is
+    bit-identical across engines and partition orders.
+
+    Reference parity: the dashboard's per-queue event breakdowns
+    (dashboard/app.py:114 aggregate counters) extended to sequential
+    structure — which state follows which.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("et"),
+            F.lead("event_type").over(w).alias("next_et"),
+        )
+        .filter(F.col("next_et").isNotNull())
+    )
+    grid = seq.groupBy("et", "next_et").agg(
+        F.count("*").alias("transitions")
+    )
+    norm = Window.partitionBy("et")
+    return (
+        grid.withColumn(
+            "prob",
+            F.col("transitions").cast("double")
+            / F.sum("transitions").over(norm),
+        )
+        .orderBy("et", "next_et")
+    )
