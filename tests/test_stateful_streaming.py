@@ -114,3 +114,73 @@ def test_checkpoint_restart_does_not_reprocess(spark, event_files, tmp_path):
     )
     assert phase1_total == n_first_two
     assert total == n_all  # exactly-once: c+d added, a+b NOT replayed
+
+
+def test_stateful_funnel_matches_batch_fold(spark, sf_dir, tmp_path):
+    """In-order micro-batches through funnel_progress must land every
+    user on exactly the stage a single-pass replay of the fold rule
+    over the globally ts-sorted stream produces (the w_funnel batch
+    semantics)."""
+    from baronbatch_etl_spark.streaming.stateful import funnel_progress
+
+    ev = load_table(spark, sf_dir, "events").orderBy("ts", "event_id")
+    rows = ev.collect()
+
+    # expected: replay the strict-progression rule per user
+    want: dict[int, int] = {}
+    state: dict[int, list] = {}
+    for r in rows:
+        v, c, p = state.setdefault(r.user_id, [None, None, None])
+        if v is None:
+            if r.event_type == "view":
+                state[r.user_id][0] = r.ts
+        elif c is None:
+            if r.event_type == "click" and r.ts > v:
+                state[r.user_id][1] = r.ts
+        elif p is None:
+            if r.event_type == "purchase" and r.ts > c:
+                state[r.user_id][2] = r.ts
+    for u, (v, c, p) in state.items():
+        want[u] = sum(t is not None for t in (v, c, p))
+
+    # feed the SAME order in 4 sequential chunks (one file per batch)
+    src = str(tmp_path / "src")
+    shutil.os.makedirs(src)
+    n = len(rows)
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    for i in range(4):
+        chunk = rows[cuts[i]:cuts[i + 1]]
+        (
+            spark.createDataFrame(chunk, ev.schema)
+            .withColumn("ts", F.unix_micros("ts") * 1000)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{src}/stage_{i}")
+        )
+        for f in glob.glob(f"{src}/stage_{i}/part-*.parquet"):
+            shutil.copy(f, f"{src}/f{i}.parquet")
+
+    stream = ops.stream_events(spark, src, glob="f*.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    q = (
+        funnel_progress(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+        assert len(q.recentProgress) >= 4  # one file per trigger
+    finally:
+        q.stop()
+
+    got = {
+        r.user_id: r.stage
+        for r in spark.sql(
+            "SELECT user_id, max(stage) AS stage FROM funnel_out GROUP BY user_id"
+        ).collect()
+    }
+    assert got == want
