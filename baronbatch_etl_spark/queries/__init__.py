@@ -146,6 +146,7 @@ _PRIORITY: tuple[str, ...] = (
     "w_funnel",
     "w_cohort_retention",
     "w_event_transitions",
+    "t_domain_quota",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

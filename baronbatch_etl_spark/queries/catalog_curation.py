@@ -1000,3 +1000,75 @@ def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WSAMP_K)
         .select("doc_id", "source", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality quota: keep the best Q docs per domain
+# ---------------------------------------------------------------------------
+
+_QUOTA_PER_SOURCE = 50
+
+_SQL_QUALITY = """
+WITH q AS (
+    SELECT doc_id, source, n_chars,
+           CASE WHEN len(string_split(text, ' ')) > 0
+                THEN len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the','a','and','of','to','in'))) * 1.0
+                     / len(string_split(text, ' '))
+                ELSE 0.0 END AS stop
+    FROM documents
+), scored AS (
+    SELECT doc_id, source,
+           least(1.0, n_chars / 400.0)
+             * (1.0 - least(1.0, stop * 2.0)) AS quality
+    FROM q
+)
+"""
+
+
+@register(
+    "t_domain_quota",
+    oracle=f"""
+{_SQL_QUALITY}
+SELECT doc_id, source, quality
+FROM (
+    SELECT doc_id, source, quality,
+           row_number() OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id
+           ) AS rn
+    FROM scored
+)
+WHERE rn <= {_QUOTA_PER_SOURCE}
+""",
+    tags=("llm", "curation", "topk"),
+)
+def t_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality quota: cap every source at its Q best
+    documents by the composite quality heuristic (the 'no single
+    domain dominates the training mix, and what survives is each
+    domain's best' curation pass — the quality-ranked complement of
+    t_eval_sample's hash-random exact-k). Deterministic across
+    engines: quality is the same IEEE expression both sides
+    (t_quality_score's proven twin) and doc_id breaks ties.
+
+    Scale shape: one source-keyed exchange; the rank-≤-Q filter
+    compiles to WindowGroupLimit, so every map task pre-trims its
+    partition to Q rows per source BEFORE the shuffle — the exchange
+    carries O(sources × Q × tasks) rows, not the corpus. Skewed
+    domains (one source = half of 100 TB) never concentrate: the
+    partial limit bounds what any reducer receives.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        X.quality_score("text", "n_chars").alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _QUOTA_PER_SOURCE)
+        .select("doc_id", "source", "quality")
+    )

@@ -404,3 +404,13 @@ def test_weighted_sample_is_take_ordered_scan(spark, registry, sf_dir):
     assert "\nSort " not in plan
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_domain_quota_partial_window_limit(spark, registry, sf_dir):
+    # the rank-<=Q filter must pre-trim map-side: a WindowGroupLimit
+    # BELOW the exchange, so a skewed domain never floods one reducer
+    plan = _plan(spark, registry, "t_domain_quota", sf_dir)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "WindowGroupLimit" in final
+    pre = final.split("Exchange")[-1]  # deepest = before the shuffle
+    assert "WindowGroupLimit" in pre
