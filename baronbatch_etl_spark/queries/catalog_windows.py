@@ -346,6 +346,42 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def funnel_state() -> "F.Column":
+    """The funnel fold: collapse this group's (ts, et) events into a
+    struct(v, c, p) of first-view / first-later-click /
+    first-still-later-purchase timestamps. An aggregate expression
+    (collect → sort → single left fold with O(1) state); usable under
+    any groupBy. The strict ``ts > previous-stage`` comparisons live
+    in the fold itself, so equal-timestamp events resolve identically
+    to the declarative chained-min semantics no matter where
+    array_sort places them within a tie (property-tested against a
+    brute-force chained-min replay in test_properties.py)."""
+    nil = F.lit(None).cast("timestamp")
+    return F.aggregate(
+        F.array_sort(F.collect_list(F.struct("ts", "et"))),
+        F.struct(nil.alias("v"), nil.alias("c"), nil.alias("p")),
+        lambda acc, x: F.struct(
+            F.when(
+                acc["v"].isNull() & (x["et"] == "view"), x["ts"]
+            ).otherwise(acc["v"]).alias("v"),
+            F.when(
+                acc["c"].isNull()
+                & acc["v"].isNotNull()
+                & (x["et"] == "click")
+                & (x["ts"] > acc["v"]),
+                x["ts"],
+            ).otherwise(acc["c"]).alias("c"),
+            F.when(
+                acc["p"].isNull()
+                & acc["c"].isNotNull()
+                & (x["et"] == "purchase")
+                & (x["ts"] > acc["c"]),
+                x["ts"],
+            ).otherwise(acc["p"]).alias("p"),
+        ),
+    )
+
+
 @register(
     "w_funnel",
     oracle="""
@@ -403,31 +439,7 @@ def w_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type").isin("view", "click", "purchase"))
         .select("user_id", "ts", F.col("event_type").alias("et"))
     )
-    nil = F.lit(None).cast("timestamp")
-    state = F.aggregate(
-        F.array_sort(F.collect_list(F.struct("ts", "et"))),
-        F.struct(nil.alias("v"), nil.alias("c"), nil.alias("p")),
-        lambda acc, x: F.struct(
-            F.when(
-                acc["v"].isNull() & (x["et"] == "view"), x["ts"]
-            ).otherwise(acc["v"]).alias("v"),
-            F.when(
-                acc["c"].isNull()
-                & acc["v"].isNotNull()
-                & (x["et"] == "click")
-                & (x["ts"] > acc["v"]),
-                x["ts"],
-            ).otherwise(acc["c"]).alias("c"),
-            F.when(
-                acc["p"].isNull()
-                & acc["c"].isNotNull()
-                & (x["et"] == "purchase")
-                & (x["ts"] > acc["c"]),
-                x["ts"],
-            ).otherwise(acc["p"]).alias("p"),
-        ),
-    )
-    per_user = ev.groupBy("user_id").agg(state.alias("s"))
+    per_user = ev.groupBy("user_id").agg(funnel_state().alias("s"))
     counts = per_user.agg(
         F.count(F.col("s.v")).alias("n1"),
         F.count(F.col("s.c")).alias("n2"),

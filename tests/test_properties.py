@@ -597,3 +597,66 @@ def test_range_join_matches_bruteforce(
         if 0 <= lv - rv < interval_ms * 1000
     )
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),  # user
+            st.integers(min_value=0, max_value=20),  # ts second (ties!)
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_funnel_fold_matches_chained_min_semantics(spark, events):
+    """The w_funnel sequence fold must equal the DECLARATIVE chained-
+    min semantics (t1 = min view ts; t2 = min click ts > t1; t3 = min
+    purchase ts > t2) on arbitrary sequences — including heavy
+    timestamp ties, which is where a sort-order-dependent fold would
+    diverge."""
+    from baronbatch_etl_spark.queries.catalog_windows import funnel_state
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        Row(user_id=u, ts=base + timedelta(seconds=s), et=et)
+        for (u, s, et) in events
+    ]
+
+    def chained_min(evs):
+        t1 = min((ts for ts, et in evs if et == "view"), default=None)
+        t2 = (
+            min(
+                (ts for ts, et in evs if et == "click" and ts > t1),
+                default=None,
+            )
+            if t1 is not None
+            else None
+        )
+        t3 = (
+            min(
+                (ts for ts, et in evs if et == "purchase" and ts > t2),
+                default=None,
+            )
+            if t2 is not None
+            else None
+        )
+        return (t1, t2, t3)
+
+    want = {}
+    for r in rows:
+        want.setdefault(r.user_id, []).append((r.ts, r.et))
+    want = {u: chained_min(evs) for u, evs in want.items()}
+
+    df = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP, et STRING")
+    got = {
+        r.user_id: (r.s.v, r.s.c, r.s.p)
+        for r in df.filter(F.col("et").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(funnel_state().alias("s"))
+        .collect()
+    }
+    for u, triple in want.items():
+        assert got.get(u, (None, None, None)) == triple, (u, events)
