@@ -147,6 +147,8 @@ _PRIORITY: tuple[str, ...] = (
     "w_cohort_retention",
     "w_event_transitions",
     "t_domain_quota",
+    "t_split_leakage_safe",
+    "t_perplexity_bucket",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

@@ -1072,3 +1072,182 @@ def t_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _QUOTA_PER_SOURCE)
         .select("doc_id", "source", "quality")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split: near-duplicates never straddle train/val/test
+# ---------------------------------------------------------------------------
+
+
+def _leakage_split_oracle() -> str:
+    """Composes the published MinHash-LSH clustering fragments with the
+    split-bucket hash, applied to the cluster ROOT instead of doc_id."""
+    from baronbatch_etl_spark.queries import catalog_llm as L
+
+    bucket = (
+        X.sql_char_poly_hash("concat('split:', root::VARCHAR)") + " % 1000"
+    )
+    return f"""
+WITH RECURSIVE {L._minhash_ctes()},
+edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION
+    SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(s, d) AS (
+    SELECT s, d FROM edges
+    UNION
+    SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    WHERE e.d <> r.s
+),
+comp AS (
+    SELECT s AS doc_id, least(s, min(d)) AS component
+    FROM reach GROUP BY s
+),
+rooted AS (
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS root
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, root,
+       ({bucket}) AS bucket,
+       CASE WHEN ({bucket}) < {_SPLIT_TRAIN} THEN 'train'
+            WHEN ({bucket}) < {_SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM rooted
+"""
+
+
+@register(
+    "t_split_leakage_safe",
+    oracle=_leakage_split_oracle(),
+    tags=("llm", "curation", "split", "dedup"),
+)
+def t_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split: hash the near-dup CLUSTER
+    root, not the document id, so every member of a near-duplicate
+    cluster lands in the same split. Plain hash-of-id splitting (the
+    t_split_assign pass) leaks: two 0.9-Jaccard copies of one document
+    can land one in train and one in test, and the eval score measures
+    memorization of the duplicate, not generalization. Splitting by the
+    connected-component root makes the train/test boundary respect the
+    duplicate graph — decontamination at split time.
+
+    Shapes: the MinHash-LSH pair generator and min-label-propagation
+    components are the verified d_dup_clusters machinery (banded
+    bucket joins, never all-pairs); singleton documents skip the
+    component join via the left join + coalesce, so the only extra
+    cost over t_split_assign is the pair graph itself — and the final
+    bucket assignment is still a row-local hash, no extra shuffle.
+    Stable under corpus growth exactly when the clusters are: a new
+    duplicate joins its cluster's existing split rather than drawing
+    a fresh coin.
+    """
+    from baronbatch_etl_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.8)
+    comp = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    rooted = docs.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("comp", "doc_id").alias("root")
+    )
+    bucket = (
+        X.char_poly_hash(
+            F.concat(F.lit("split:"), F.col("root").cast("string"))
+        )
+        % 1000
+    )
+    return rooted.select(
+        "doc_id",
+        "root",
+        bucket.alias("bucket"),
+        F.when(bucket < _SPLIT_TRAIN, "train")
+        .when(bucket < _SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity-proxy bucketing (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_perplexity_bucket",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS c_tok FROM tok GROUP BY tok
+),
+totals AS (SELECT CAST(sum(c_tok) AS BIGINT) AS n_all FROM vocab),
+scored AS (
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(length(bin(totals.n_all // v.c_tok))) AS BIGINT)
+               AS surprisal
+    FROM tok t JOIN vocab v USING (tok), totals
+    GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, surprisal,
+       CAST(surprisal AS DOUBLE) / n_tokens AS ppl_proxy,
+       CASE ntile(3) OVER (
+                ORDER BY CAST(surprisal AS DOUBLE) / n_tokens, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM scored
+""",
+    tags=("llm", "curation", "quality"),
+)
+def t_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus bucketing (Wenzek et al. 2020): score every
+    document by a unigram-LM perplexity proxy trained on the corpus
+    itself, then tercile into head / middle / tail — the classic
+    keep-the-head curation signal.
+
+    Integer-exact surprisal: the per-token term is
+    ``length(bin(N // c_tok))`` = ⌊log2(N/c)⌋+1 — an integer-valued
+    log-surprisal that both engines compute bit-identically (no libm
+    log, whose last-ulp differs across runtimes). The per-document
+    score is a BIGINT sum, so executor order can't perturb it; the
+    single double division surprisal/n_tokens is IEEE-exact-rounded,
+    hence also bit-stable.
+
+    Shapes: same two-shuffle skeleton as t_dsir_affinity — one token
+    explode feeds a token-keyed partial agg (the "LM"), documents
+    join it token-keyed and reduce per doc_id; the vocabulary total
+    folds to one broadcast row. The tercile split here is a global
+    ntile (one final sort of doc-level rows — corpus-count rows, not
+    token rows); at 100 TB the production form replaces it with two
+    approx-quantile cutoffs broadcast into a map-side CASE, which is
+    how t_outlier_mad's threshold pattern already ships.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread(docs).select(
+        "doc_id", F.explode(X.tokens("text")).alias("tok")
+    )
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("c_tok"))
+    totals = vocab.agg(F.sum("c_tok").alias("n_all"))
+    surp = F.length(F.bin(F.expr("n_all div c_tok")))
+    scored = (
+        tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(surp).cast("long").alias("surprisal"),
+        )
+    )
+    ppl = F.col("surprisal").cast("double") / F.col("n_tokens")
+    tercile = F.ntile(3).over(Window.orderBy(ppl, "doc_id"))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "surprisal",
+        ppl.alias("ppl_proxy"),
+        F.when(tercile == 1, "head")
+        .when(tercile == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
