@@ -150,3 +150,64 @@ def test_mixture_plan_invariants_on_fixture(spark, sf_dir):
     unc = sorted(r.alloc_tokens for r in rows if not r.capped)
     if unc:
         assert unc[-1] - unc[0] <= 1  # even split, remainder ±1
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    """Every verified near-dup pair must land in ONE split — the whole
+    point of splitting by cluster root instead of doc id."""
+    from baronbatch_etl_spark.operators import dedup as D
+    from baronbatch_etl_spark.io import load_table
+
+    out = REG["t_split_leakage_safe"].fn(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+    straddlers = (
+        pairs.join(
+            out.select(F.col("doc_id").alias("doc_a"),
+                       F.col("split").alias("split_a")),
+            "doc_a",
+        )
+        .join(
+            out.select(F.col("doc_id").alias("doc_b"),
+                       F.col("split").alias("split_b")),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert straddlers == 0
+    # covers every document exactly once, root is a member id
+    rows = out.collect()
+    assert len(rows) == len({r.doc_id for r in rows})
+    assert all(r.root <= r.doc_id or r.root in {x.doc_id for x in rows}
+               for r in rows)
+
+
+def test_leakage_safe_split_matches_plain_split_for_singletons(spark, sf_dir):
+    """Documents outside any near-dup cluster get the identical bucket
+    t_split_assign would give them (root == doc_id ⇒ same hash)."""
+    out = REG["t_split_leakage_safe"].fn(spark, sf_dir)
+    plain = REG["t_split_assign"].fn(spark, sf_dir)
+    joined = (
+        out.filter(F.col("root") == F.col("doc_id"))
+        .select("doc_id", F.col("split").alias("leak_split"))
+        .join(plain.select("doc_id", "split"), "doc_id")
+    )
+    assert joined.filter(F.col("leak_split") != F.col("split")).count() == 0
+
+
+def test_perplexity_bucket_terciles_and_ordering(spark, sf_dir):
+    rows = REG["t_perplexity_bucket"].fn(spark, sf_dir).collect()
+    sizes = {b: 0 for b in ("head", "middle", "tail")}
+    for r in rows:
+        sizes[r.bucket] += 1
+        assert r.surprisal >= r.n_tokens  # every token contributes ≥1
+        assert abs(r.ppl_proxy - r.surprisal / r.n_tokens) == 0.0
+    # ntile(3): bucket sizes differ by at most one
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # head has the lowest perplexity proxies: max(head) <= min(tail)
+    by = sorted(rows, key=lambda r: (r.ppl_proxy, r.doc_id))
+    n = len(by)
+    assert all(r.bucket == "head" for r in by[: n // 3])
+    assert all(r.bucket == "tail" for r in by[-(n // 3):])
