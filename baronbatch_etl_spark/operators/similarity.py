@@ -583,3 +583,69 @@ def kmeans_assign(
             for cid, dims in sorted(by_cluster.items())
         ]
     raise AssertionError("iters must be >= 1")
+
+
+def mips_topk(
+    embeddings: DataFrame, query_vec_id: int, k: int = 10
+) -> DataFrame:
+    """Exact maximum-inner-product top-k against one stored vector
+    (recommendation / retrieval scoring where magnitude matters, so
+    cosine is the wrong metric).
+
+    Same optimal distributed shape as brute_force_topk: broadcast the
+    one query row, map-only scoring, TakeOrderedAndProject top-k. For
+    the approximate scale path use :func:`augment_mips` — after the
+    norm augmentation, MIPS order equals cosine order, so the whole
+    existing ANN stack (SRP-LSH codes, IVF cells) applies unchanged.
+    """
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        spread(embeddings.filter(F.col("vec_id") != query_vec_id))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            dot(F.col("embedding"), F.col("q_emb")).alias("ip"),
+        )
+    )
+    return scored.orderBy(F.col("ip").desc(), "vec_id").limit(k)
+
+
+def augment_mips(embeddings: DataFrame, col: str = "embedding") -> DataFrame:
+    """Norm-augmentation reduction of MIPS to cosine search (Bachrach
+    et al. 2014; Shrivastava & Li 2014): append one coordinate
+    √(M² − ‖x‖²) to every corpus vector, where M is the corpus max
+    norm. Every augmented vector then has norm exactly M, so for a
+    query augmented with 0 the cosine against the augmented corpus is
+    ip/(‖q‖·M) — strictly monotone in the inner product. MIPS becomes
+    cosine-NN, and the SRP/IVF machinery answers it.
+
+    Shapes: one max-norm aggregate folds the corpus to a single
+    broadcast scalar; the augmentation itself is a row-local
+    ``concat`` — no shuffle of the corpus.
+    """
+    norms = embeddings.agg(
+        F.max(norm(F.col(col))).alias("max_norm")
+    )
+    return (
+        spread(embeddings)
+        .crossJoin(F.broadcast(norms))
+        .withColumn(
+            col,
+            F.concat(
+                F.col(col).cast("array<double>"),
+                F.array(
+                    F.sqrt(
+                        F.greatest(
+                            F.col("max_norm") * F.col("max_norm")
+                            - dot(F.col(col), F.col(col)),
+                            F.lit(0.0),
+                        )
+                    )
+                ),
+            ),
+        )
+        .drop("max_norm")
+    )

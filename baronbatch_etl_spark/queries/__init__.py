@@ -149,6 +149,8 @@ _PRIORITY: tuple[str, ...] = (
     "t_domain_quota",
     "t_split_leakage_safe",
     "t_perplexity_bucket",
+    "t_source_entropy",
+    "s_mips_topk",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

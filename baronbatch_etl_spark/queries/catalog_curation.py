@@ -1251,3 +1251,83 @@ def t_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source unigram compressibility (MDL code length / entropy profile)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_source_entropy",
+    oracle="""
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+    SELECT source, tok, CAST(count(*) AS BIGINT) AS c_tok
+    FROM tok GROUP BY source, tok
+),
+totals AS (
+    SELECT source, CAST(sum(c_tok) AS BIGINT) AS n_src,
+           CAST(count(*) AS BIGINT) AS vocab_size
+    FROM vocab GROUP BY source
+)
+SELECT v.source,
+       t.n_src AS n_tokens,
+       t.vocab_size,
+       CAST(sum(v.c_tok * length(bin(t.n_src // v.c_tok))) AS BIGINT)
+           AS code_len,
+       CAST(sum(v.c_tok * length(bin(t.n_src // v.c_tok))) AS DOUBLE)
+           / t.n_src AS bits_per_token
+FROM vocab v JOIN totals t USING (source)
+GROUP BY v.source, t.n_src, t.vocab_size
+""",
+    tags=("llm", "curation", "quality", "monitoring"),
+)
+def t_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram compressibility: the MDL code length of each
+    source under its own unigram model — Σ c·(⌊log2(N/c)⌋+1) over the
+    source's vocabulary — and the bits-per-token mean. A low-entropy
+    source (boilerplate, templated spam) compresses far below the
+    corpus norm and is a classic curation red flag; tracked per
+    ingestion round it is a drift signal (the integer-exact cousin of
+    t_corpus_drift's TV distance).
+
+    Integer-exact: the per-type term c·(length(bin(N//c))) is pure
+    BIGINT arithmetic — no libm log — so the sum is executor-order
+    independent and bit-identical across engines; the one double
+    division at the end is IEEE-exact.
+
+    Shapes: explode → (source, token) partial agg (map-side combine
+    absorbs token repetition before the exchange), then a source-keyed
+    rollup; per-source totals ride the same grouped frame — two
+    exchanges total, both keyed by bounded-cardinality columns. No
+    token-keyed join-back at all (unlike the per-document scorers):
+    the reduction is entirely over the vocabulary, which is orders of
+    magnitude smaller than the corpus at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread(docs).select(
+        "source", F.explode(X.tokens("text")).alias("tok")
+    )
+    vocab = tok.groupBy("source", "tok").agg(F.count("*").alias("c_tok"))
+    totals = vocab.groupBy("source").agg(
+        F.sum("c_tok").alias("n_src"),
+        F.count("*").alias("vocab_size"),
+    )
+    term = F.col("c_tok") * F.length(F.bin(F.expr("n_src div c_tok")))
+    return (
+        vocab.join(F.broadcast(totals), "source")
+        .groupBy("source", "n_src", "vocab_size")
+        .agg(F.sum(term).cast("long").alias("code_len"))
+        .select(
+            "source",
+            F.col("n_src").alias("n_tokens"),
+            "vocab_size",
+            "code_len",
+            (F.col("code_len").cast("double") / F.col("n_src")).alias(
+                "bits_per_token"
+            ),
+        )
+    )

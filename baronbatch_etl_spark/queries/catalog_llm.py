@@ -2040,3 +2040,27 @@ def t_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("doc_id", "lang", "h")
     )
+
+
+@register(
+    "s_mips_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label, {S.sql_dot("embedding", "q_emb")} AS ip
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY ip DESC, vec_id
+LIMIT 10
+""",
+    tags=("llm", "similarity"),
+)
+def s_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximum-inner-product top-10 against stored vector 0 —
+    the metric recommender/retrieval scorers actually rank by when
+    embedding magnitude carries signal (cosine normalizes it away).
+    Broadcast query row, map-only sequential-fold dot products,
+    TakeOrderedAndProject top-k; the approximate 100 TB path is
+    S.augment_mips (norm augmentation makes MIPS ≡ cosine, property-
+    tested) feeding the existing SRP/IVF indexes.
+    """
+    return S.mips_topk(load_table(spark, sf_dir, "embeddings"), 0, 10)

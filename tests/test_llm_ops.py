@@ -649,3 +649,58 @@ def test_pixel_ahash_perceptual_properties(spark):
     assert out[1] != 0
     ham = bin(out[1] ^ out[2]).count("1")
     assert ham <= 4  # local edit moves few bits — perceptual locality
+
+
+def test_augment_mips_reduces_mips_to_cosine(spark, sf_dir):
+    """After norm augmentation every corpus vector has norm M, so
+    cosine order against a 0-augmented query equals inner-product
+    order — the reduction the SRP/IVF scale path relies on."""
+    from baronbatch_etl_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    aug = S.augment_mips(emb)
+    # all augmented norms equal the corpus max norm
+    norms = aug.select(S.norm(F.col("embedding")).alias("n")).collect()
+    mx = max(r.n for r in norms)
+    assert all(abs(r.n - mx) < 1e-9 * mx for r in norms)
+    for qid in (0, 3, 7):
+        exact = [
+            r.vec_id for r in S.mips_topk(emb, qid, 10).collect()
+        ]
+        q = emb.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("q_emb")
+        )
+        via_cos = (
+            aug.filter(F.col("vec_id") != qid)
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                (
+                    S.dot(
+                        F.slice(
+                            F.col("embedding"),
+                            1,
+                            F.size("q_emb"),
+                        ),
+                        F.col("q_emb"),
+                    )
+                    / (S.norm(F.col("embedding")) * S.norm(F.col("q_emb")))
+                ).alias("cs"),
+            )
+            .orderBy(F.desc("cs"), "vec_id")
+            .limit(10)
+            .collect()
+        )
+        assert [r.vec_id for r in via_cos] == exact
+
+
+def test_source_entropy_bounds(spark, sf_dir):
+    from baronbatch_etl_spark.queries import load_all
+
+    rows = load_all()["t_source_entropy"].fn(spark, sf_dir).collect()
+    assert len(rows) == len({r.source for r in rows})
+    for r in rows:
+        # every token costs at least 1 bit, at most ⌈log2 n_tokens⌉+1
+        assert r.n_tokens <= r.code_len
+        assert r.bits_per_token <= r.n_tokens.bit_length() + 1
+        assert r.vocab_size <= r.n_tokens
