@@ -414,3 +414,36 @@ def test_domain_quota_partial_window_limit(spark, registry, sf_dir):
     assert "WindowGroupLimit" in final
     pre = final.split("Exchange")[-1]  # deepest = before the shuffle
     assert "WindowGroupLimit" in pre
+
+
+def test_mips_topk_is_broadcast_take_ordered(spark, registry, sf_dir):
+    # the exact-MIPS baseline must stay map-only: one broadcast of the
+    # single query row, TakeOrderedAndProject top-k, no corpus shuffle
+    plan = _plan(spark, registry, "s_mips_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # only the broadcast of the query row and spread()'s round-robin
+    # input rebalance — never a key-hash shuffle of the corpus
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_source_entropy_no_token_join_back(spark, registry, sf_dir):
+    # the reduction runs over the VOCABULARY (source,token rollup) and
+    # the per-source totals broadcast back — the corpus-sized token
+    # stream must never be join-shuffled a second time
+    plan = _plan(spark, registry, "t_source_entropy", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_leakage_split_bucket_is_row_local(spark, registry, sf_dir):
+    # the split assignment itself adds NO exchange beyond the verified
+    # d_dup_clusters machinery: same exchange count as clustering, and
+    # the component join-back to documents broadcasts (components are
+    # a tiny fraction of the corpus)
+    base = _plan(spark, registry, "d_dup_clusters", sf_dir)
+    plan = _plan(spark, registry, "t_split_leakage_safe", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange ") <= base.count("Exchange ") + 2
