@@ -649,3 +649,107 @@ def augment_mips(embeddings: DataFrame, col: str = "embedding") -> DataFrame:
         )
         .drop("max_norm")
     )
+
+
+def pq_encode(
+    embeddings: DataFrame, m: int = 4, k: int = 4, iters: int = 2
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split every vector
+    into ``m`` contiguous subspaces, Lloyd-train ``k`` centroids per
+    subspace, and encode each vector as its m nearest-centroid ids →
+    (vec_id, codes array<int>, qdist). codes is the compressed
+    representation (m·log2(k) bits per vector — the IVF-PQ memory
+    budget that makes billion-vector ANN fit in RAM); qdist is the
+    reconstruction error (sum of per-subspace squared distances).
+
+    Determinism: seeds are the k lowest vec_ids' subvectors; M-steps
+    use the kmeans_assign fixed-point discipline (1e-9-quantized
+    BIGINT sums); qdist folds the m subspace distances in subspace
+    order — all bit-identical to the unrolled SQL twin.
+
+    Scale shape: identical to kmeans_assign run per subspace, fused —
+    ONE posexplode produces the (vec, subspace) rows, assignment is a
+    map-only pass (m·k·(dim/m) = k·dim literal scalars in the plan),
+    each M-step is one (sub, cluster, dim)-keyed partial-agg shuffle
+    of m·k·(dim/m) groups, and the final per-vector code rollup is a
+    vec_id-keyed agg of m rows. Driver state per round is k·dim
+    scalars. Empty clusters drop out exactly as in kmeans_assign.
+    """
+    emb = embeddings.select("vec_id", "embedding")
+    first = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(first.d)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    w = dim // m
+    seed_rows = emb.orderBy("vec_id").limit(k).collect()
+    cents: dict[int, list[tuple[int, list[float]]]] = {
+        s: [
+            (i, [float(v) for v in r.embedding[s * w : (s + 1) * w]])
+            for i, r in enumerate(seed_rows)
+        ]
+        for s in range(m)
+    }
+    sub = spread(emb).select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("embedding", s * w + 1, w) for s in range(m)])
+        ).alias("sub", "v"),
+    )
+    for rnd in range(iters):
+        best = _nearest_centroid(F.col("v"), cents[0])
+        for s in range(1, m):
+            best = F.when(
+                F.col("sub") == s, _nearest_centroid(F.col("v"), cents[s])
+            ).otherwise(best)
+        assigned = sub.select(
+            "vec_id",
+            "sub",
+            "v",
+            best.getField("cid").alias("cluster"),
+            best.getField("dist").alias("dist"),
+        )
+        if rnd == iters - 1:
+            coded = assigned.groupBy("vec_id").agg(
+                F.array_sort(
+                    F.collect_list(F.struct("sub", "cluster", "dist"))
+                ).alias("a")
+            )
+            return coded.select(
+                "vec_id",
+                F.transform("a", lambda x: x["cluster"]).alias("codes"),
+                F.aggregate(
+                    "a", F.lit(0.0), lambda acc, x: acc + x["dist"]
+                ).alias("qdist"),
+            )
+        ex = assigned.select(
+            "sub", "cluster", F.posexplode("v").alias("dim", "vf")
+        )
+        v = F.col("vf").cast("double")
+        per_dim = (
+            ex.groupBy("sub", "cluster", "dim")
+            .agg(
+                F.sum(F.floor(v * 1.0e9 + 0.5).cast("long")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                "sub",
+                "cluster",
+                "dim",
+                ((F.col("s").cast("double") / 1.0e9) / F.col("n")).alias(
+                    "c"
+                ),
+            )
+        )
+        by_sub: dict[int, dict[int, dict[int, float]]] = {}
+        for r in per_dim.collect():  # k·dim scalars — driver state
+            by_sub.setdefault(r.sub, {}).setdefault(r.cluster, {})[
+                r.dim
+            ] = r.c
+        cents = {
+            s: [
+                (cid, [dims[d] for d in sorted(dims)])
+                for cid, dims in sorted(clusters.items())
+            ]
+            for s, clusters in by_sub.items()
+        }
+    raise AssertionError("iters must be >= 1")

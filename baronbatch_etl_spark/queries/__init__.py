@@ -151,6 +151,7 @@ _PRIORITY: tuple[str, ...] = (
     "t_perplexity_bucket",
     "t_source_entropy",
     "s_mips_topk",
+    "s_pq_codes",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

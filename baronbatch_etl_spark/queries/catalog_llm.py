@@ -2064,3 +2064,82 @@ def s_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tested) feeding the existing SRP/IVF indexes.
     """
     return S.mips_topk(load_table(spark, sf_dir, "embeddings"), 0, 10)
+
+
+_PQ_M, _PQ_K, _PQ_W = 4, 4, 16
+
+
+@register(
+    "s_pq_codes",
+    # the 2-round per-subspace Lloyd unrolls exactly like the
+    # s_kmeans_assign oracle, with (sub) joining where that one
+    # cross-joined — one fused chain for all m subspaces
+    oracle=f"""
+WITH sub AS (
+    SELECT vec_id, s.sub,
+           embedding[s.sub*{_PQ_W}+1 : s.sub*{_PQ_W}+{_PQ_W}] AS v
+    FROM embeddings,
+         LATERAL (SELECT unnest(range(0, {_PQ_M})) AS sub) s
+),
+seeds AS (
+    SELECT sub, CAST(rn - 1 AS INTEGER) AS cid, v AS c FROM (
+        SELECT sub, v,
+               row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+        FROM sub) WHERE rn <= {_PQ_K}
+),
+d1 AS (
+    SELECT t.vec_id, t.sub, t.v, s.cid, {S.sql_sqdist("t.v", "s.c")} AS dist
+    FROM sub t JOIN seeds s ON t.sub = s.sub
+),
+a1 AS (
+    SELECT vec_id, sub, v, cid AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1
+),
+ex AS (
+    SELECT sub, cluster, d.dim, v[d.dim] AS vf
+    FROM a1, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS dim) d
+),
+mstep AS (
+    SELECT sub, cluster, dim,
+           (CAST(sum(CAST(floor(CAST(vf AS DOUBLE) * 1000000000.0 + 0.5)
+                          AS BIGINT)) AS DOUBLE) / 1000000000.0)
+               / count(*) AS c
+    FROM ex GROUP BY sub, cluster, dim
+),
+c2 AS (SELECT sub, cluster AS cid, list(c ORDER BY dim) AS c
+       FROM mstep GROUP BY sub, cluster),
+d2 AS (
+    SELECT t.vec_id, t.sub, s.cid, {S.sql_sqdist("t.v", "s.c")} AS dist
+    FROM sub t JOIN c2 s ON t.sub = s.sub
+),
+a2 AS (
+    SELECT vec_id, sub, cid AS cluster, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1
+)
+SELECT vec_id,
+       list(cluster ORDER BY sub) AS codes,
+       list_reduce(list_prepend(0.0::DOUBLE, list(dist ORDER BY sub)),
+                   (a, b) -> a + b) AS qdist
+FROM a2 GROUP BY vec_id
+""",
+    tags=("llm", "similarity", "quantization", "iterative"),
+)
+def s_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): 4 subspaces
+    × 4 centroids, 2 Lloyd rounds — each vector compresses to 4 small
+    codes (the IVF-PQ residual-codebook representation that fits
+    billion-vector indexes in RAM; FAISS's default layout) plus its
+    reconstruction error. Completes the ANN stack: IVF prunes cells,
+    SRP hashes, PQ compresses. See S.pq_encode for the fused one-
+    explode training plan and the fixed-point determinism contract.
+    """
+    return S.pq_encode(
+        load_table(spark, sf_dir, "embeddings"),
+        m=_PQ_M,
+        k=_PQ_K,
+        iters=2,
+    )

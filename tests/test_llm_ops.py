@@ -704,3 +704,29 @@ def test_source_entropy_bounds(spark, sf_dir):
         assert r.n_tokens <= r.code_len
         assert r.bits_per_token <= r.n_tokens.bit_length() + 1
         assert r.vocab_size <= r.n_tokens
+
+
+def test_pq_encode_codes_and_reconstruction(spark, sf_dir):
+    from baronbatch_etl_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    rows = S.pq_encode(emb, m=4, k=4, iters=2).collect()
+    assert len(rows) == n  # every vector coded exactly once
+    for r in rows:
+        assert len(r.codes) == 4
+        assert all(0 <= c < 4 for c in r.codes)
+        assert r.qdist >= 0.0
+    # codebooks must actually discriminate: more than one distinct
+    # code word in use, and quantization error is finite
+    assert len({tuple(r.codes) for r in rows}) > 1
+
+
+def test_pq_encode_rejects_indivisible_dim(spark):
+    from pyspark.sql import Row
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 0.0, 1.0]) for i in range(6)]
+    )
+    with pytest.raises(ValueError):
+        S.pq_encode(emb, m=2, k=2, iters=1)
