@@ -651,36 +651,55 @@ def augment_mips(embeddings: DataFrame, col: str = "embedding") -> DataFrame:
     )
 
 
-def pq_encode(
-    embeddings: DataFrame, m: int = 4, k: int = 4, iters: int = 2
-) -> DataFrame:
-    """Product quantization (Jégou et al. 2011): split every vector
-    into ``m`` contiguous subspaces, Lloyd-train ``k`` centroids per
-    subspace, and encode each vector as its m nearest-centroid ids →
-    (vec_id, codes array<int>, qdist). codes is the compressed
-    representation (m·log2(k) bits per vector — the IVF-PQ memory
-    budget that makes billion-vector ANN fit in RAM); qdist is the
-    reconstruction error (sum of per-subspace squared distances).
-
-    Determinism: seeds are the k lowest vec_ids' subvectors; M-steps
-    use the kmeans_assign fixed-point discipline (1e-9-quantized
-    BIGINT sums); qdist folds the m subspace distances in subspace
-    order — all bit-identical to the unrolled SQL twin.
-
-    Scale shape: identical to kmeans_assign run per subspace, fused —
-    ONE posexplode produces the (vec, subspace) rows, assignment is a
-    map-only pass (m·k·(dim/m) = k·dim literal scalars in the plan),
-    each M-step is one (sub, cluster, dim)-keyed partial-agg shuffle
-    of m·k·(dim/m) groups, and the final per-vector code rollup is a
-    vec_id-keyed agg of m rows. Driver state per round is k·dim
-    scalars. Empty clusters drop out exactly as in kmeans_assign.
-    """
+def _pq_subframe(embeddings: DataFrame, m: int) -> tuple[DataFrame, int, int]:
+    """(vec_id, sub, v) rows — one posexplode of the m contiguous
+    subspace slices — plus (dim, w). Shared by training, encoding,
+    and ADC search so they all see the same layout."""
     emb = embeddings.select("vec_id", "embedding")
     first = emb.select(F.size("embedding").alias("d")).first()
     dim = int(first.d)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     w = dim // m
+    sub = spread(emb).select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("embedding", s * w + 1, w) for s in range(m)])
+        ).alias("sub", "v"),
+    )
+    return sub, dim, w
+
+
+def _pq_assign(
+    sub: DataFrame, cents: dict[int, list[tuple[int, list[float]]]], m: int
+) -> DataFrame:
+    """(vec_id, sub, v, cluster, dist): nearest codebook entry per
+    subspace — a map-only chained-when over literal centroids."""
+    best = _nearest_centroid(F.col("v"), cents[0])
+    for s in range(1, m):
+        best = F.when(
+            F.col("sub") == s, _nearest_centroid(F.col("v"), cents[s])
+        ).otherwise(best)
+    return sub.select(
+        "vec_id",
+        "sub",
+        "v",
+        best.getField("cid").alias("cluster"),
+        best.getField("dist").alias("dist"),
+    )
+
+
+def pq_train(
+    embeddings: DataFrame, m: int = 4, k: int = 4, iters: int = 2
+) -> dict[int, list[tuple[int, list[float]]]]:
+    """Per-subspace Lloyd codebooks: seeds are the k lowest vec_ids'
+    subvectors; ``iters - 1`` fixed-point M-steps (the codebooks the
+    round-``iters`` assignment uses — matching the unrolled SQL twin).
+    Driver state is k·dim scalars per round."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    emb = embeddings.select("vec_id", "embedding")
+    sub, dim, w = _pq_subframe(embeddings, m)
     seed_rows = emb.orderBy("vec_id").limit(k).collect()
     cents: dict[int, list[tuple[int, list[float]]]] = {
         s: [
@@ -689,38 +708,8 @@ def pq_encode(
         ]
         for s in range(m)
     }
-    sub = spread(emb).select(
-        "vec_id",
-        F.posexplode(
-            F.array(*[F.slice("embedding", s * w + 1, w) for s in range(m)])
-        ).alias("sub", "v"),
-    )
-    for rnd in range(iters):
-        best = _nearest_centroid(F.col("v"), cents[0])
-        for s in range(1, m):
-            best = F.when(
-                F.col("sub") == s, _nearest_centroid(F.col("v"), cents[s])
-            ).otherwise(best)
-        assigned = sub.select(
-            "vec_id",
-            "sub",
-            "v",
-            best.getField("cid").alias("cluster"),
-            best.getField("dist").alias("dist"),
-        )
-        if rnd == iters - 1:
-            coded = assigned.groupBy("vec_id").agg(
-                F.array_sort(
-                    F.collect_list(F.struct("sub", "cluster", "dist"))
-                ).alias("a")
-            )
-            return coded.select(
-                "vec_id",
-                F.transform("a", lambda x: x["cluster"]).alias("codes"),
-                F.aggregate(
-                    "a", F.lit(0.0), lambda acc, x: acc + x["dist"]
-                ).alias("qdist"),
-            )
+    for _ in range(iters - 1):
+        assigned = _pq_assign(sub, cents, m)
         ex = assigned.select(
             "sub", "cluster", F.posexplode("v").alias("dim", "vf")
         )
@@ -752,4 +741,114 @@ def pq_encode(
             ]
             for s, clusters in by_sub.items()
         }
-    raise AssertionError("iters must be >= 1")
+    return cents
+
+
+def pq_encode(
+    embeddings: DataFrame, m: int = 4, k: int = 4, iters: int = 2
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split every vector
+    into ``m`` contiguous subspaces, Lloyd-train ``k`` centroids per
+    subspace, and encode each vector as its m nearest-centroid ids →
+    (vec_id, codes array<int>, qdist). codes is the compressed
+    representation (m·log2(k) bits per vector — the IVF-PQ memory
+    budget that makes billion-vector ANN fit in RAM); qdist is the
+    reconstruction error (sum of per-subspace squared distances).
+
+    Determinism: seeds are the k lowest vec_ids' subvectors; M-steps
+    use the kmeans_assign fixed-point discipline (1e-9-quantized
+    BIGINT sums); qdist folds the m subspace distances in subspace
+    order — all bit-identical to the unrolled SQL twin.
+
+    Scale shape: identical to kmeans_assign run per subspace, fused —
+    ONE posexplode produces the (vec, subspace) rows, assignment is a
+    map-only pass (m·k·(dim/m) = k·dim literal scalars in the plan),
+    each M-step is one (sub, cluster, dim)-keyed partial-agg shuffle
+    of m·k·(dim/m) groups, and the final per-vector code rollup is a
+    vec_id-keyed agg of m rows. Driver state per round is k·dim
+    scalars. Empty clusters drop out exactly as in kmeans_assign.
+    """
+    cents = pq_train(embeddings, m=m, k=k, iters=iters)
+    sub, _, _ = _pq_subframe(embeddings, m)
+    assigned = _pq_assign(sub, cents, m)
+    coded = assigned.groupBy("vec_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("sub", "cluster", "dist"))
+        ).alias("a")
+    )
+    return coded.select(
+        "vec_id",
+        F.transform("a", lambda x: x["cluster"]).alias("codes"),
+        F.aggregate(
+            "a", F.lit(0.0), lambda acc, x: acc + x["dist"]
+        ).alias("qdist"),
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    topk: int = 10,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Asymmetric-distance-computation search over PQ codes (the query
+    leg of IVF-PQ): the query stays full precision, the corpus is its
+    codes, and the distance is Σ_s lut[s][code_s] where the lookup
+    table holds the m·k exact query-subvector-to-centroid distances.
+    The corpus scan never touches raw vectors — per vector the work is
+    m table lookups, which is why a billion-vector index answers from
+    RAM.
+
+    Determinism: the LUT entries fold (q_i − c_i)² left-to-right from
+    0.0 in the driver — the same IEEE-double sequence the SQL twin's
+    sqdist fold produces — and the per-vector ADC sum folds the m
+    subspace terms in subspace order.
+
+    Scale shape: codebooks + LUT are m·k scalars (plan literals);
+    scoring is a map-only pass over the code rows and the top-k is
+    TakeOrderedAndProject. No shuffle of the corpus, no join.
+    """
+    cents = pq_train(embeddings, m=m, k=k, iters=iters)
+    q_row = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .first()
+    )
+    qv = [float(v) for v in q_row.embedding]
+    w = len(qv) // m
+    lut: dict[int, dict[int, float]] = {}
+    for s in range(m):
+        qs = qv[s * w : (s + 1) * w]
+        lut[s] = {}
+        for cid, c in cents[s]:
+            acc = 0.0
+            for x, y in zip(qs, c):
+                acc += (x - y) * (x - y)
+            lut[s][cid] = acc
+    sub, _, _ = _pq_subframe(
+        embeddings.filter(F.col("vec_id") != query_vec_id), m
+    )
+    assigned = _pq_assign(sub, cents, m)
+    term = F.lit(None).cast("double")
+    for s in range(m):
+        for cid in sorted(lut[s]):
+            term = F.when(
+                (F.col("sub") == s) & (F.col("cluster") == cid),
+                F.lit(lut[s][cid]),
+            ).otherwise(term)
+    scored = (
+        assigned.select("vec_id", "sub", term.alias("adc_term"))
+        .groupBy("vec_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("sub", "adc_term"))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["adc_term"],
+            ).alias("adc_dist")
+        )
+    )
+    return scored.orderBy(F.col("adc_dist").asc(), "vec_id").limit(topk)

@@ -152,6 +152,7 @@ _PRIORITY: tuple[str, ...] = (
     "t_source_entropy",
     "s_mips_topk",
     "s_pq_codes",
+    "s_pq_adc_topk",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

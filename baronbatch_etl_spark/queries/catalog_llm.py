@@ -2143,3 +2143,99 @@ def s_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_PQ_K,
         iters=2,
     )
+
+
+def _pq_train_ctes() -> str:
+    """The s_pq_codes training chain up to the trained codebooks
+    (c2) — shared verbatim by the encode and ADC-search oracles."""
+    return f"""sub AS (
+    SELECT vec_id, s.sub,
+           embedding[s.sub*{_PQ_W}+1 : s.sub*{_PQ_W}+{_PQ_W}] AS v
+    FROM embeddings,
+         LATERAL (SELECT unnest(range(0, {_PQ_M})) AS sub) s
+),
+seeds AS (
+    SELECT sub, CAST(rn - 1 AS INTEGER) AS cid, v AS c FROM (
+        SELECT sub, v,
+               row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+        FROM sub) WHERE rn <= {_PQ_K}
+),
+d1 AS (
+    SELECT t.vec_id, t.sub, t.v, s.cid, {S.sql_sqdist("t.v", "s.c")} AS dist
+    FROM sub t JOIN seeds s ON t.sub = s.sub
+),
+a1 AS (
+    SELECT vec_id, sub, v, cid AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1
+),
+ex AS (
+    SELECT sub, cluster, d.dim, v[d.dim] AS vf
+    FROM a1, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS dim) d
+),
+mstep AS (
+    SELECT sub, cluster, dim,
+           (CAST(sum(CAST(floor(CAST(vf AS DOUBLE) * 1000000000.0 + 0.5)
+                          AS BIGINT)) AS DOUBLE) / 1000000000.0)
+               / count(*) AS c
+    FROM ex GROUP BY sub, cluster, dim
+),
+c2 AS (SELECT sub, cluster AS cid, list(c ORDER BY dim) AS c
+       FROM mstep GROUP BY sub, cluster)"""
+
+
+@register(
+    "s_pq_adc_topk",
+    oracle=f"""
+WITH {_pq_train_ctes()},
+qsub AS (
+    SELECT s.sub, embedding[s.sub*{_PQ_W}+1 : s.sub*{_PQ_W}+{_PQ_W}] AS qv
+    FROM embeddings,
+         LATERAL (SELECT unnest(range(0, {_PQ_M})) AS sub) s
+    WHERE vec_id = 0
+),
+lut AS (
+    SELECT c.sub, c.cid, {S.sql_sqdist("q.qv", "c.c")} AS dq
+    FROM c2 c JOIN qsub q ON c.sub = q.sub
+),
+d2 AS (
+    SELECT t.vec_id, t.sub, s.cid, {S.sql_sqdist("t.v", "s.c")} AS dist
+    FROM sub t JOIN c2 s ON t.sub = s.sub
+    WHERE t.vec_id <> 0
+),
+a2 AS (
+    SELECT vec_id, sub, cid AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1
+),
+adc AS (
+    SELECT a.vec_id,
+           list_reduce(list_prepend(0.0::DOUBLE, list(l.dq ORDER BY a.sub)),
+                       (x, y) -> x + y) AS adc_dist
+    FROM a2 a JOIN lut l ON a.sub = l.sub AND a.cluster = l.cid
+    GROUP BY a.vec_id
+)
+SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+""",
+    tags=("llm", "similarity", "quantization", "topk"),
+)
+def s_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-10 over PQ codes (the search leg of
+    IVF-PQ / FAISS): the query keeps full precision, the corpus is 4
+    codebook ids per vector, and the distance is m lookups into the
+    broadcast m×k query-to-centroid table. The corpus scan never
+    touches raw vectors — the plan shape that answers billion-vector
+    queries from RAM. Codebooks are the s_pq_codes trainer's; see
+    S.pq_adc_topk for the determinism contract (driver LUT folds the
+    exact sqdist sequence, ADC folds subspaces in order).
+    """
+    return S.pq_adc_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        0,
+        topk=10,
+        m=_PQ_M,
+        k=_PQ_K,
+        iters=2,
+    )

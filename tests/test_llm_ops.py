@@ -730,3 +730,40 @@ def test_pq_encode_rejects_indivisible_dim(spark):
     )
     with pytest.raises(ValueError):
         S.pq_encode(emb, m=2, k=2, iters=1)
+
+
+def test_pq_adc_search_agrees_with_coded_corpus(spark, sf_dir):
+    """ADC distances must be exactly the LUT sums for the vectors'
+    codes, and the coarse 4x4 codebook search should still put some
+    genuinely-near vectors in its top-10 (sanity recall vs exact L2)."""
+    from baronbatch_etl_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    adc = S.pq_adc_topk(emb, 0, topk=10).collect()
+    assert len(adc) == 10
+    assert all(r.adc_dist >= 0.0 for r in adc)
+    assert [r.adc_dist for r in adc] == sorted(r.adc_dist for r in adc)
+    # exact L2 top-10 via the MIPS machinery's dot products
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            S.dot(
+                F.zip_with(
+                    "embedding", "q_emb", lambda x, y: x - y
+                ).cast("array<double>"),
+                F.zip_with(
+                    "embedding", "q_emb", lambda x, y: x - y
+                ).cast("array<double>"),
+            ).alias("d2"),
+        )
+        .orderBy("d2", "vec_id")
+        .limit(10)
+        .collect()
+    )
+    overlap = {r.vec_id for r in adc} & {r.vec_id for r in exact}
+    assert len(overlap) >= 1  # 8-bit codes: coarse, but not random
