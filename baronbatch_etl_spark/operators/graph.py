@@ -1,0 +1,135 @@
+"""Iterative graph analytics over DataFrame edge lists.
+
+PageRank-style influence scoring is a first-class training-data
+curation signal: CommonCrawl-derived corpora weight documents by the
+link-graph authority of their host (the "page quality" prior), and
+the same fixed-iteration random-walk machinery ranks entities in any
+interaction graph (here: the customer↔supplier order graph).
+
+Design notes (the 100 TB shape):
+  * The graph lives as a distributed ``(src, dst)`` edge DataFrame —
+    never adjacency lists on the driver. Rank state is a
+    ``(node, rank)`` DataFrame, one row per node.
+  * Each iteration is the canonical two-shuffle plan: join ranks onto
+    edges by ``src`` (contributions), then aggregate contributions by
+    ``dst``. The degree-weighted edge frame is computed ONCE and its
+    scan repeats per iteration with an identical subplan, so Spark
+    replays it through ReusedExchange instead of re-shuffling.
+  * Iterations are UNROLLED into one Catalyst DAG. The only driver
+    state is the node count — one scalar, the same budget as the
+    k-means trainer's k·dim centroids — burned into the plan as the
+    teleport literal. A fixed small iteration count is the published
+    practice for quality priors (convergence to ranking stability is
+    fast; see Page et al. 1999 §2.6) and keeps lineage bounded.
+  * Determinism: contribution sums are quantised to 1e-9 BIGINT
+    fixed-point before the shuffle (integer addition is associative,
+    so partition order cannot perturb the hash), the same discipline
+    as :func:`baronbatch_etl_spark.operators.similarity.kmeans_assign`.
+
+Reference parity: the reference engine has no graph operator — this
+family is part of the beyond-reference LLM-pipeline surface (see
+SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Fixed-point scale for order-independent double sums.
+_SCALE = 1.0e9
+
+
+def _q(c: Column) -> Column:
+    """1e-9 fixed-point quantisation (round-half-up) → BIGINT."""
+    return F.floor(c * _SCALE + 0.5).cast("long")
+
+
+def undirected_edges(
+    pairs: DataFrame, src: str, dst: str, disjoint: bool = False
+) -> DataFrame:
+    """Distinct symmetric closure of a pair frame → ``(src, dst)``.
+
+    Every node of an undirected graph then has out-degree ≥ 1, which
+    is what lets :func:`pagerank` skip dangling-mass redistribution.
+    One distinct (= one shuffle) over the doubled pair set — elided
+    entirely when ``disjoint=True`` declares the input already
+    distinct with non-overlapping src/dst domains (e.g. even/odd key
+    encodings of a bipartite graph), where the two union legs cannot
+    collide.
+    """
+    fwd = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    both = fwd.unionByName(rev)
+    return both if disjoint else both.distinct()
+
+
+def pagerank(
+    edges: DataFrame, iters: int = 3, damping: float = 0.85
+) -> DataFrame:
+    """Fixed-iteration PageRank over a ``(src, dst)`` edge list →
+    ``(node, rank)``.
+
+    Requires every node to appear as a ``src`` (guaranteed by
+    :func:`undirected_edges`; for directed graphs, pre-filter or add
+    self-loops — dangling mass is NOT redistributed here). Ranks
+    start uniform at ``1/N`` and each round becomes
+    ``(1 - damping)/N + damping * Σ_in rank_src / deg_src``; with no
+    dangling nodes total mass stays 1 (modulo 1e-9 quantisation),
+    which the property tests assert.
+
+    Determinism contract: per-edge contributions are quantised to
+    BIGINT fixed-point before the ``dst`` aggregation, and the
+    teleport term is written ``(1.0 - damping)/N`` so an oracle
+    spelling the same IEEE subtraction matches bit-for-bit.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    # Stage the degree-weighted edge list ONCE: a single src hash
+    # partitioning, out-degree as a window count over the partition
+    # key (no join, no second shuffle), then an ephemeral
+    # localCheckpoint (the operators/dedup.py pattern — LogicalRDD
+    # keeps the partitioning). Every round then joins the small rank
+    # frame onto the stationary edge partitions — the 100 TB shape:
+    # one partitioned materialize, after which each iteration moves
+    # ranks (≈ node count) instead of edges.
+    weighted = (
+        edges.repartition("src")
+        .withColumn(
+            "deg", F.count("*").over(Window.partitionBy("src"))
+        )
+        .localCheckpoint()
+    )
+    # The ONLY driver state: the node count (one scalar, the k-means
+    # precedent) — burning it into the plan as a literal keeps every
+    # round free of the one-row normaliser subtree a cross-joined
+    # count frame would replay per iteration.
+    n = weighted.select(F.count_distinct("src")).first()[0]
+    teleport = (1.0 - damping) / n
+    ranks: DataFrame | None = None
+    for i in range(iters):
+        if i == 0:
+            # uniform start: rank/deg is a constant over each edge —
+            # round 1 is a pure map-side pass, no rank join at all
+            contribs = weighted.select(
+                "dst", _q(F.lit(1.0 / n) / F.col("deg")).alias("contrib")
+            )
+        else:
+            contribs = weighted.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            ).select(
+                "dst", _q(F.col("rank") / F.col("deg")).alias("contrib")
+            )
+        ranks = (
+            contribs.groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (F.col("s").cast("double") / F.lit(_SCALE))
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -153,6 +153,7 @@ _PRIORITY: tuple[str, ...] = (
     "s_mips_topk",
     "s_pq_codes",
     "s_pq_adc_topk",
+    "g_pagerank",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",
@@ -203,6 +204,7 @@ def load_all() -> dict[str, QuerySpec]:
         catalog_core,
         catalog_corpus,
         catalog_curation,
+        catalog_graph,
         catalog_heavy,
         catalog_joins,
         catalog_llm,

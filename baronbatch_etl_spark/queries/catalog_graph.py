@@ -1,0 +1,119 @@
+"""Graph analytics over the order interaction graph.
+
+The customer↔supplier graph (an edge wherever a customer's order has
+a line item from a supplier) stands in for the host-level link graphs
+training-data pipelines score: CommonCrawl curation weights documents
+by the PageRank-style authority of their host, and the identical
+fixed-iteration random-walk runs here over DataFrame edge lists.
+
+The oracle unrolls the same three iterations as CTEs with the same
+1e-9 fixed-point contribution sums, so ranks match bit-for-bit (see
+``operators/graph.py`` for the determinism contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from baronbatch_etl_spark.io import load_table
+from baronbatch_etl_spark.operators import graph as G
+from baronbatch_etl_spark.queries import register
+
+#: PageRank hyperparameters shared by the Spark query and its oracle.
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+
+def _pr_iter_ctes(iters: int) -> str:
+    """Unrolled PageRank rounds r1..r{iters}, each the exact
+    fixed-point arithmetic of ``operators.graph.pagerank``."""
+    parts = []
+    for i in range(1, iters + 1):
+        parts.append(f"""c{i} AS (
+    SELECT w.dst,
+           sum(CAST(floor(r.rank / w.deg * 1000000000.0 + 0.5)
+                    AS BIGINT)) AS s
+    FROM w JOIN r{i - 1} r ON w.src = r.node
+    GROUP BY w.dst
+),
+r{i} AS (
+    SELECT c{i}.dst AS node,
+           (1.0::DOUBLE - {_PR_DAMP}::DOUBLE) / n.n_nodes
+             + {_PR_DAMP}::DOUBLE
+               * (CAST(c{i}.s AS DOUBLE) / 1000000000.0) AS rank
+    FROM c{i}, n
+)""")
+    return ",\n".join(parts)
+
+
+@register(
+    "g_pagerank",
+    oracle=f"""
+WITH pairs AS (
+    SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (
+    SELECT a AS src, b AS dst FROM pairs
+    UNION
+    SELECT b AS src, a AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+n AS (SELECT count(*) AS n_nodes FROM deg),
+w AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+r0 AS (
+    SELECT src AS node, 1.0::DOUBLE / n.n_nodes AS rank FROM deg, n
+),
+{_pr_iter_ctes(_PR_ITERS)}
+SELECT node,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         AS node_type,
+       rank
+FROM r{_PR_ITERS}
+ORDER BY rank DESC, node
+LIMIT 20
+""",
+    tags=("graph", "llm", "curation"),
+)
+def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank authorities of the customer↔supplier order
+    graph — the link-graph quality prior of CommonCrawl-style corpus
+    curation, run as three unrolled rounds of the canonical
+    two-shuffle iteration (contribution join by src, fixed-point sum
+    by dst; `operators/graph.py`). Suppliers dominate the top ranks:
+    the graph is bipartite with ~15× more customers than suppliers,
+    so supplier nodes concentrate incoming mass — the same authority
+    asymmetry host-level link graphs show.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(
+            lineitem,
+            orders["o_orderkey"] == lineitem["l_orderkey"],
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    ranks = G.pagerank(
+        # even/odd key encoding → the two union legs are disjoint and
+        # pairs is already distinct: no second distinct needed
+        G.undirected_edges(pairs, "a", "b", disjoint=True),
+        iters=_PR_ITERS,
+        damping=_PR_DAMP,
+    )
+    return (
+        ranks.select(
+            "node",
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            "rank",
+        )
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )

@@ -447,3 +447,22 @@ def test_leakage_split_bucket_is_row_local(spark, registry, sf_dir):
     plan = _plan(spark, registry, "t_split_leakage_safe", sf_dir)
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange ") <= base.count("Exchange ") + 2
+
+
+def test_pagerank_iterations_reuse_staged_edges(spark, registry, sf_dir):
+    # the edge list is staged once (partitioned localCheckpoint →
+    # "Scan ExistingRDD" in the final plan) and every unrolled round
+    # joins ranks onto those stationary partitions: no cartesian, no
+    # per-round re-shuffle of an edge-list-sized side — rank frames
+    # are node-sized, so AQE turns the contribution joins into
+    # broadcasts over the checkpointed scan
+    plan = _plan(spark, registry, "g_pagerank", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan
+    # the iterations never touch the source tables again: every
+    # parquet scan happened before the staging checkpoint
+    assert "Scan parquet" not in plan
+    # 3 rounds × contribution agg + rank-side exchanges (the printed
+    # AQE string includes the pre-adaptive plan too) — a per-round
+    # re-shuffle of the edge list would blow well past this bound
+    assert plan.count("Exchange hashpartitioning") <= 12

@@ -1,0 +1,93 @@
+"""Graph analytics: PageRank invariants on hand-checkable graphs.
+
+Small graphs where the fixed-point is known analytically pin the
+random-walk arithmetic; the mass-conservation property pins the
+no-dangling contract on the real order graph.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from baronbatch_etl_spark.operators import graph as G
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    """A directed cycle is rank-symmetric: every node keeps exactly
+    1/N at every iteration (contribution = rank/1 from one in-edge)."""
+    n = 5
+    cycle = _edges(spark, [(i, (i + 1) % n) for i in range(n)])
+    rows = G.pagerank(cycle, iters=3).collect()
+    assert len(rows) == n
+    for r in rows:
+        assert r.rank == pytest.approx(1.0 / n, abs=1e-8)
+
+
+def test_pagerank_star_center_dominates(spark):
+    """Undirected star: the hub collects mass from every spoke and
+    must outrank all of them; spokes are symmetric → equal ranks."""
+    spokes = [(0, i) for i in range(1, 6)]
+    edges = G.undirected_edges(
+        _edges(spark, spokes), "src", "dst"
+    )
+    rows = {r.node: r.rank for r in G.pagerank(edges, iters=3).collect()}
+    hub, spoke_ranks = rows[0], [rows[i] for i in range(1, 6)]
+    assert all(hub > s for s in spoke_ranks)
+    assert max(spoke_ranks) - min(spoke_ranks) < 1e-12
+
+
+def test_pagerank_mass_conserved(spark):
+    """With every node having out-degree ≥ 1 (undirected closure),
+    total rank mass stays 1 modulo the 1e-9 quantisation."""
+    pairs = [(i, 10 + (i * 7) % 4) for i in range(10)]
+    edges = G.undirected_edges(_edges(spark, pairs), "src", "dst")
+    total = (
+        G.pagerank(edges, iters=4)
+        .agg(F.sum("rank").alias("s"))
+        .first()
+        .s
+    )
+    assert total == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_matches_dense_reference(spark):
+    """Bit-for-bit-free sanity: the distributed ranks agree with a
+    driver-side dense power iteration to float tolerance on an
+    irregular graph."""
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 0), (3, 4)]
+    edges = G.undirected_edges(_edges(spark, pairs), "src", "dst")
+    edge_rows = [(r.src, r.dst) for r in edges.collect()]
+    nodes = sorted({x for e in edge_rows for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = {v: sum(1 for s, _ in edge_rows if s == v) for v in nodes}
+    ranks = [1.0 / n] * n
+    for _ in range(3):
+        nxt = [0.15 / n] * n
+        for s, d in edge_rows:
+            nxt[idx[d]] += 0.85 * ranks[idx[s]] / deg[s]
+        ranks = nxt
+    got = {r.node: r.rank for r in G.pagerank(edges, iters=3).collect()}
+    for v in nodes:
+        assert got[v] == pytest.approx(ranks[idx[v]], abs=1e-7)
+
+
+def test_pagerank_rejects_zero_iters(spark):
+    with pytest.raises(ValueError):
+        G.pagerank(_edges(spark, [(0, 1), (1, 0)]), iters=0)
+
+
+def test_undirected_edges_disjoint_skips_distinct(spark):
+    """disjoint=True must produce exactly the doubled edge set when
+    the precondition holds (distinct pairs, disjoint domains)."""
+    pairs = _edges(spark, [(0, 1), (0, 3), (2, 1)])
+    strict = G.undirected_edges(pairs, "src", "dst").collect()
+    fast = G.undirected_edges(
+        pairs, "src", "dst", disjoint=True
+    ).collect()
+    assert sorted(map(tuple, strict)) == sorted(map(tuple, fast))

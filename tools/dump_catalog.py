@@ -19,6 +19,7 @@ GROUPS = {
     "catalog_sql": "Spark SQL surface",
     "catalog_llm": "LLM data ops: text / dedup / similarity / multimodal",
     "catalog_corpus": "Corpus monitoring: drift / cross-source overlap",
+    "catalog_graph": "Graph analytics",
     "catalog_curation": "Corpus curation",
     "catalog_streaming": "Streaming batch-twins",
 }
