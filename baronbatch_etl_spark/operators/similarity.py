@@ -792,6 +792,7 @@ def pq_adc_topk(
     m: int = 4,
     k: int = 4,
     iters: int = 2,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """Asymmetric-distance-computation search over PQ codes (the query
     leg of IVF-PQ): the query stays full precision, the corpus is its
@@ -809,11 +810,19 @@ def pq_adc_topk(
     Scale shape: codebooks + LUT are m·k scalars (plan literals);
     scoring is a map-only pass over the code rows and the top-k is
     TakeOrderedAndProject. No shuffle of the corpus, no join.
+
+    ``cell_col`` turns this into IVF-PQ (FAISS ``IndexIVFPQ`` with
+    ``by_residual=false``): only vectors sharing the query's coarse
+    cell are scored — the equality predicate pushes to the scan, so
+    at 100 TB (corpus partitioned by cell, the ivf_ingest layout in
+    streaming/ops.py) the probe touches one cell's files instead of
+    the corpus. Codebooks stay corpus-global, as FAISS trains them.
     """
     cents = pq_train(embeddings, m=m, k=k, iters=iters)
+    q_cols = ["embedding"] + ([cell_col] if cell_col else [])
     q_row = (
         embeddings.filter(F.col("vec_id") == query_vec_id)
-        .select("embedding")
+        .select(*q_cols)
         .first()
     )
     qv = [float(v) for v in q_row.embedding]
@@ -827,9 +836,10 @@ def pq_adc_topk(
             for x, y in zip(qs, c):
                 acc += (x - y) * (x - y)
             lut[s][cid] = acc
-    sub, _, _ = _pq_subframe(
-        embeddings.filter(F.col("vec_id") != query_vec_id), m
-    )
+    corpus = embeddings.filter(F.col("vec_id") != query_vec_id)
+    if cell_col is not None:
+        corpus = corpus.filter(F.col(cell_col) == q_row[cell_col])
+    sub, _, _ = _pq_subframe(corpus, m)
     assigned = _pq_assign(sub, cents, m)
     term = F.lit(None).cast("double")
     for s in range(m):

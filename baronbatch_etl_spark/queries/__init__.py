@@ -154,6 +154,7 @@ _PRIORITY: tuple[str, ...] = (
     "s_pq_codes",
     "s_pq_adc_topk",
     "g_pagerank",
+    "s_ivfpq_topk",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

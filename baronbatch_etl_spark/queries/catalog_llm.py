@@ -2239,3 +2239,65 @@ def s_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_PQ_K,
         iters=2,
     )
+
+
+@register(
+    "s_ivfpq_topk",
+    oracle=f"""
+WITH {_pq_train_ctes()},
+qsub AS (
+    SELECT s.sub, embedding[s.sub*{_PQ_W}+1 : s.sub*{_PQ_W}+{_PQ_W}] AS qv
+    FROM embeddings,
+         LATERAL (SELECT unnest(range(0, {_PQ_M})) AS sub) s
+    WHERE vec_id = 0
+),
+lut AS (
+    SELECT c.sub, c.cid, {S.sql_sqdist("q.qv", "c.c")} AS dq
+    FROM c2 c JOIN qsub q ON c.sub = q.sub
+),
+cellv AS (
+    SELECT e.vec_id FROM embeddings e
+    WHERE e.vec_id <> 0
+      AND e.label = (SELECT label FROM embeddings WHERE vec_id = 0)
+),
+d2 AS (
+    SELECT t.vec_id, t.sub, s.cid, {S.sql_sqdist("t.v", "s.c")} AS dist
+    FROM sub t JOIN c2 s ON t.sub = s.sub
+    JOIN cellv cv ON t.vec_id = cv.vec_id
+),
+a2 AS (
+    SELECT vec_id, sub, cid AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1
+),
+adc AS (
+    SELECT a.vec_id,
+           list_reduce(list_prepend(0.0::DOUBLE, list(l.dq ORDER BY a.sub)),
+                       (x, y) -> x + y) AS adc_dist
+    FROM a2 a JOIN lut l ON a.sub = l.sub AND a.cluster = l.cid
+    GROUP BY a.vec_id
+)
+SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+""",
+    tags=("llm", "similarity", "quantization", "topk", "ivf"),
+)
+def s_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (FAISS ``IndexIVFPQ``, ``by_residual=false``):
+    coarse cell pruning THEN asymmetric PQ distance — only vectors in
+    the query's `label` cell are scored, and each costs m LUT lookups
+    over the compressed codes. The two halves of billion-scale ANN
+    composed: the cell predicate pushes to the scan (partition
+    pruning on a cell-partitioned corpus — the ivf_ingest layout),
+    and the survivors never surface a raw vector. Codebooks stay
+    corpus-global exactly as FAISS trains them; see S.pq_adc_topk.
+    """
+    return S.pq_adc_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        0,
+        topk=10,
+        m=_PQ_M,
+        k=_PQ_K,
+        iters=2,
+        cell_col="label",
+    )

@@ -767,3 +767,32 @@ def test_pq_adc_search_agrees_with_coded_corpus(spark, sf_dir):
     )
     overlap = {r.vec_id for r in adc} & {r.vec_id for r in exact}
     assert len(overlap) >= 1  # 8-bit codes: coarse, but not random
+
+
+def test_ivfpq_prunes_to_query_cell(spark, sf_dir):
+    """IVF-PQ results must (a) all come from the query's coarse cell
+    and (b) equal the plain ADC ranking computed over that cell alone
+    — pruning changes the candidate set, never the arithmetic."""
+    from baronbatch_etl_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    q_label = emb.filter(F.col("vec_id") == 0).first().label
+    got = S.pq_adc_topk(emb, 0, topk=5, cell_col="label").collect()
+    labels = {
+        r.label
+        for r in emb.filter(
+            F.col("vec_id").isin([g.vec_id for g in got])
+        ).collect()
+    }
+    assert labels == {q_label}
+    # codebooks are corpus-global, so the pruned ranking must equal
+    # the unpruned ADC ranking post-filtered to the cell
+    full = S.pq_adc_topk(emb, 0, topk=300).collect()
+    cell_ids = {
+        r.vec_id
+        for r in emb.filter(F.col("label") == q_label).collect()
+    }
+    expect = [r for r in full if r.vec_id in cell_ids][:5]
+    assert [(r.vec_id, r.adc_dist) for r in got] == [
+        (r.vec_id, r.adc_dist) for r in expect
+    ]
