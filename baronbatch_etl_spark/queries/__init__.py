@@ -155,6 +155,7 @@ _PRIORITY: tuple[str, ...] = (
     "s_pq_adc_topk",
     "g_pagerank",
     "s_ivfpq_topk",
+    "w_rfm_segment",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

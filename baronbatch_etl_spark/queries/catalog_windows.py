@@ -617,3 +617,135 @@ def w_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("et", "next_et")
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — the classic customer-value rollup
+# ---------------------------------------------------------------------------
+
+_RFM_CASE_SQL = """CASE
+        WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+            THEN 'champion'
+        WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+        WHEN r_score >= 4 THEN 'recent'
+        WHEN r_score <= 2 AND m_score >= 4 THEN 'at_risk'
+        WHEN r_score <= 2 THEN 'hibernating'
+        ELSE 'regular' END"""
+
+
+@register(
+    "w_rfm_segment",
+    oracle=f"""
+WITH anchor AS (
+    SELECT max(CAST(o_orderdate AS DATE)) AS anchor_d FROM orders
+),
+cust AS (
+    SELECT o_custkey,
+           date_diff('day', max(CAST(o_orderdate AS DATE)),
+                     anchor.anchor_d) AS recency_days,
+           count(*) AS frequency,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+    FROM orders, anchor
+    GROUP BY o_custkey, anchor.anchor_d
+),
+scored AS (
+    SELECT o_custkey, recency_days, frequency, monetary,
+           ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)
+               AS r_score,
+           ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+           ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+    FROM cust
+)
+SELECT {_RFM_CASE_SQL} AS segment,
+       count(*) AS n_customers,
+       CAST(sum(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_monetary,
+       min(recency_days) AS min_recency_days,
+       max(frequency) AS max_frequency
+FROM scored
+GROUP BY segment
+""",
+    tags=("window", "analytics", "segmentation"),
+)
+def w_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) customer segmentation: one
+    fact-table rollup to the customer grain, three ntile(5) scores
+    with unique tiebreakers, a CASE lattice into six named segments,
+    and a per-segment rollup. The heavy work is the single o_custkey
+    aggregation shuffle; the window passes run over the customer
+    DIMENSION (orders of magnitude smaller than the fact table — at
+    100 TB a global sort of the customer grain is a few GB; if even
+    that binds, the ntile boundaries can come from GK quantile
+    sketches as in `a_approx_quantiles`). Monetary sums ride
+    DECIMAL(18,2) so both engines agree bit-for-bit.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("anchor_d")
+    )
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("anchor_d", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(
+            Window.orderBy(F.col("recency_days").desc(), "o_custkey")
+        )
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary", "o_custkey"))
+        .alias("m_score"),
+    )
+    segment = (
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 3), "loyal"
+        )
+        .when(F.col("r_score") >= 4, "recent")
+        .when(
+            (F.col("r_score") <= 2) & (F.col("m_score") >= 4),
+            "at_risk",
+        )
+        .when(F.col("r_score") <= 2, "hibernating")
+        .otherwise("regular")
+    )
+    return (
+        scored.select(segment.alias("segment"), "recency_days",
+                      "frequency", "monetary")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("monetary").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_monetary"),
+            F.min("recency_days").alias("min_recency_days"),
+            F.max("frequency").alias("max_frequency"),
+        )
+    )
