@@ -133,3 +133,47 @@ def pagerank(
             )
         )
     return ranks
+
+
+def hits(pairs: DataFrame, iters: int = 2) -> tuple[DataFrame, DataFrame]:
+    """HITS hubs & authorities over a bipartite ``(c, s)`` pair frame
+    → ``(authorities (s, score), hubs (c, score))``.
+
+    Kleinberg's mutual reinforcement run UNNORMALISED: starting from
+    unit hubs, authority round i is ``a_i = Eᵀ·h_{i-1}`` and hub
+    round i is ``h_i = E·a_i``. Skipping the per-round normalisation
+    leaves the RANKING identical (power iteration is scale-free) and
+    keeps every score an exact BIGINT — integer sums are associative,
+    so the result is bit-deterministic with no fixed-point quantising
+    at all. Magnitudes stay ≤ (edge count)^iters ≪ 2^63 for the
+    2–3 rounds authority scoring uses.
+
+    Scale shape: the pair list is staged once (ephemeral checkpoint);
+    each half-round is one join of a node-sized score frame onto the
+    stationary pairs (AQE broadcasts it) plus one partial-agg
+    shuffle — the PageRank iteration cost, alternating key sides.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    pairs = pairs.select("c", "s").localCheckpoint()
+    # round 1 from unit hubs: authority = in-degree (exact count)
+    auth = pairs.groupBy("s").agg(
+        F.count("*").cast("long").alias("score")
+    )
+    for _ in range(1, iters):
+        hub = (
+            pairs.join(auth.withColumnRenamed("score", "a"), "s")
+            .groupBy("c")
+            .agg(F.sum("a").alias("score"))
+        )
+        auth = (
+            pairs.join(hub.withColumnRenamed("score", "h"), "c")
+            .groupBy("s")
+            .agg(F.sum("h").alias("score"))
+        )
+    hub = (
+        pairs.join(auth.withColumnRenamed("score", "a"), "s")
+        .groupBy("c")
+        .agg(F.sum("a").alias("score"))
+    )
+    return auth, hub

@@ -156,6 +156,7 @@ _PRIORITY: tuple[str, ...] = (
     "g_pagerank",
     "s_ivfpq_topk",
     "w_rfm_segment",
+    "g_hits",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

@@ -117,3 +117,81 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "node")
         .limit(20)
     )
+
+
+#: HITS rounds shared by the Spark query and its oracle.
+_HITS_ITERS = 2
+
+
+@register(
+    "g_hits",
+    oracle="""
+WITH e AS (
+    SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+a1 AS (SELECT s, CAST(count(*) AS BIGINT) AS score FROM e GROUP BY s),
+h1 AS (
+    SELECT e.c, CAST(sum(a1.score) AS BIGINT) AS score
+    FROM e JOIN a1 USING (s) GROUP BY e.c
+),
+a2 AS (
+    SELECT e.s, CAST(sum(h1.score) AS BIGINT) AS score
+    FROM e JOIN h1 USING (c) GROUP BY e.s
+),
+h2 AS (
+    SELECT e.c, CAST(sum(a2.score) AS BIGINT) AS score
+    FROM e JOIN a2 USING (s) GROUP BY e.c
+),
+top_a AS (
+    SELECT 'authority' AS role, s AS key, score
+    FROM a2 ORDER BY score DESC, s LIMIT 10
+),
+top_h AS (
+    SELECT 'hub' AS role, c AS key, score
+    FROM h2 ORDER BY score DESC, c LIMIT 10
+)
+SELECT role, key, score FROM top_a
+UNION ALL
+SELECT role, key, score FROM top_h
+""",
+    tags=("graph", "analytics"),
+)
+def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 HITS authorities (suppliers) and hubs (customers) of
+    the bipartite order graph — Kleinberg's mutual reinforcement as
+    two unrolled integer rounds (`operators/graph.py::hits`):
+    unnormalised scores stay exact BIGINTs, so the ranking is
+    bit-deterministic with zero floating point anywhere. Authority =
+    being bought from by well-connected customers; hub = buying from
+    authoritative suppliers — the bipartite complement of
+    `g_pagerank`'s single blended rank.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(
+            lineitem,
+            orders["o_orderkey"] == lineitem["l_orderkey"],
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    auth, hub = G.hits(pairs, iters=_HITS_ITERS)
+    top_a = (
+        auth.select(
+            F.lit("authority").alias("role"),
+            F.col("s").alias("key"),
+            "score",
+        )
+        .orderBy(F.col("score").desc(), "key")
+        .limit(10)
+    )
+    top_h = (
+        hub.select(
+            F.lit("hub").alias("role"), F.col("c").alias("key"), "score"
+        )
+        .orderBy(F.col("score").desc(), "key")
+        .limit(10)
+    )
+    return top_a.unionByName(top_h)

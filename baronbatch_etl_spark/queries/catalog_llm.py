@@ -2121,7 +2121,7 @@ a2 AS (
         FROM d2) WHERE rn = 1
 )
 SELECT vec_id,
-       list(cluster ORDER BY sub) AS codes,
+       array_to_string(list(cluster ORDER BY sub), ',') AS codes_csv,
        list_reduce(list_prepend(0.0::DOUBLE, list(dist ORDER BY sub)),
                    (a, b) -> a + b) AS qdist
 FROM a2 GROUP BY vec_id
@@ -2136,12 +2136,21 @@ def s_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruction error. Completes the ANN stack: IVF prunes cells,
     SRP hashes, PQ compresses. See S.pq_encode for the fused one-
     explode training plan and the fixed-point determinism contract.
+    The code vector is serialized to CSV (`codes_csv`) — driver
+    outputs are scalar-only (registry invariant since round 1).
     """
-    return S.pq_encode(
+    coded = S.pq_encode(
         load_table(spark, sf_dir, "embeddings"),
         m=_PQ_M,
         k=_PQ_K,
         iters=2,
+    )
+    return coded.select(
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias(
+            "codes_csv"
+        ),
+        "qdist",
     )
 
 

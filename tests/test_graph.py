@@ -91,3 +91,24 @@ def test_undirected_edges_disjoint_skips_distinct(spark):
         pairs, "src", "dst", disjoint=True
     ).collect()
     assert sorted(map(tuple, strict)) == sorted(map(tuple, fast))
+
+
+def test_hits_hand_computed_bipartite(spark):
+    """c1→{s1,s2}, c2→{s1}: a1=(2,1); h1=(3,2); a2=(5,3); h2=(8,5)."""
+    pairs = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10)], "c long, s long"
+    )
+    auth, hub = G.hits(pairs, iters=2)
+    assert {(r.s, r.score) for r in auth.collect()} == {(10, 5), (20, 3)}
+    assert {(r.c, r.score) for r in hub.collect()} == {(1, 8), (2, 5)}
+
+
+def test_hits_scores_are_exact_integers(spark):
+    pairs = spark.createDataFrame(
+        [(c, s) for c in range(6) for s in range(10, 13) if (c + s) % 2],
+        "c long, s long",
+    )
+    auth, hub = G.hits(pairs, iters=3)
+    assert dict(auth.dtypes)["score"] == "bigint"
+    assert dict(hub.dtypes)["score"] == "bigint"
+    assert all(r.score > 0 for r in auth.collect())
