@@ -660,3 +660,73 @@ def test_funnel_fold_matches_chained_min_semantics(spark, events):
     }
     for u, triple in want.items():
         assert got.get(u, (None, None, None)) == triple, (u, events)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # customer
+            st.integers(min_value=10, max_value=14),  # supplier
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_hits_matches_dense_reference(spark, pairs):
+    # unnormalised HITS must equal the dense integer recurrence
+    # a1=indeg, h_i=E·a_i, a_{i+1}=Eᵀ·h_i exactly (BIGINT arithmetic,
+    # any bipartite shape, duplicate-free pairs)
+    from baronbatch_etl_spark.operators import graph as G
+
+    pdf = spark.createDataFrame(pairs, "c long, s long")
+    auth, hub = G.hits(pdf, iters=2)
+    cs = sorted({c for c, _ in pairs})
+    ss = sorted({s for _, s in pairs})
+    a = {s: sum(1 for _, s2 in pairs if s2 == s) for s in ss}
+    h = {c: sum(a[s] for c2, s in pairs if c2 == c) for c in cs}
+    a2 = {s: sum(h[c] for c, s2 in pairs if s2 == s) for s in ss}
+    h2 = {c: sum(a2[s] for c2, s in pairs if c2 == c) for c in cs}
+    assert {(r.s, r.score) for r in auth.collect()} == set(a2.items())
+    assert {(r.c, r.score) for r in hub.collect()} == set(h2.items())
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=10, max_value=13),
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_pagerank_matches_dense_reference_random(spark, pairs):
+    # distributed fixed-point PageRank vs a driver-side dense power
+    # iteration on arbitrary undirected bipartite graphs — float
+    # tolerance only (the 1e-9 quantisation is below 1e-7)
+    from baronbatch_etl_spark.operators import graph as G
+
+    pdf = spark.createDataFrame(pairs, "a long, b long")
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    nodes = sorted({x for e in edges for x in e})
+    deg = {v: sum(1 for s, _ in edges if s == v) for v in nodes}
+    n = len(nodes)
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        nxt = {v: 0.15 / n for v in nodes}
+        for s, d in edges:
+            nxt[d] += 0.85 * ranks[s] / deg[s]
+        ranks = nxt
+    got = {
+        r.node: r.rank
+        for r in G.pagerank(
+            G.undirected_edges(pdf, "a", "b", disjoint=True), iters=3
+        ).collect()
+    }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - ranks[v]) < 1e-7
