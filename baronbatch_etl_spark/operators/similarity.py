@@ -651,13 +651,18 @@ def augment_mips(embeddings: DataFrame, col: str = "embedding") -> DataFrame:
     )
 
 
-def _pq_subframe(embeddings: DataFrame, m: int) -> tuple[DataFrame, int, int]:
+def _pq_subframe(
+    embeddings: DataFrame, m: int, dim: int | None = None
+) -> tuple[DataFrame, int, int]:
     """(vec_id, sub, v) rows — one posexplode of the m contiguous
     subspace slices — plus (dim, w). Shared by training, encoding,
-    and ADC search so they all see the same layout."""
+    and ADC search so they all see the same layout. Pass ``dim`` when
+    already known (e.g. from the collected seed rows) to skip the
+    probe job."""
     emb = embeddings.select("vec_id", "embedding")
-    first = emb.select(F.size("embedding").alias("d")).first()
-    dim = int(first.d)
+    if dim is None:
+        first = emb.select(F.size("embedding").alias("d")).first()
+        dim = int(first.d)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     w = dim // m
@@ -696,11 +701,23 @@ def pq_train(
     subvectors; ``iters - 1`` fixed-point M-steps (the codebooks the
     round-``iters`` assignment uses — matching the unrolled SQL twin).
     Driver state is k·dim scalars per round."""
+    cents, _ = _pq_train_with_dim(embeddings, m=m, k=k, iters=iters)
+    return cents
+
+
+def _pq_train_with_dim(
+    embeddings: DataFrame, m: int, k: int, iters: int
+) -> tuple[dict[int, list[tuple[int, list[float]]]], int]:
+    """pq_train plus the vector dimensionality (read off the collected
+    seed rows — one fewer probe job for every downstream subframe)."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
     emb = embeddings.select("vec_id", "embedding")
-    sub, dim, w = _pq_subframe(embeddings, m)
     seed_rows = emb.orderBy("vec_id").limit(k).collect()
+    dim = len(seed_rows[0].embedding)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub, _, w = _pq_subframe(embeddings, m, dim=dim)
     cents: dict[int, list[tuple[int, list[float]]]] = {
         s: [
             (i, [float(v) for v in r.embedding[s * w : (s + 1) * w]])
@@ -741,7 +758,7 @@ def pq_train(
             ]
             for s, clusters in by_sub.items()
         }
-    return cents
+    return cents, dim
 
 
 def pq_encode(
@@ -768,8 +785,8 @@ def pq_encode(
     vec_id-keyed agg of m rows. Driver state per round is k·dim
     scalars. Empty clusters drop out exactly as in kmeans_assign.
     """
-    cents = pq_train(embeddings, m=m, k=k, iters=iters)
-    sub, _, _ = _pq_subframe(embeddings, m)
+    cents, dim = _pq_train_with_dim(embeddings, m=m, k=k, iters=iters)
+    sub, _, _ = _pq_subframe(embeddings, m, dim=dim)
     assigned = _pq_assign(sub, cents, m)
     coded = assigned.groupBy("vec_id").agg(
         F.array_sort(
@@ -818,7 +835,7 @@ def pq_adc_topk(
     streaming/ops.py) the probe touches one cell's files instead of
     the corpus. Codebooks stay corpus-global, as FAISS trains them.
     """
-    cents = pq_train(embeddings, m=m, k=k, iters=iters)
+    cents, dim = _pq_train_with_dim(embeddings, m=m, k=k, iters=iters)
     q_cols = ["embedding"] + ([cell_col] if cell_col else [])
     q_row = (
         embeddings.filter(F.col("vec_id") == query_vec_id)
@@ -839,7 +856,7 @@ def pq_adc_topk(
     corpus = embeddings.filter(F.col("vec_id") != query_vec_id)
     if cell_col is not None:
         corpus = corpus.filter(F.col(cell_col) == q_row[cell_col])
-    sub, _, _ = _pq_subframe(corpus, m)
+    sub, _, _ = _pq_subframe(corpus, m, dim=dim)
     assigned = _pq_assign(sub, cents, m)
     term = F.lit(None).cast("double")
     for s in range(m):
