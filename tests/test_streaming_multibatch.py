@@ -792,3 +792,91 @@ def test_media_features_ingest_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_multibatch_authority_matches_batch(spark, sf_dir, tmp_path):
+    # stream the order interaction pairs in 3 files (with overlap
+    # across files); the recomputed ranks over the folded edge store
+    # must equal the batch g_pagerank ranks bit-for-bit on the same
+    # pair set
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    src = str(tmp_path / "pairs_stream")
+    # 3 files WITHOUT distinct-per-file: the same pair can land in
+    # several files/epochs — read-side distinct must absorb it
+    pairs.unionByName(pairs.limit(50)).repartition(3).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = ops.stream_pairs(spark, src)
+    edges_path = str(tmp_path / "edge_store")
+    q = ops.authority_ingest(stream, edges_path, "mb_auth").start()
+    try:
+        q.awaitTermination(120)
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert n_batches >= 3, n_batches
+
+    from baronbatch_etl_spark.operators import graph as G
+
+    want = {
+        (r.node, r.rank)
+        for r in G.pagerank(
+            G.undirected_edges(
+                pairs.select(
+                    (F.col("c") * 2).alias("a"),
+                    (F.col("s") * 2 + 1).alias("b"),
+                ),
+                "a",
+                "b",
+                disjoint=True,
+            ),
+            iters=3,
+        ).collect()
+    }
+    got = {
+        (r.node, r.rank)
+        for r in ops.read_authority(spark, edges_path).collect()
+    }
+    assert got == want  # exact, incl. every IEEE rank value
+
+
+def test_authority_epoch_replay_idempotent(spark, tmp_path):
+    # replaying an epoch overwrites its own directory; edges are a
+    # set, so the recomputed ranks cannot change
+    from pyspark.sql import Row
+
+    from baronbatch_etl_spark.operators import graph as G  # noqa: F401
+
+    batch = spark.createDataFrame(
+        [Row(c=1, s=10), Row(c=1, s=11), Row(c=2, s=10)]
+    )
+    edges_path = str(tmp_path / "edge_store")
+
+    def write_epoch(b, e):
+        b.select("c", "s").distinct().write.mode("overwrite").parquet(
+            f"{edges_path}/epoch={e}"
+        )
+
+    write_epoch(batch, 0)
+    first = {
+        (r.node, r.rank)
+        for r in ops.read_authority(spark, edges_path, iters=2).collect()
+    }
+    write_epoch(batch, 0)  # at-least-once replay
+    write_epoch(batch.limit(2), 1)  # overlapping later epoch
+    again = {
+        (r.node, r.rank)
+        for r in ops.read_authority(spark, edges_path, iters=2).collect()
+    }
+    assert first == again
