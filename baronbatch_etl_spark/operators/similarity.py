@@ -478,6 +478,23 @@ def dim_stats(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 between two array columns — the exact fold
+    :func:`sql_sqdist` mirrors (left-to-right from 0.0, (x−y)·(x−y),
+    per-element double casts), so rankings built on either side of
+    the oracle agree bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def sql_sqdist(a: str, b: str) -> str:
     """DuckDB twin of the squared-L2 fold in kmeans_assign: same
     left-to-right summation from 0.0, same (x−y)·(x−y) form (no pow —
@@ -879,3 +896,52 @@ def pq_adc_topk(
         )
     )
     return scored.orderBy(F.col("adc_dist").asc(), "vec_id").limit(topk)
+
+
+def pq_recall_at_k(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    m: int = 4,
+    codebook_k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Recall@k of ADC-over-PQ-codes against exact squared-L2 brute
+    force → one row ``(k, n_hits, recall_at_k)`` — the compression-
+    loss instrumentation an IVF-PQ deployment runs before trusting a
+    codebook size (the PQ twin of :func:`ivf_recall_at_k`).
+
+    Both rankings are corpus-shuffle-free: ADC is the map-only LUT
+    pass of :func:`pq_adc_topk`, brute force broadcasts the single
+    query row, and the recall join touches 2·k surviving rows.
+    """
+    adc = pq_adc_topk(
+        embeddings,
+        query_vec_id,
+        topk=k,
+        m=m,
+        k=codebook_k,
+        iters=iters,
+    ).select("vec_id")
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    brute = (
+        spread(embeddings.filter(F.col("vec_id") != query_vec_id))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", sqdist(F.col("embedding"), F.col("q_emb")).alias("d2")
+        )
+        .orderBy("d2", "vec_id")
+        .limit(k)
+        .select("vec_id")
+    )
+    return brute.join(adc, "vec_id").agg(
+        F.count("*").alias("n_hits")
+    ).select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("n_hits"),
+        (F.col("n_hits").cast("double") / F.lit(float(k))).alias(
+            "recall_at_k"
+        ),
+    )

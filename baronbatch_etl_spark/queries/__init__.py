@@ -157,6 +157,7 @@ _PRIORITY: tuple[str, ...] = (
     "s_ivfpq_topk",
     "w_rfm_segment",
     "g_hits",
+    "s_pq_recall",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

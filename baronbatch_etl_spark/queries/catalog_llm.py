@@ -2310,3 +2310,70 @@ def s_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=2,
         cell_col="label",
     )
+
+
+@register(
+    "s_pq_recall",
+    oracle=f"""
+WITH {_pq_train_ctes()},
+qsub AS (
+    SELECT s.sub, embedding[s.sub*{_PQ_W}+1 : s.sub*{_PQ_W}+{_PQ_W}] AS qv
+    FROM embeddings,
+         LATERAL (SELECT unnest(range(0, {_PQ_M})) AS sub) s
+    WHERE vec_id = 0
+),
+lut AS (
+    SELECT c.sub, c.cid, {S.sql_sqdist("q.qv", "c.c")} AS dq
+    FROM c2 c JOIN qsub q ON c.sub = q.sub
+),
+d2 AS (
+    SELECT t.vec_id, t.sub, s.cid, {S.sql_sqdist("t.v", "s.c")} AS dist
+    FROM sub t JOIN c2 s ON t.sub = s.sub
+    WHERE t.vec_id <> 0
+),
+a2 AS (
+    SELECT vec_id, sub, cid AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1
+),
+adc AS (
+    SELECT a.vec_id,
+           list_reduce(list_prepend(0.0::DOUBLE, list(l.dq ORDER BY a.sub)),
+                       (x, y) -> x + y) AS adc_dist
+    FROM a2 a JOIN lut l ON a.sub = l.sub AND a.cluster = l.cid
+    GROUP BY a.vec_id
+),
+adctop AS (
+    SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+),
+brute AS (
+    SELECT e.vec_id
+    FROM embeddings e,
+         (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY {S.sql_sqdist("e.embedding", "q.q_emb")}, e.vec_id
+    LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(count(*) AS DOUBLE) / CAST(10.0 AS DOUBLE) AS recall_at_k
+FROM brute JOIN adctop USING (vec_id)
+""",
+    tags=("llm", "similarity", "quantization", "recall"),
+)
+def s_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of ADC-over-PQ-codes vs exact squared-L2 brute force
+    — the compression-loss gauge an IVF-PQ deployment checks before
+    trusting a codebook size (the PQ twin of `s_ivf_recall`; see
+    S.pq_recall_at_k). Both rankings stay corpus-shuffle-free; the
+    recall join touches 2·k survivor rows.
+    """
+    return S.pq_recall_at_k(
+        load_table(spark, sf_dir, "embeddings"),
+        0,
+        k=10,
+        m=_PQ_M,
+        codebook_k=_PQ_K,
+        iters=2,
+    )

@@ -796,3 +796,33 @@ def test_ivfpq_prunes_to_query_cell(spark, sf_dir):
     assert [(r.vec_id, r.adc_dist) for r in got] == [
         (r.vec_id, r.adc_dist) for r in expect
     ]
+
+
+def test_pq_recall_counts_adc_brute_overlap(spark, sf_dir):
+    from baronbatch_etl_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    row = S.pq_recall_at_k(emb, 0, k=5).first()
+    assert row.k == 5
+    assert 0 <= row.n_hits <= 5
+    assert row.recall_at_k == row.n_hits / 5.0
+    # n_hits really is the intersection of the two rankings
+    adc = {r.vec_id for r in S.pq_adc_topk(emb, 0, topk=5).collect()}
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    brute = {
+        r.vec_id
+        for r in (
+            emb.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                S.sqdist(F.col("embedding"), F.col("q_emb")).alias("d2"),
+            )
+            .orderBy("d2", "vec_id")
+            .limit(5)
+            .collect()
+        )
+    }
+    assert row.n_hits == len(adc & brute)
