@@ -158,6 +158,7 @@ _PRIORITY: tuple[str, ...] = (
     "w_rfm_segment",
     "g_hits",
     "s_pq_recall",
+    "w_peak_concurrency",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

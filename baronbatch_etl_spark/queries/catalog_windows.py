@@ -749,3 +749,100 @@ def w_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("frequency").alias("max_frequency"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line peak concurrency — the occupancy/max-overlap staple
+# ---------------------------------------------------------------------------
+
+@register(
+    "w_peak_concurrency",
+    oracle="""
+WITH iv AS (
+    SELECT event_id, event_type,
+           epoch_ms(CAST(ts AS TIMESTAMP)) AS s_ms,
+           epoch_ms(CAST(ts AS TIMESTAMP))
+             + CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS e_ms
+    FROM events
+),
+sweep AS (
+    SELECT event_type, s_ms AS t, 1 AS delta, event_id FROM iv
+    UNION ALL
+    SELECT event_type, e_ms AS t, -1 AS delta, event_id FROM iv
+),
+run AS (
+    SELECT event_type, t,
+           CAST(sum(delta) OVER (
+               PARTITION BY event_type ORDER BY t, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS conc
+    FROM sweep
+),
+mx AS (SELECT event_type, max(conc) AS peak FROM run GROUP BY event_type)
+SELECT r.event_type, m.peak AS peak_concurrency,
+       min(r.t) AS first_peak_ms
+FROM run r JOIN mx m ON r.event_type = m.event_type AND r.conc = m.peak
+GROUP BY r.event_type, m.peak
+""",
+    tags=("window", "analytics", "sweepline"),
+)
+def w_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent holds per event type via the sweep-line
+    pattern: each event holds a slot for `value` seconds, every
+    interval becomes a +1/−1 delta pair, and a single running-sum
+    window over (t, delta, event_id) gives instantaneous occupancy —
+    max concurrency and when it is first reached. The [s, e) ordering
+    convention (−1 sorts before +1 at equal t) is pinned by the
+    window's delta tiebreak, so both engines agree exactly. One
+    event-type-keyed exchange for the window plus a 5-row broadcast
+    peak join-back: the fact table is shuffled once, everything after
+    is dimension-scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s_ms = F.unix_millis("ts")
+    iv = ev.select(
+        "event_id",
+        "event_type",
+        s_ms.alias("s_ms"),
+        (
+            s_ms
+            + F.floor(F.col("value") * 1000.0 + 0.5).cast("long")
+        ).alias("e_ms"),
+    )
+    sweep = iv.select(
+        "event_type",
+        F.col("s_ms").alias("t"),
+        F.lit(1).alias("delta"),
+        "event_id",
+    ).unionByName(
+        iv.select(
+            "event_type",
+            F.col("e_ms").alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = sweep.select(
+        "event_type", "t", F.sum("delta").over(w).cast("long").alias("conc")
+    )
+    mx = run.groupBy("event_type").agg(F.max("conc").alias("peak"))
+    mx = mx.select(F.col("event_type").alias("mx_type"), "peak")
+    return (
+        run.join(
+            F.broadcast(mx),
+            (F.col("event_type") == F.col("mx_type"))
+            & (F.col("conc") == F.col("peak")),
+        )
+        .groupBy("event_type", "peak")
+        .agg(F.min("t").alias("first_peak_ms"))
+        .select(
+            "event_type",
+            F.col("peak").alias("peak_concurrency"),
+            "first_peak_ms",
+        )
+    )
