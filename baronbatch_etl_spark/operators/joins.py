@@ -212,3 +212,82 @@ def scd2_intervals(
         F.row_number().over(w).alias("version"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def interval_overlap_join(
+    intervals: DataFrame,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    key: str | None = None,
+    bucket_ms: int = 600_000,
+) -> DataFrame:
+    """Self-join of half-open intervals on true overlap
+    (``s_a < e_b AND s_b < e_a``) → one row per unordered pair
+    ``(<key>, a_id, b_id, overlap_ms)`` with ``a_id < b_id`` — the
+    time-range join a cross join cannot survive at scale.
+
+    Banded: every interval explodes to the time buckets it touches
+    (``F.sequence`` — any interval length, ⌈len/bucket⌉+1 rows), the
+    pair join is an equi-join on (key, bucket), and each true pair is
+    claimed EXACTLY once by the bucket containing its overlap start
+    (``floor(greatest(s_a, s_b) / bucket)`` — a point both intervals
+    cover, so both sides carry that bucket row; lossless for any
+    bucket width, hypothesis-tested against brute force). Shuffle
+    volume is interval rows × small fan-out, never the quadratic
+    pair space; residual predicates run post-join on bucket-local
+    candidates.
+    """
+    keys = [key] if key else []
+    base = intervals.select(
+        *keys,
+        F.col(id_col).alias("_id"),
+        F.col(start_col).cast("long").alias("_s"),
+        F.col(end_col).cast("long").alias("_e"),
+    ).withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_s") / F.lit(bucket_ms)).cast("long"),
+                F.floor(F.col("_e") / F.lit(bucket_ms)).cast("long"),
+            )
+        ),
+    )
+    a = base.select(
+        *keys,
+        "_bucket",
+        F.col("_id").alias("a_id"),
+        F.col("_s").alias("a_s"),
+        F.col("_e").alias("a_e"),
+    )
+    b = base.select(
+        *([F.col(k).alias(f"_b_{k}") for k in keys]),
+        F.col("_bucket").alias("_b_bucket"),
+        F.col("_id").alias("b_id"),
+        F.col("_s").alias("b_s"),
+        F.col("_e").alias("b_e"),
+    )
+    cond = (F.col("_bucket") == F.col("_b_bucket")) & (
+        F.col("a_id") < F.col("b_id")
+    )
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"_b_{k}"))
+    own = F.floor(
+        F.greatest("a_s", "b_s") / F.lit(bucket_ms)
+    ).cast("long")
+    return (
+        a.join(b, cond)
+        .filter(
+            (F.col("a_s") < F.col("b_e"))
+            & (F.col("b_s") < F.col("a_e"))
+            & (F.col("_bucket") == own)
+        )
+        .select(
+            *keys,
+            "a_id",
+            "b_id",
+            (
+                F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
+            ).alias("overlap_ms"),
+        )
+    )

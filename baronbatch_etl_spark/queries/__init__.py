@@ -159,6 +159,7 @@ _PRIORITY: tuple[str, ...] = (
     "g_hits",
     "s_pq_recall",
     "w_peak_concurrency",
+    "j_interval_overlap",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from baronbatch_etl_spark.io import load_table
+from baronbatch_etl_spark.operators import joins as J
 from baronbatch_etl_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -845,4 +846,54 @@ def w_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("peak").alias("peak_concurrency"),
             "first_peak_ms",
         )
+    )
+
+
+@register(
+    "j_interval_overlap",
+    oracle="""
+WITH iv AS (
+    SELECT event_id, event_type,
+           epoch_ms(CAST(ts AS TIMESTAMP)) AS s_ms,
+           epoch_ms(CAST(ts AS TIMESTAMP))
+             + CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS e_ms
+    FROM events
+)
+SELECT a.event_type,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(max(least(a.e_ms, b.e_ms) - greatest(a.s_ms, b.s_ms))
+            AS BIGINT) AS max_overlap_ms
+FROM iv a JOIN iv b
+  ON a.event_type = b.event_type AND a.event_id < b.event_id
+ AND a.s_ms < b.e_ms AND b.s_ms < a.e_ms
+GROUP BY a.event_type
+""",
+    tags=("join", "interval", "sweepline"),
+)
+def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join per event type: which same-type
+    holds (each event occupies [ts, ts + value·1s)) ran concurrently,
+    rolled up to pair count + longest overlap. Spark runs the BANDED
+    plan (`operators/joins.py::interval_overlap_join` — bucket
+    explode, (type, bucket) equi-join, exactly-once ownership by the
+    overlap-start bucket, hypothesis-tested lossless); the oracle is
+    the independent brute-force quadratic join, so the hash check
+    proves the banding loses and invents nothing.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s_ms = F.unix_millis("ts")
+    iv = ev.select(
+        "event_id",
+        "event_type",
+        s_ms.alias("s_ms"),
+        (
+            s_ms + F.floor(F.col("value") * 1000.0 + 0.5).cast("long")
+        ).alias("e_ms"),
+    )
+    pairs = J.interval_overlap_join(
+        iv, "event_id", "s_ms", "e_ms", key="event_type"
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.max("overlap_ms").alias("max_overlap_ms"),
     )

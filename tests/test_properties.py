@@ -730,3 +730,39 @@ def test_pagerank_matches_dense_reference_random(spark, pairs):
     assert set(got) == set(nodes)
     for v in nodes:
         assert abs(got[v] - ranks[v]) < 1e-7
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-5000, max_value=5000),  # start
+            st.integers(min_value=0, max_value=4000),  # length
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.sampled_from([700, 1000, 2500, 6000]),  # bucket width
+)
+def test_interval_overlap_join_matches_bruteforce(spark, ivs, bucket):
+    # banding + exactly-once ownership must reproduce the quadratic
+    # overlap pair set for any lengths (incl. zero-length and spans
+    # crossing many buckets) and any bucket width; negative starts
+    # exercise floor-division banding
+    from baronbatch_etl_spark.operators.joins import interval_overlap_join
+
+    rows = [(i, s, s + ln) for i, (s, ln) in enumerate(ivs)]
+    df = spark.createDataFrame(rows, "iid long, s long, e long")
+    got = sorted(
+        (r.a_id, r.b_id, r.overlap_ms)
+        for r in interval_overlap_join(
+            df, "iid", "s", "e", bucket_ms=bucket
+        ).collect()
+    )
+    want = sorted(
+        (i, j, min(e1, e2) - max(s1, s2))
+        for i, s1, e1 in rows
+        for j, s2, e2 in rows
+        if i < j and s1 < e2 and s2 < e1
+    )
+    assert got == want
