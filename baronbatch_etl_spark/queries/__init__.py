@@ -160,6 +160,7 @@ _PRIORITY: tuple[str, ...] = (
     "s_pq_recall",
     "w_peak_concurrency",
     "j_interval_overlap",
+    "w_m4_downsample",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

@@ -897,3 +897,75 @@ def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.max("overlap_ms").alias("max_overlap_ms"),
     )
+
+
+@register(
+    "w_m4_downsample",
+    oracle="""
+WITH b AS (
+    SELECT user_id,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bkt,
+           ts, event_id, value
+    FROM events
+),
+r AS (
+    SELECT user_id, bkt, value,
+           row_number() OVER (PARTITION BY user_id, bkt
+                              ORDER BY ts, event_id) AS rf,
+           row_number() OVER (PARTITION BY user_id, bkt
+                              ORDER BY ts DESC, event_id DESC) AS rl
+    FROM b
+)
+SELECT user_id, epoch_ms(bkt) AS bucket_ms,
+       max(CASE WHEN rf = 1 THEN value END) AS first_v,
+       max(CASE WHEN rl = 1 THEN value END) AS last_v,
+       min(value) AS min_v,
+       max(value) AS max_v,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM r GROUP BY user_id, bkt
+""",
+    tags=("window", "timeseries", "downsample"),
+)
+def w_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per
+    (user, hour) bucket keep first/last/min/max — the four points
+    that make a line chart pixel-exact at any zoom, and the shape
+    every observability store serves instead of raw points. One
+    (user, bucket)-keyed exchange; the two row_number passes share
+    it (same partition keys), and min/max/count fold map-side. No
+    summed floats anywhere, so engine agreement is trivial.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("bkt"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wf = Window.partitionBy("user_id", "bkt").orderBy("ts", "event_id")
+    wl = Window.partitionBy("user_id", "bkt").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = b.select(
+        "user_id",
+        "bkt",
+        "value",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    return r.groupBy("user_id", "bkt").agg(
+        F.max(F.when(F.col("rf") == 1, F.col("value"))).alias("first_v"),
+        F.max(F.when(F.col("rl") == 1, F.col("value"))).alias("last_v"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        F.count("*").alias("n_points"),
+    ).select(
+        "user_id",
+        F.unix_millis("bkt").alias("bucket_ms"),
+        "first_v",
+        "last_v",
+        "min_v",
+        "max_v",
+        "n_points",
+    )
