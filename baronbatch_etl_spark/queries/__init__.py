@@ -161,6 +161,7 @@ _PRIORITY: tuple[str, ...] = (
     "w_peak_concurrency",
     "j_interval_overlap",
     "w_m4_downsample",
+    "w_attribution",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

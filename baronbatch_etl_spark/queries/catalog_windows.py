@@ -969,3 +969,68 @@ def w_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_v",
         "n_points",
     )
+
+
+@register(
+    "w_attribution",
+    oracle="""
+WITH tl AS (
+    SELECT user_id, ts, event_id, event_type, value,
+           last_value(CASE WHEN event_type <> 'purchase'
+                           THEN event_type END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS attributed
+    FROM events
+)
+SELECT coalesce(attributed, 'none') AS attributed_type,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+           AS converted_value
+FROM tl WHERE event_type = 'purchase'
+GROUP BY coalesce(attributed, 'none')
+""",
+    tags=("window", "analytics", "attribution"),
+)
+def w_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: every purchase is credited
+    to the user's most recent preceding non-purchase event (an
+    IGNORE-NULLS last_value over the per-user timeline — the carry-
+    forward shape), rolled up to conversions and decimal-exact value
+    per attributed touchpoint. One user-keyed exchange; everything
+    after the window is touchpoint-cardinality scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tl = ev.select(
+        "event_type",
+        "value",
+        F.last(
+            F.when(
+                F.col("event_type") != "purchase", F.col("event_type")
+            ),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("attributed"),
+    )
+    return (
+        tl.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(F.col("attributed"), F.lit("none")).alias(
+                "attributed_type"
+            ),
+            "value",
+        )
+        .groupBy("attributed_type")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("converted_value"),
+        )
+    )
