@@ -162,6 +162,7 @@ _PRIORITY: tuple[str, ...] = (
     "j_interval_overlap",
     "w_m4_downsample",
     "w_attribution",
+    "a_value_histogram",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

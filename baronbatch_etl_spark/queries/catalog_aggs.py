@@ -403,3 +403,45 @@ def a_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("_approx") <= F.col("hi"))
         ).alias("approx_ok"),
     )
+
+
+@register(
+    "a_value_histogram",
+    oracle="""
+WITH p AS (
+    SELECT least(CAST(floor(o_totalprice / 25000.0) AS BIGINT), 19)
+             AS bucket
+    FROM orders
+)
+SELECT bucket,
+       bucket * 25000.0 AS lo,
+       (bucket + 1) * 25000.0 AS hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY bucket
+""",
+    tags=("agg", "histogram", "profiling"),
+)
+def a_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (20 × 25k buckets, tail
+    clamped into the last) — the profiling shape behind every numeric
+    distribution chart. Bucketing is a row-local floor division, the
+    single exchange carries ≤ 20 groups after map-side partial
+    counts, and bounds are exact double multiples — nothing summed,
+    so engines agree trivially. Pairs with `a_approx_quantiles` (GK)
+    for the quantile view of the same distribution.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 25000.0).cast("long"), F.lit(19)
+    )
+    return (
+        orders.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 25000.0).alias("lo"),
+            ((F.col("bucket") + 1) * 25000.0).alias("hi"),
+            "n",
+        )
+    )
