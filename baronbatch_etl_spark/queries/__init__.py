@@ -163,6 +163,7 @@ _PRIORITY: tuple[str, ...] = (
     "w_m4_downsample",
     "w_attribution",
     "a_value_histogram",
+    "a_gini_concentration",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

@@ -8,7 +8,7 @@ so hashing is stable; ratios divide exact values.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from baronbatch_etl_spark.functions.scalars import (
@@ -444,4 +444,79 @@ def a_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("bucket") + 1) * 25000.0).alias("hi"),
             "n",
         )
+    )
+
+
+@register(
+    "a_gini_concentration",
+    oracle="""
+WITH cust AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                AS DECIMAL(38,0)) AS cents
+    FROM orders GROUP BY o_custkey
+),
+rk AS (
+    SELECT cents,
+           CAST(row_number() OVER (ORDER BY cents, o_custkey)
+                AS BIGINT) AS i
+    FROM cust
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(i * cents) AS DECIMAL(38,0)) AS s1,
+           CAST(sum(cents) AS DECIMAL(38,0)) AS tot
+    FROM rk
+)
+SELECT n,
+       CAST(CAST(2 * s1 - (n + 1) * tot AS DECIMAL(38,0)) AS DOUBLE)
+         / CAST(CAST(n AS DECIMAL(38,0)) * tot AS DOUBLE) AS gini
+FROM s
+""",
+    tags=("agg", "analytics", "concentration"),
+)
+def a_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the revenue-concentration
+    gauge (0 = everyone spends alike, →1 = one whale). Exact order
+    statistics: per-customer spend in integer cents (DECIMAL-exact),
+    ranked ascending with a key tiebreak, and the closed form
+    ``(2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)`` computed entirely in
+    DECIMAL(38,0) integers with ONE final IEEE division — engines
+    agree bit-for-bit, and DECIMAL(38,0) holds Σ i·xᵢ far past the
+    BIGINT overflow point (~sf1 customer counts). One fact exchange
+    to the customer grain; the rank window runs over the dimension.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("decimal(38,0)")
+        .alias("cents")
+    )
+    rk = cust.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "o_custkey"))
+        .cast("long")
+        .alias("i"),
+    )
+    s = rk.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("i") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+        F.sum("cents").cast("decimal(38,0)").alias("tot"),
+    )
+    return s.select(
+        "n",
+        (
+            (
+                F.lit(2) * F.col("s1")
+                - (F.col("n") + 1) * F.col("tot")
+            )
+            .cast("decimal(38,0)")
+            .cast("double")
+            / (F.col("n").cast("decimal(38,0)") * F.col("tot")).cast(
+                "double"
+            )
+        ).alias("gini"),
     )
