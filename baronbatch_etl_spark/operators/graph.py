@@ -105,6 +105,8 @@ def pagerank(
     # round free of the one-row normaliser subtree a cross-joined
     # count frame would replay per iteration.
     n = weighted.select(F.count_distinct("src")).first()[0]
+    if n == 0:
+        raise ValueError("pagerank requires a non-empty edge list")
     teleport = (1.0 - damping) / n
     ranks: DataFrame | None = None
     for i in range(iters):

@@ -222,8 +222,11 @@ def interval_overlap_join(
     key: str | None = None,
     bucket_ms: int = 600_000,
 ) -> DataFrame:
-    """Self-join of half-open intervals on true overlap
-    (``s_a < e_b AND s_b < e_a``) → one row per unordered pair
+    """Self-join of half-open intervals on true overlap — NON-EMPTY
+    intersection, ``greatest(s_a, s_b) < least(e_a, e_b)`` (the
+    textbook ``s_a < e_b AND s_b < e_a`` form wrongly admits
+    zero-length intervals sitting inside another) → one row per
+    unordered pair
     ``(<key>, a_id, b_id, overlap_ms)`` with ``a_id < b_id`` — the
     time-range join a cross join cannot survive at scale.
 
@@ -278,8 +281,9 @@ def interval_overlap_join(
     return (
         a.join(b, cond)
         .filter(
-            (F.col("a_s") < F.col("b_e"))
-            & (F.col("b_s") < F.col("a_e"))
+            (
+                F.greatest("a_s", "b_s") < F.least("a_e", "b_e")
+            )
             & (F.col("_bucket") == own)
         )
         .select(

@@ -865,7 +865,7 @@ SELECT a.event_type,
             AS BIGINT) AS max_overlap_ms
 FROM iv a JOIN iv b
   ON a.event_type = b.event_type AND a.event_id < b.event_id
- AND a.s_ms < b.e_ms AND b.s_ms < a.e_ms
+ AND greatest(a.s_ms, b.s_ms) < least(a.e_ms, b.e_ms)
 GROUP BY a.event_type
 """,
     tags=("join", "interval", "sweepline"),

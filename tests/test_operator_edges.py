@@ -242,3 +242,50 @@ def test_scd2_single_shuffle_plan(spark):
     ).executedPlan().toString()
     # one key-keyed Exchange reused by lag, lead and row_number
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pagerank_empty_edges_raises(spark):
+    from baronbatch_etl_spark.operators import graph as G
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="non-empty"):
+        G.pagerank(empty)
+
+
+def test_hits_empty_pairs_returns_empty(spark):
+    from baronbatch_etl_spark.operators import graph as G
+
+    empty = spark.createDataFrame([], "c long, s long")
+    auth, hub = G.hits(empty, iters=2)
+    assert auth.count() == 0 and hub.count() == 0
+
+
+def test_interval_overlap_empty_and_singleton(spark):
+    from baronbatch_etl_spark.operators.joins import interval_overlap_join
+
+    empty = spark.createDataFrame([], "iid long, s long, e long")
+    assert interval_overlap_join(empty, "iid", "s", "e").count() == 0
+    one = spark.createDataFrame([(1, 0, 100)], "iid long, s long, e long")
+    assert interval_overlap_join(one, "iid", "s", "e").count() == 0
+
+
+def test_interval_overlap_zero_length_interval_never_overlaps(spark):
+    # [5, 5) is empty under half-open semantics — no pair with anything
+    from baronbatch_etl_spark.operators.joins import interval_overlap_join
+
+    df = spark.createDataFrame(
+        [(1, 5, 5), (2, 0, 10)], "iid long, s long, e long"
+    )
+    assert interval_overlap_join(df, "iid", "s", "e").count() == 0
+
+
+def test_pq_adc_cell_filter_missing_column_errors(spark):
+    from baronbatch_etl_spark.operators import similarity as S
+    from pyspark.sql import Row
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 0.0, 0.0, 1.0], label=0)
+         for i in range(6)]
+    )
+    with pytest.raises(Exception):
+        S.pq_adc_topk(emb, 0, cell_col="no_such_col")

@@ -763,6 +763,6 @@ def test_interval_overlap_join_matches_bruteforce(spark, ivs, bucket):
         (i, j, min(e1, e2) - max(s1, s2))
         for i, s1, e1 in rows
         for j, s2, e2 in rows
-        if i < j and s1 < e2 and s2 < e1
+        if i < j and max(s1, s2) < min(e1, e2)
     )
     assert got == want
