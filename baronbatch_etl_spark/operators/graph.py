@@ -65,7 +65,10 @@ def undirected_edges(
 
 
 def pagerank(
-    edges: DataFrame, iters: int = 3, damping: float = 0.85
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a ``(src, dst)`` edge list →
     ``(node, rank)``.
@@ -78,6 +81,13 @@ def pagerank(
     dangling nodes total mass stays 1 (modulo 1e-9 quantisation),
     which the property tests assert.
 
+    ``weight_col`` (an integer column on ``edges``) switches to the
+    weighted walk — the form real host link graphs use, where an edge
+    carries its link count: contribution becomes
+    ``rank · w / Σ_out w`` (written exactly that way, product before
+    division, so the oracle matches bit-for-bit). ``None`` keeps the
+    unweighted ``rank / deg`` arithmetic unchanged.
+
     Determinism contract: per-edge contributions are quantised to
     BIGINT fixed-point before the ``dst`` aggregation, and the
     teleport term is written ``(1.0 - damping)/N`` so an oracle
@@ -86,20 +96,29 @@ def pagerank(
     if iters < 1:
         raise ValueError("iters must be >= 1")
     # Stage the degree-weighted edge list ONCE: a single src hash
-    # partitioning, out-degree as a window count over the partition
-    # key (no join, no second shuffle), then an ephemeral
-    # localCheckpoint (the operators/dedup.py pattern — LogicalRDD
-    # keeps the partitioning). Every round then joins the small rank
-    # frame onto the stationary edge partitions — the 100 TB shape:
-    # one partitioned materialize, after which each iteration moves
-    # ranks (≈ node count) instead of edges.
+    # partitioning, out-degree (or total out-weight) as a window
+    # aggregate over the partition key (no join, no second shuffle),
+    # then an ephemeral localCheckpoint (the operators/dedup.py
+    # pattern — LogicalRDD keeps the partitioning). Every round then
+    # joins the small rank frame onto the stationary edge partitions
+    # — the 100 TB shape: one partitioned materialize, after which
+    # each iteration moves ranks (≈ node count) instead of edges.
+    w_src = Window.partitionBy("src")
+    if weight_col is None:
+        out_share = F.count("*").over(w_src)
+    else:
+        out_share = F.sum(weight_col).over(w_src)
     weighted = (
         edges.repartition("src")
-        .withColumn(
-            "deg", F.count("*").over(Window.partitionBy("src"))
-        )
+        .withColumn("deg", out_share)
         .localCheckpoint()
     )
+
+    def contrib(rank_expr):
+        if weight_col is None:
+            return _q(rank_expr / F.col("deg"))
+        return _q(rank_expr * F.col(weight_col) / F.col("deg"))
+
     # The ONLY driver state: the node count (one scalar, the k-means
     # precedent) — burning it into the plan as a literal keeps every
     # round free of the one-row normaliser subtree a cross-joined
@@ -111,16 +130,16 @@ def pagerank(
     ranks: DataFrame | None = None
     for i in range(iters):
         if i == 0:
-            # uniform start: rank/deg is a constant over each edge —
-            # round 1 is a pure map-side pass, no rank join at all
+            # uniform start: the per-edge share is a constant — round
+            # 1 is a pure map-side pass, no rank join at all
             contribs = weighted.select(
-                "dst", _q(F.lit(1.0 / n) / F.col("deg")).alias("contrib")
+                "dst", contrib(F.lit(1.0 / n)).alias("contrib")
             )
         else:
             contribs = weighted.join(
                 ranks.withColumnRenamed("node", "src"), "src"
             ).select(
-                "dst", _q(F.col("rank") / F.col("deg")).alias("contrib")
+                "dst", contrib(F.col("rank")).alias("contrib")
             )
         ranks = (
             contribs.groupBy("dst")

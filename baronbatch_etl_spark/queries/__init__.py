@@ -164,6 +164,7 @@ _PRIORITY: tuple[str, ...] = (
     "w_attribution",
     "a_value_histogram",
     "a_gini_concentration",
+    "g_pagerank_weighted",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

@@ -47,6 +47,28 @@ r{i} AS (
     return ",\n".join(parts)
 
 
+def _pr_iter_weighted_ctes(iters: int) -> str:
+    """Weighted-walk rounds: contribution ``rank · w / Σ_out w`` —
+    product before division, matching the operator's fold exactly."""
+    parts = []
+    for i in range(1, iters + 1):
+        parts.append(f"""c{i} AS (
+    SELECT w.dst,
+           sum(CAST(floor(r.rank * w.w / w.deg * 1000000000.0 + 0.5)
+                    AS BIGINT)) AS s
+    FROM w JOIN r{i - 1} r ON w.src = r.node
+    GROUP BY w.dst
+),
+r{i} AS (
+    SELECT c{i}.dst AS node,
+           (1.0::DOUBLE - {_PR_DAMP}::DOUBLE) / n.n_nodes
+             + {_PR_DAMP}::DOUBLE
+               * (CAST(c{i}.s AS DOUBLE) / 1000000000.0) AS rank
+    FROM c{i}, n
+)""")
+    return ",\n".join(parts)
+
+
 @register(
     "g_pagerank",
     oracle=f"""
@@ -195,3 +217,82 @@ def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     return top_a.unionByName(top_h)
+
+
+@register(
+    "g_pagerank_weighted",
+    oracle=f"""
+WITH pw AS (
+    SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b,
+           CAST(count(*) AS BIGINT) AS w
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_custkey, l_suppkey
+),
+edges AS (
+    SELECT a AS src, b AS dst, w FROM pw
+    UNION ALL
+    SELECT b AS src, a AS dst, w FROM pw
+),
+deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg
+        FROM edges GROUP BY src),
+n AS (SELECT count(*) AS n_nodes FROM deg),
+w AS (SELECT e.src, e.dst, e.w, d.deg
+      FROM edges e JOIN deg d USING (src)),
+r0 AS (
+    SELECT src AS node, 1.0::DOUBLE / n.n_nodes AS rank FROM deg, n
+),
+{_pr_iter_weighted_ctes(_PR_ITERS)}
+SELECT node,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         AS node_type,
+       rank
+FROM r{_PR_ITERS}
+ORDER BY rank DESC, node
+LIMIT 20
+""",
+    tags=("graph", "llm", "curation"),
+)
+def g_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the order graph: an edge carries its
+    order-line count, so a customer's mass flows proportionally to
+    how often they actually bought from each supplier — the form real
+    host link graphs use (edges carry link counts). Same staged-edge
+    iteration machinery as `g_pagerank`, contribution
+    ``rank · w / Σ_out w`` (operators/graph.py `weight_col`).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pw = (
+        orders.join(
+            lineitem,
+            orders["o_orderkey"] == lineitem["l_orderkey"],
+        )
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    fwd = pw.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    )
+    rev = pw.select(
+        F.col("b").alias("src"), F.col("a").alias("dst"), "w"
+    )
+    ranks = G.pagerank(
+        fwd.unionByName(rev),
+        iters=_PR_ITERS,
+        damping=_PR_DAMP,
+        weight_col="w",
+    )
+    return (
+        ranks.select(
+            "node",
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            "rank",
+        )
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )

@@ -112,3 +112,40 @@ def test_hits_scores_are_exact_integers(spark):
     assert dict(auth.dtypes)["score"] == "bigint"
     assert dict(hub.dtypes)["score"] == "bigint"
     assert all(r.score > 0 for r in auth.collect())
+
+
+def test_weighted_pagerank_unit_weights_match_unweighted(spark):
+    """weight_col of all-1s must be bit-identical to the unweighted
+    walk (rank·1/deg ≡ rank/deg in IEEE doubles)."""
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 0)]
+    edges = G.undirected_edges(_edges(spark, pairs), "src", "dst")
+    plain = {
+        r.node: r.rank for r in G.pagerank(edges, iters=3).collect()
+    }
+    unit = {
+        r.node: r.rank
+        for r in G.pagerank(
+            edges.withColumn("w", F.lit(1).cast("long")),
+            iters=3,
+            weight_col="w",
+        ).collect()
+    }
+    assert unit == plain
+
+
+def test_weighted_pagerank_heavy_edge_pulls_rank(spark):
+    """Star where one spoke carries 10x weight: that spoke must
+    outrank the others (mass flows ∝ weight), and mass stays 1."""
+    rows = [(0, i, 10 if i == 1 else 1) for i in range(1, 5)]
+    fwd = spark.createDataFrame(rows, "src long, dst long, w long")
+    rev = fwd.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+    )
+    ranks = {
+        r.node: r.rank
+        for r in G.pagerank(
+            fwd.unionByName(rev), iters=3, weight_col="w"
+        ).collect()
+    }
+    assert ranks[1] > max(ranks[i] for i in (2, 3, 4))
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
