@@ -34,6 +34,7 @@ CROSS_OK = {
     "s_srp_topk",
     "h_top_supplier",
     "s_ivf_recall",  # broadcast held-out query SET scores both rankings
+    "s_pq_recall",  # brute-force leg broadcasts the 1-row query vector
     # |sources|² pair grid: an inequality join over the broadcast
     # per-source sizes — sources are a catalog dimension (thousands at
     # most), the pair grid is the QUERY's own output granularity
