@@ -156,6 +156,90 @@ def pagerank(
     return ranks
 
 
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Exact triangle census of an undirected graph → one row
+    ``(n_nodes, n_edges, n_wedges, n_triangles)``.
+
+    ``edges`` is a distinct canonical edge list ``(a, b)`` with
+    ``a < b`` and no self-loops (the caller's contract). Triangle
+    density (via the global clustering coefficient ``3·T / wedges``)
+    is the standard cohesion probe for interaction graphs — spam/SEO
+    link farms score near zero while organic communities close their
+    wedges — so corpus-curation link graphs use it as a quality
+    signal next to PageRank.
+
+    Scale shape (the 100 TB plan): the naive wedge join keyed by raw
+    node id explodes on hubs — a degree-d node yields d² candidate
+    rows in ONE task. This uses the **degree orientation** instead
+    (Chiba–Nishizeki / "node-iterator++"): direct every edge from its
+    lower-(degree, id) endpoint to the higher one, which caps the
+    oriented out-degree at O(√m) for ANY degree distribution, so the
+    wedge self-join fan-out per node is bounded and the heaviest hub
+    costs O(m) total across tasks, not O(d²) in one. Three shuffles
+    total: degree count, wedge self-join by oriented src, and the
+    closing edge hash-join. Every count is an exact BIGINT — no
+    floating point anywhere, bit-deterministic by associativity.
+    """
+    # Stage the canonical edge list ONCE: degree counting, the
+    # orientation joins, the closing-edge probe and the edge count
+    # all fan out from it — without this the (possibly expensive)
+    # upstream edge derivation replays once per consumer.
+    edges = edges.select("a", "b").localCheckpoint()
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    # Orient by (degree, id) — explicit lexicographic compare rather
+    # than packing into one key, so arbitrary 63-bit node ids never
+    # overflow. The same compare orders the wedge join's endpoints.
+    ea = edges.join(deg.withColumnRenamed("node", "a"), "a").withColumnRenamed(
+        "d", "da"
+    )
+    eab = ea.join(deg.withColumnRenamed("node", "b"), "b").withColumnRenamed(
+        "d", "db"
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = eab.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    ).localCheckpoint()
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    # Wedge (src → d1, src → d2) ordered by the SAME (deg, id) key the
+    # orientation used, so the closing edge — if present — is oriented
+    # d1 → d2 and one equi-join probe finds it.
+    wedges_df = o1.join(o2, on="src").where(
+        (F.col("o1.ddst") < F.col("o2.ddst"))
+        | (
+            (F.col("o1.ddst") == F.col("o2.ddst"))
+            & (F.col("o1.dst") < F.col("o2.dst"))
+        )
+    )
+    closing = oriented.select(
+        F.col("src").alias("d1"), F.col("dst").alias("d2")
+    )
+    tri = wedges_df.select(
+        F.col("o1.dst").alias("d1"), F.col("o2.dst").alias("d2")
+    ).join(closing, ["d1", "d2"])
+    n_tri = tri.agg(F.count("*").cast("long").alias("n_triangles"))
+    # n_edges = Σdeg / 2 (handshake lemma): the degree frame already
+    # carries it, so no separate edge-count pass is needed.
+    stats = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    return stats.crossJoin(n_tri).select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles"
+    )
+
+
 def hits(pairs: DataFrame, iters: int = 2) -> tuple[DataFrame, DataFrame]:
     """HITS hubs & authorities over a bipartite ``(c, s)`` pair frame
     → ``(authorities (s, score), hubs (c, score))``.

@@ -165,6 +165,11 @@ _PRIORITY: tuple[str, ...] = (
     "a_value_histogram",
     "a_gini_concentration",
     "g_pagerank_weighted",
+    "g_triangle_count",
+    "a_basket_pairs",
+    "h_market_share",
+    "w_anomaly_zscore",
+    "w_streak_islands",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

@@ -520,3 +520,92 @@ def a_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gini"),
     )
+
+
+@register(
+    "a_basket_pairs",
+    oracle="""
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM lineitem),
+pc AS (
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS part_orders
+    FROM op GROUP BY l_partkey
+),
+pairs AS (
+    SELECT o1.l_partkey AS part_a, o2.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS pair_orders
+    FROM op o1 JOIN op o2
+      ON o1.l_orderkey = o2.l_orderkey
+     AND o1.l_partkey < o2.l_partkey
+    GROUP BY o1.l_partkey, o2.l_partkey
+)
+SELECT part_a, part_b, pair_orders,
+       CAST(pair_orders * n_orders AS DOUBLE)
+         / CAST(pa.part_orders * pb.part_orders AS DOUBLE) AS lift
+FROM pairs
+JOIN pc pa ON pa.l_partkey = part_a
+JOIN pc pb ON pb.l_partkey = part_b
+CROSS JOIN tot
+ORDER BY pair_orders DESC, part_a, part_b
+LIMIT 20
+""",
+    tags=("agg", "analytics", "basket"),
+)
+def a_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: the 20 part pairs most often bought in
+    the same order, with their lift (observed co-rate over the
+    independence expectation). The canonical co-occurrence shape —
+    also how word co-occurrence / PMI tables are built for corpus
+    analysis. Scale plan: pair generation self-joins the DISTINCT
+    (order, part) projection ON THE ORDER KEY, so fan-out per order
+    is bounded by basket size (never a global cross), one partial-agg
+    shuffle collapses pairs, and the per-part marginals join back
+    onto the 20-row top-k — lift math in exact BIGINTs with one IEEE
+    division (``pair·N / (cnt_a·cnt_b)``), identical on both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = (
+        li.select("l_orderkey").distinct().count()
+    )  # one scalar: burned into the lift literal like the PageRank N
+    pc = op.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("part_orders")
+    )
+    o1, o2 = op.alias("o1"), op.alias("o2")
+    pairs = (
+        o1.join(
+            o2,
+            (F.col("o1.l_orderkey") == F.col("o2.l_orderkey"))
+            & (F.col("o1.l_partkey") < F.col("o2.l_partkey")),
+        )
+        .groupBy(
+            F.col("o1.l_partkey").alias("part_a"),
+            F.col("o2.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("long").alias("pair_orders"))
+        .orderBy(F.col("pair_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+    pa = pc.withColumnRenamed("l_partkey", "part_a").withColumnRenamed(
+        "part_orders", "orders_a"
+    )
+    pb = pc.withColumnRenamed("l_partkey", "part_b").withColumnRenamed(
+        "part_orders", "orders_b"
+    )
+    return (
+        pairs.join(pa, "part_a")
+        .join(pb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "pair_orders",
+            (
+                (F.col("pair_orders") * F.lit(n_orders)).cast("double")
+                / (F.col("orders_a") * F.col("orders_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("pair_orders").desc(), "part_a", "part_b")
+    )

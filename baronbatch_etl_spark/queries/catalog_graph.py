@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from baronbatch_etl_spark.functions.scalars import round_half_up
 from baronbatch_etl_spark.io import load_table
 from baronbatch_etl_spark.operators import graph as G
 from baronbatch_etl_spark.queries import register
@@ -138,6 +139,89 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rank").desc(), "node")
         .limit(20)
+    )
+
+
+@register(
+    "g_triangle_count",
+    oracle="""
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+    SELECT o1.l_partkey AS a, o2.l_partkey AS b
+    FROM op o1 JOIN op o2
+      ON o1.l_orderkey = o2.l_orderkey
+     AND o1.l_partkey < o2.l_partkey
+    GROUP BY o1.l_partkey, o2.l_partkey
+    HAVING count(*) >= 2
+),
+deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS d
+    FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+    GROUP BY node
+),
+tri AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nd AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+    FROM deg
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       floor((3.0::DOUBLE * n_triangles / n_wedges) * 1000000.0 + 0.5)
+         / 1000000.0 AS global_clustering
+FROM nd, m, tri
+""",
+    tags=("graph", "analytics", "llm"),
+)
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the frequent co-purchase graph (an edge
+    between two parts bought together in ≥2 orders): node/edge/
+    wedge/triangle counts plus the global clustering coefficient —
+    the wedge-closure cohesion signal link-graph curation pairs with
+    PageRank (organic communities close wedges; spam farms don't).
+    The ≥2-support gate is what keeps the graph sparse at any scale
+    — the raw co-occurrence graph densifies toward complete (every
+    popular pair collides eventually) while frequent pairs stay
+    rare; the same reason FP-growth prunes by support first. The
+    operator runs the degree-oriented wedge join
+    (`operators/graph.py::triangle_stats`) whose per-node fan-out is
+    O(√m) regardless of skew; the oracle counts the same triangles
+    with the id-ordered triple join — algorithm-independent totals,
+    so the two must agree exactly.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    o1, o2 = op.alias("o1"), op.alias("o2")
+    pairs = (
+        o1.join(
+            o2,
+            (F.col("o1.l_orderkey") == F.col("o2.l_orderkey"))
+            & (F.col("o1.l_partkey") < F.col("o2.l_partkey")),
+        )
+        .groupBy(
+            F.col("o1.l_partkey").alias("a"),
+            F.col("o2.l_partkey").alias("b"),
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("a", "b")
+    )
+    stats = G.triangle_stats(pairs)
+    return stats.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        round_half_up(
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+        ).alias("global_clustering"),
     )
 
 

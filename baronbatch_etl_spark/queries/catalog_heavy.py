@@ -1289,3 +1289,108 @@ def h_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@register(
+    "h_market_share",
+    oracle=f"""
+WITH vol AS (
+    SELECT year(o.o_orderdate) AS o_year,
+           CAST({_SQL_REV.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')} AS DECIMAL(18,4)) AS volume,
+           ns.n_name AS supp_nation
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    JOIN region r   ON nc.n_regionkey = r.r_regionkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    WHERE r.r_name = 'AMERICA'
+      AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+)
+SELECT o_year,
+       floor((CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                            THEN volume ELSE CAST(0 AS DECIMAL(18,4))
+                       END) AS DOUBLE)
+              / CAST(sum(volume) AS DOUBLE)) * 1000000.0 + 0.5)
+         / 1000000.0 AS mkt_share
+FROM vol
+GROUP BY o_year
+ORDER BY o_year
+""",
+    tags=("heavy", "join"),
+)
+def h_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — the 8-way star join
+    with TWO nation legs (customer region gate, supplier nation
+    label) and a conditional-share aggregate. True dimension legs
+    (part-type survivors, supplier, customer, nation, region)
+    broadcast; orders is fact-sized even after the two-year gate, so
+    the lineitem↔orders leg stays a keyed shuffle join. Share
+    math follows the money discipline: numerator and denominator are
+    exact DECIMAL sums (order-independent), ONE IEEE division at the
+    end, rounded half-up to 6 places on both engines.
+    """
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount",
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"),
+        F.col("n_regionkey").alias("nc_region"),
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), c.c_nationkey == F.col("nc_key"))
+        .join(F.broadcast(r), F.col("nc_region") == r.r_regionkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("ns_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _rev().cast("decimal(18,4)").alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            round_half_up(
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_5",
+                        F.col("volume"),
+                    ).otherwise(zero)
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )

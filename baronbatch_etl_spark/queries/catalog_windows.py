@@ -1034,3 +1034,178 @@ def w_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("converted_value"),
         )
     )
+
+
+@register(
+    "w_anomaly_zscore",
+    oracle="""
+WITH hourly AS (
+    SELECT event_type,
+           date_trunc('hour', ts) AS hour,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+),
+roll AS (
+    SELECT event_type, hour, n,
+           CAST(count(*) OVER w AS BIGINT) AS k,
+           CAST(sum(n) OVER w AS BIGINT) AS s1,
+           CAST(sum(n * n) OVER w AS BIGINT) AS s2
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+    SELECT event_type, hour, n, k,
+           (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / k)
+             / sqrt((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * s1 / k) / (k - 1))
+             AS zscore
+    FROM roll
+    WHERE k >= 12
+      AND s2 * k > s1 * s1
+),
+rounded AS (
+    SELECT event_type, hour, n,
+           floor(zscore * 1000000.0 + 0.5) / 1000000.0 AS zscore
+    FROM z
+)
+SELECT event_type, hour, n, zscore
+FROM rounded
+ORDER BY abs(zscore) DESC, event_type, hour
+LIMIT 20
+""",
+    tags=("window", "analytics", "anomaly"),
+)
+def w_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: the 20 most aberrant
+    (event_type, hour) traffic counts, scored against the TRAILING
+    24-hour window (current row excluded, ≥12 observed hours, zero
+    variance gated out). The streaming-ops monitoring shape — ingest
+    volume spikes/drops per source — run batch. Determinism: the
+    rolling moments are exact BIGINT window sums (count/Σn/Σn²);
+    mean and sample variance derive from them with the IDENTICAL
+    double expression on both engines, one sqrt, one division —
+    no accumulation-order dependence anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    roll = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.count("*").over(w).cast("long").alias("k"),
+        F.sum("n").over(w).cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).cast("long").alias("s2"),
+    )
+    z = roll.filter(
+        (F.col("k") >= 12)
+        & (F.col("s2") * F.col("k") > F.col("s1") * F.col("s1"))
+    ).select(
+        "event_type",
+        "hour",
+        "n",
+        (
+            (F.col("n").cast("double") - F.col("s1").cast("double") / F.col("k"))
+            / F.sqrt(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double") * F.col("s1") / F.col("k")
+                )
+                / (F.col("k") - 1)
+            )
+        ).alias("zscore"),
+    )
+    return (
+        z.select(
+            "event_type",
+            "hour",
+            "n",
+            (
+                F.floor(F.col("zscore") * 1000000.0 + F.lit(0.5))
+                / F.lit(1000000.0)
+            ).alias("zscore"),
+        )
+        .orderBy(F.abs("zscore").desc(), "event_type", "hour")
+        .limit(20)
+    )
+
+
+@register(
+    "w_streak_islands",
+    oracle="""
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+grp AS (
+    SELECT user_id, day,
+           day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER)
+             AS island
+    FROM days
+),
+streaks AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS streak_days,
+           min(day) AS streak_start
+    FROM grp GROUP BY user_id, island
+),
+best AS (
+    SELECT user_id, streak_days, streak_start,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY streak_days DESC, streak_start)
+             AS rn
+    FROM streaks
+)
+SELECT user_id, streak_days, streak_start
+FROM best WHERE rn = 1
+ORDER BY streak_days DESC, user_id
+LIMIT 20
+""",
+    tags=("window", "analytics", "islands"),
+)
+def w_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive
+    active days (top-20 streaks). The classic islands trick — day
+    minus its per-user row_number is constant exactly along an
+    unbroken run — turns streak detection into a plain groupBy:
+    no self-join, no iterative logic, two keyed window passes and
+    one aggregate, all integer/date arithmetic (bit-deterministic).
+    Scale: everything is partitioned by user_id; no global ordering
+    until the final 20-row top-k (TakeOrderedAndProject).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w_rn = Window.partitionBy("user_id").orderBy("day")
+    grp = days.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w_rn)).alias("island"),
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count("*").cast("long").alias("streak_days"),
+        F.min("day").alias("streak_start"),
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), "streak_start"
+    )
+    return (
+        streaks.select(
+            "user_id",
+            "streak_days",
+            "streak_start",
+            F.row_number().over(w_best).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy(F.col("streak_days").desc(), "user_id")
+        .limit(20)
+    )

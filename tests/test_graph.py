@@ -149,3 +149,64 @@ def test_weighted_pagerank_heavy_edge_pulls_rank(spark):
     }
     assert ranks[1] > max(ranks[i] for i in (2, 3, 4))
     assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+
+def _canon(spark, pairs):
+    return spark.createDataFrame(pairs, "a long, b long")
+
+
+def test_triangle_stats_k4(spark):
+    """K4 analytically: 4 nodes of degree 3 → 6 edges, 12 wedges,
+    4 triangles (clustering exactly 1)."""
+    k4 = _canon(
+        spark, [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    )
+    row = G.triangle_stats(k4).first()
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        4, 6, 12, 4,
+    )
+
+
+def test_triangle_stats_path_has_none(spark):
+    """A path graph is triangle-free but full of wedges."""
+    path = _canon(spark, [(i, i + 1) for i in range(6)])
+    row = G.triangle_stats(path).first()
+    assert row.n_triangles == 0
+    assert row.n_wedges == 5  # every interior node closes one wedge
+
+
+def test_triangle_stats_star_hub(spark):
+    """A star: the hub's quadratic wedge count must be counted but
+    close zero triangles — the degree orientation points every edge
+    AT the hub, so the wedge join never fans out from it."""
+    star = _canon(spark, [(0, i) for i in range(1, 12)])
+    row = G.triangle_stats(star).first()
+    assert row.n_triangles == 0
+    assert row.n_wedges == 55  # C(11, 2) at the hub
+
+
+def test_triangle_stats_matches_bruteforce(spark):
+    """Differential vs an itertools triple scan on a pseudorandom
+    graph (deterministic seed)."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    nodes = range(30)
+    edges = sorted(
+        {
+            (a, b)
+            for a in nodes
+            for b in nodes
+            if a < b and rng.random() < 0.2
+        }
+    )
+    eset = set(edges)
+    expected = sum(
+        1
+        for x, y, z in itertools.combinations(nodes, 3)
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset
+    )
+    row = G.triangle_stats(_canon(spark, edges)).first()
+    assert row.n_triangles == expected
+    assert row.n_edges == len(edges)
