@@ -240,6 +240,58 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     )
 
 
+def adamic_adar(edges: DataFrame, max_degree: int = 10_000) -> DataFrame:
+    """Adamic–Adar link prediction over a canonical ``(a, b)`` edge
+    list (``a < b``, distinct) → scored NON-adjacent candidate pairs
+    ``(x, y, score)`` with ``x < y``.
+
+    ``AA(x, y) = Σ_{w ∈ N(x)∩N(y)} 1 / ln(deg(w))`` — common
+    neighbors weighted inversely by how promiscuous they are, the
+    classic "you two keep meeting in small rooms" signal (Adamic &
+    Adar 2003). Pairs already linked are anti-joined away: the output
+    is the prediction list, not the existing graph.
+
+    Scale shape: candidate pairs come from the wedge self-join of the
+    symmetric adjacency on the CENTER node, so a degree-d center
+    yields C(d, 2) rows — inherent to the semantics (every common
+    neighbor IS evidence). ``max_degree`` caps the centers considered:
+    an ultra-hub contributes ~zero signal anyway (1/ln(huge) → 0 per
+    pair) while costing d² rows, so dropping centers above the cap is
+    the standard sparsifier (same role as the embedding cell_cap).
+    Determinism: each wedge contribution is quantised to 1e-9 BIGINT
+    fixed-point before the (x, y) sum — associative integer addition,
+    partition-order-proof — and ``1/ln(d)`` is one IEEE op per center
+    from an exact integer degree.
+    """
+    edges = edges.select("a", "b").localCheckpoint()
+    adj = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).withColumnRenamed("a", "w").withColumnRenamed("b", "nbr")
+    deg = adj.groupBy("w").agg(F.count("*").cast("long").alias("d"))
+    centers = adj.join(
+        deg.filter((F.col("d") >= 2) & (F.col("d") <= max_degree)), "w"
+    ).withColumn("contrib", _q(F.lit(1.0) / F.log(F.col("d"))))
+    c1, c2 = centers.alias("c1"), centers.alias("c2")
+    wedge = c1.join(c2, on="w").where(
+        F.col("c1.nbr") < F.col("c2.nbr")
+    )
+    scored = (
+        wedge.groupBy(
+            F.col("c1.nbr").alias("x"), F.col("c2.nbr").alias("y")
+        )
+        .agg(F.sum(F.col("c1.contrib")).alias("s"))
+        .select(
+            "x",
+            "y",
+            (F.col("s").cast("double") / F.lit(_SCALE)).alias("score"),
+        )
+    )
+    existing = edges.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    )
+    return scored.join(existing, ["x", "y"], "left_anti")
+
+
 def hits(pairs: DataFrame, iters: int = 2) -> tuple[DataFrame, DataFrame]:
     """HITS hubs & authorities over a bipartite ``(c, s)`` pair frame
     → ``(authorities (s, score), hubs (c, score))``.

@@ -225,3 +225,45 @@ def upsert_summoners(current: DataFrame, updates: DataFrame) -> DataFrame:
     """SCD-1 dim upsert by puuid (api_service/main.py:151): updated
     rows replace, new rows append."""
     return current.join(updates, "puuid", "left_anti").unionByName(updates)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Change-data-capture diff of two table snapshots → a changelog
+    of ``(op ∈ insert|update|delete, *keys, *compare_cols)``.
+
+    The set-oriented form of the reference's per-row "is it already
+    stored / did it change" probes (extractor/main.py:413-428): one
+    FULL OUTER join co-partitioned on the key, presence tests for
+    insert/delete, column-wise comparison for update (null-safe
+    ``<=>`` so NULL→value and value→NULL edits are real updates).
+    Unchanged rows drop out — the changelog is delta-sized, not
+    snapshot-sized. At scale both snapshots hash-shuffle once on the
+    key (zero-Exchange when bucketed the same way); nothing is
+    broadcast because both sides are table-sized. ``compare_cols``
+    are carried from the NEW side for upserts (NULL for deletes).
+    """
+    # presence flags must come from a column that can't be NULL in a
+    # present row — use an explicit marker instead of guessing which
+    # compare column happens to be non-nullable:
+    o = old.select(*keys, F.lit(True).alias("_present_o"), *compare_cols)
+    n = new.select(*keys, F.lit(True).alias("_present_n"), *compare_cols)
+    on = o.alias("o").join(n.alias("n"), on=keys, how="full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    op = (
+        F.when(F.col("_present_o").isNull(), F.lit("insert"))
+        .when(F.col("_present_n").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    out_cols = [F.col(f"n.{c}").alias(c) for c in compare_cols]
+    return (
+        on.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select("op", *keys, *out_cols)
+    )

@@ -170,6 +170,9 @@ _PRIORITY: tuple[str, ...] = (
     "h_market_share",
     "w_anomaly_zscore",
     "w_streak_islands",
+    "g_adamic_adar",
+    "q_snapshot_diff",
+    "w_percent_of_total",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

@@ -713,3 +713,84 @@ def s1_paginated_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("match_idx").alias("last_idx"),
         F.min("match_id").alias("first_id"),
     )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+WITH oldsnap AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 97 <> 0
+),
+newsnap AS (
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 101 <> 0
+),
+d AS (
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                THEN 'update'
+           END AS op,
+           coalesce(o.o_orderkey, n.o_orderkey) AS k,
+           n.o_totalprice AS new_price
+    FROM oldsnap o FULL OUTER JOIN newsnap n
+      ON o.o_orderkey = n.o_orderkey
+)
+SELECT op, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(k) AS BIGINT) AS key_sum,
+       CAST(sum(CAST(new_price AS DECIMAL(18,2))) AS DOUBLE)
+         AS new_total
+FROM d WHERE op IS NOT NULL
+GROUP BY op ORDER BY op
+""",
+    tags=("pipeline", "cdc", "quality"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots
+    (`pipeline/medallion.py::snapshot_diff`): emits the
+    insert/update/delete changelog from ONE co-partitioned full-outer
+    join with null-safe column comparison — the set-oriented form of
+    the reference's per-row "already stored / changed?" probes
+    (extractor/main.py:413-428), and the standard way to derive an
+    incremental feed from periodic full dumps. The fixture derives
+    both snapshots from `orders` (drop every 97th key from the old,
+    every 101st from the new, bump every 5th price) so all three ops
+    appear; the changelog is summarized per op (row count, key
+    checksum, DECIMAL-exact new-price total) for a compact oracle.
+    """
+    from baronbatch_etl_spark.pipeline import medallion as M
+
+    orders = load_table(spark, sf_dir, "orders")
+    oldsnap = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    newsnap = orders.filter(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    log = M.snapshot_diff(
+        oldsnap,
+        newsnap,
+        keys=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    )
+    return (
+        log.groupBy("op")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("new_total"),
+        )
+        .orderBy("op")
+    )

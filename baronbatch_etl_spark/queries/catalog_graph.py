@@ -380,3 +380,87 @@ def g_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "node")
         .limit(20)
     )
+
+
+@register(
+    "g_adamic_adar",
+    oracle="""
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+    SELECT o1.l_partkey AS a, o2.l_partkey AS b
+    FROM op o1 JOIN op o2
+      ON o1.l_orderkey = o2.l_orderkey
+     AND o1.l_partkey < o2.l_partkey
+    GROUP BY o1.l_partkey, o2.l_partkey
+    HAVING count(*) >= 2
+),
+adj AS (
+    SELECT a AS w, b AS nbr FROM e
+    UNION ALL
+    SELECT b AS w, a AS nbr FROM e
+),
+deg AS (SELECT w, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY w),
+centers AS (
+    SELECT adj.w, adj.nbr,
+           CAST(floor(1.0::DOUBLE / ln(d) * 1000000000.0 + 0.5)
+                AS BIGINT) AS contrib
+    FROM adj JOIN deg USING (w)
+    WHERE d >= 2 AND d <= 10000
+),
+wedge AS (
+    SELECT c1.nbr AS x, c2.nbr AS y, c1.contrib
+    FROM centers c1 JOIN centers c2
+      ON c1.w = c2.w AND c1.nbr < c2.nbr
+),
+scored AS (
+    SELECT x, y, CAST(sum(contrib) AS DOUBLE) / 1000000000.0 AS score
+    FROM wedge GROUP BY x, y
+),
+pred AS (
+    SELECT * FROM scored s
+    WHERE NOT EXISTS (SELECT 1 FROM e
+                      WHERE e.a = s.x AND e.b = s.y)
+)
+SELECT x, y, score FROM pred
+ORDER BY score DESC, x, y
+LIMIT 20
+""",
+    tags=("graph", "analytics", "recommendation"),
+)
+def g_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the frequent co-purchase graph: the 20
+    strongest Adamic–Adar candidate edges — part pairs never bought
+    together (≥2 times) that keep co-occurring with the same
+    low-degree neighbors. The recommendation shape ('customers who
+    bought these also bought...') and the same wedge machinery as
+    `g_triangle_count`, with inverse-log-degree weighting
+    (`operators/graph.py::adamic_adar`): hub centers are capped
+    (they cost d² wedge rows for ~zero per-pair signal) and each
+    contribution is 1e-9 fixed-point quantised so the (x, y) sum is
+    partition-order-proof; the oracle spells the identical integer
+    arithmetic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    o1, o2 = op.alias("o1"), op.alias("o2")
+    pairs = (
+        o1.join(
+            o2,
+            (F.col("o1.l_orderkey") == F.col("o2.l_orderkey"))
+            & (F.col("o1.l_partkey") < F.col("o2.l_partkey")),
+        )
+        .groupBy(
+            F.col("o1.l_partkey").alias("a"),
+            F.col("o2.l_partkey").alias("b"),
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("a", "b")
+    )
+    return (
+        G.adamic_adar(pairs, max_degree=10_000)
+        .orderBy(F.col("score").desc(), "x", "y")
+        .limit(20)
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from baronbatch_etl_spark.functions.scalars import round_half_up
 from baronbatch_etl_spark.io import load_table
 from baronbatch_etl_spark.operators import joins as J
 from baronbatch_etl_spark.queries import register
@@ -1209,3 +1210,97 @@ def w_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("streak_days").desc(), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "w_percent_of_total",
+    oracle="""
+WITH brand AS (
+    SELECT p.p_brand,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2))
+                  - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+),
+tot AS (SELECT sum(rev) AS total FROM brand),
+ranked AS (
+    SELECT p_brand, rev, total,
+           sum(rev) OVER (ORDER BY rev DESC, p_brand
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_rev
+    FROM brand, tot
+)
+SELECT p_brand,
+       CAST(rev AS DOUBLE) AS revenue,
+       floor((CAST(rev AS DOUBLE) / CAST(total AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS share,
+       floor((CAST(cum_rev AS DOUBLE) / CAST(total AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS cum_share,
+       CASE WHEN (cum_rev - rev) * 10 < total * 8
+            THEN 1 ELSE 0 END AS in_pareto_head
+FROM ranked
+ORDER BY rev DESC, p_brand
+""",
+    tags=("window", "analytics", "pareto"),
+)
+def w_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total + Pareto head analysis: every brand's revenue
+    share, running cumulative share (largest first), and an 80/20
+    head flag — the contribution-concentration readout every BI
+    layer wants, and the same cumulative-share machinery corpus
+    curation uses for 'which sources make up 80 % of tokens'.
+    Determinism: revenue stays DECIMAL through the rollup AND the
+    running window sum (exact at any accumulation order); the head
+    test ``(cum − rev)·10 < total·8`` is pure decimal-integer
+    comparison (no 0.8 float anywhere); shares round half-up at 6
+    places from single IEEE divisions. Scale: one fact exchange to
+    the brand grain; the ordered window runs over the brand
+    DIMENSION (dozens of rows), never the fact.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev_expr = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+    brand = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(rev_expr).alias("rev"))
+    )
+    total_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_w = (
+        Window.orderBy(F.col("rev").desc(), "p_brand")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = brand.select(
+        "p_brand",
+        "rev",
+        F.sum("rev").over(total_w).alias("total"),
+        F.sum("rev").over(cum_w).alias("cum_rev"),
+    )
+    return ranked.select(
+        "p_brand",
+        F.col("rev").cast("double").alias("revenue"),
+        round_half_up(
+            F.col("rev").cast("double") / F.col("total").cast("double"),
+            6,
+        ).alias("share"),
+        round_half_up(
+            F.col("cum_rev").cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("cum_share"),
+        F.when(
+            (F.col("cum_rev") - F.col("rev")) * 10
+            < F.col("total") * 8,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("in_pareto_head"),
+    ).orderBy(F.col("revenue").desc(), "p_brand")

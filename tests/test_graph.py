@@ -210,3 +210,33 @@ def test_triangle_stats_matches_bruteforce(spark):
     row = G.triangle_stats(_canon(spark, edges)).first()
     assert row.n_triangles == expected
     assert row.n_edges == len(edges)
+
+
+def test_adamic_adar_hand_computed(spark):
+    """Square 1-2-3-4-1: the two diagonals are the only distance-2
+    pairs; each has two common neighbors of degree 2, so
+    AA = 2/ln(2) for both."""
+    import math
+
+    square = _canon(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+    rows = {(r.x, r.y): r.score for r in G.adamic_adar(square).collect()}
+    assert set(rows) == {(1, 3), (2, 4)}
+    expected = 2 * (math.floor(1.0 / math.log(2) * 1e9 + 0.5) / 1e9)
+    for v in rows.values():
+        assert v == pytest.approx(expected, abs=1e-9)
+
+
+def test_adamic_adar_excludes_existing_edges(spark):
+    """A triangle has common neighbors for every pair, but all pairs
+    are already edges → no predictions."""
+    tri = _canon(spark, [(1, 2), (1, 3), (2, 3)])
+    assert G.adamic_adar(tri).count() == 0
+
+
+def test_adamic_adar_degree_cap_drops_hub_centers(spark):
+    """With the cap below the hub degree, wedges centered at the hub
+    vanish: the star yields no predictions at all."""
+    star = _canon(spark, [(0, i) for i in range(1, 8)])
+    assert G.adamic_adar(star, max_degree=3).count() == 0
+    # uncapped, every spoke pair is predicted through the hub
+    assert G.adamic_adar(star).count() == 21  # C(7, 2)

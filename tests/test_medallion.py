@@ -321,3 +321,48 @@ def test_full_reference_workflow_with_replay(spark, summoners):
     }
     assert gold[("p-faker", "Ahri")] == (2, 1)
     assert gold[("p-faker", "Zed")] == (1, 1)
+
+
+def test_snapshot_diff_three_ops(spark):
+    """insert / update / delete detected from one full-outer pass;
+    unchanged rows emit nothing."""
+    from baronbatch_etl_spark.pipeline.medallion import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    rows = {
+        r.k: (r.op, r.s, r.v)
+        for r in snapshot_diff(
+            old, new, keys=["k"], compare_cols=["s", "v"]
+        ).collect()
+    }
+    assert rows == {
+        2: ("update", "B", 20.0),
+        3: ("delete", None, None),
+        4: ("insert", "d", 40.0),
+    }
+
+
+def test_snapshot_diff_null_safe_compare(spark):
+    """NULL→value and value→NULL are real updates (null-safe <=>),
+    NULL→NULL is unchanged."""
+    from baronbatch_etl_spark.pipeline.medallion import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None, 1.0), (2, "x", None), (3, None, None)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "now", 1.0), (2, "x", 2.0), (3, None, None)],
+        "k long, s string, v double",
+    )
+    got = snapshot_diff(
+        old, new, keys=["k"], compare_cols=["s", "v"]
+    ).collect()
+    assert {r.k: r.op for r in got} == {1: "update", 2: "update"}
