@@ -126,3 +126,76 @@ def cms_grid_from_hashes(
         .groupBy(F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
         .agg(F.sum("_w").alias("cell"))
     )
+
+
+def hourly_zscores(
+    hourly: DataFrame,
+    window_hours: int = 24,
+    min_history: int = 12,
+    top: int = 20,
+) -> DataFrame:
+    """Trailing z-scores over mergeable ``(event_type, hour, n)``
+    hourly volume counts → the ``top`` most aberrant rows
+    ``(event_type, hour, n, zscore)``.
+
+    Shared by the batch query (``w_anomaly_zscore``) and the
+    streaming volume monitor (``streaming/ops.py``): hourly counts
+    are the mergeable state (they sum across epochs), and this fold
+    is deterministic given them — rolling moments are exact BIGINT
+    window sums (count / Σn / Σn² over the trailing ``window_hours``
+    rows, current row excluded), mean and sample variance derive
+    from them with one fixed IEEE expression, short histories
+    (< ``min_history`` observed hours) and zero-variance windows are
+    gated arithmetically, and the score rounds half-up at 1e-6.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-window_hours, -1)
+    )
+    roll = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.count("*").over(w).cast("long").alias("k"),
+        F.sum("n").over(w).cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).cast("long").alias("s2"),
+    )
+    z = roll.filter(
+        (F.col("k") >= min_history)
+        & (F.col("s2") * F.col("k") > F.col("s1") * F.col("s1"))
+    ).select(
+        "event_type",
+        "hour",
+        "n",
+        (
+            (
+                F.col("n").cast("double")
+                - F.col("s1").cast("double") / F.col("k")
+            )
+            / F.sqrt(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double")
+                    * F.col("s1")
+                    / F.col("k")
+                )
+                / (F.col("k") - 1)
+            )
+        ).alias("zscore"),
+    )
+    return (
+        z.select(
+            "event_type",
+            "hour",
+            "n",
+            (
+                F.floor(F.col("zscore") * 1000000.0 + F.lit(0.5))
+                / F.lit(1000000.0)
+            ).alias("zscore"),
+        )
+        .orderBy(F.abs("zscore").desc(), "event_type", "hour")
+        .limit(top)
+    )

@@ -1083,60 +1083,23 @@ def w_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_type, hour) traffic counts, scored against the TRAILING
     24-hour window (current row excluded, ≥12 observed hours, zero
     variance gated out). The streaming-ops monitoring shape — ingest
-    volume spikes/drops per source — run batch. Determinism: the
+    volume spikes/drops per source — run batch; the live path
+    (`streaming/ops.py::volume_monitor_ingest`) folds the SAME
+    mergeable hourly counts per epoch and replays the same fold
+    (`operators/corpus.py::hourly_zscores`) on read, multibatch-
+    tested bit-equal to this query. Determinism: the
     rolling moments are exact BIGINT window sums (count/Σn/Σn²);
     mean and sample variance derive from them with the IDENTICAL
     double expression on both engines, one sqrt, one division —
     no accumulation-order dependence anywhere.
     """
+    from baronbatch_etl_spark.operators.corpus import hourly_zscores
+
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
     ).agg(F.count("*").cast("long").alias("n"))
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("hour")
-        .rowsBetween(-24, -1)
-    )
-    roll = hourly.select(
-        "event_type",
-        "hour",
-        "n",
-        F.count("*").over(w).cast("long").alias("k"),
-        F.sum("n").over(w).cast("long").alias("s1"),
-        F.sum(F.col("n") * F.col("n")).over(w).cast("long").alias("s2"),
-    )
-    z = roll.filter(
-        (F.col("k") >= 12)
-        & (F.col("s2") * F.col("k") > F.col("s1") * F.col("s1"))
-    ).select(
-        "event_type",
-        "hour",
-        "n",
-        (
-            (F.col("n").cast("double") - F.col("s1").cast("double") / F.col("k"))
-            / F.sqrt(
-                (
-                    F.col("s2").cast("double")
-                    - F.col("s1").cast("double") * F.col("s1") / F.col("k")
-                )
-                / (F.col("k") - 1)
-            )
-        ).alias("zscore"),
-    )
-    return (
-        z.select(
-            "event_type",
-            "hour",
-            "n",
-            (
-                F.floor(F.col("zscore") * 1000000.0 + F.lit(0.5))
-                / F.lit(1000000.0)
-            ).alias("zscore"),
-        )
-        .orderBy(F.abs("zscore").desc(), "event_type", "hour")
-        .limit(20)
-    )
+    return hourly_zscores(hourly, window_hours=24, min_history=12, top=20)
 
 
 @register(

@@ -590,6 +590,54 @@ def ivf_search(
     return scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)
 
 
+def volume_monitor_ingest(
+    events: DataFrame, counts_path: str, query_name: str = "volume"
+):
+    """Streaming twin of ``w_anomaly_zscore``'s input build: each
+    micro-batch folds to (event_type, hour, n) hourly-count partials
+    written to ``{counts_path}/epoch=<id>`` — the same epoch-keyed
+    idempotent sink as incremental_gold (a retried batch overwrites
+    its own epoch, so at-least-once delivery folds to exactly-once
+    counts). Hourly counts are the mergeable monitoring state:
+    ``read_anomalies`` re-sums them and applies the shared trailing
+    z-score fold (operators/corpus.py::hourly_zscores), so the live
+    monitor's answer is bit-identical to the batch query over the
+    same events — no raw events retained, only |types|×hours counts
+    per epoch.
+    """
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        (
+            batch.groupBy(
+                "event_type", F.date_trunc("hour", "ts").alias("hour")
+            )
+            .agg(F.count("*").cast("long").alias("n"))
+            .write.mode("overwrite")
+            .parquet(f"{counts_path}/epoch={epoch_id}")
+        )
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+
+
+def read_anomalies(spark: SparkSession, counts_path: str) -> DataFrame:
+    """Fold the per-epoch hourly-count partials into the current
+    top-20 volume anomalies (the read side of volume_monitor_ingest;
+    same fold as the batch ``w_anomaly_zscore``)."""
+    from baronbatch_etl_spark.operators.corpus import hourly_zscores
+
+    hourly = (
+        spark.read.parquet(counts_path)
+        .groupBy("event_type", "hour")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    return hourly_zscores(hourly, window_hours=24, min_history=12, top=20)
+
+
 def enrich_events(events: DataFrame, customers: DataFrame) -> DataFrame:
     """Stream-static enrichment join: each micro-batch of events joins
     the (static, broadcastable) customer dim — Spark's native

@@ -880,3 +880,67 @@ def test_authority_epoch_replay_idempotent(spark, tmp_path):
         for r in ops.read_authority(spark, edges_path, iters=2).collect()
     }
     assert first == again
+
+
+def test_multibatch_volume_monitor_matches_batch(spark, sf_dir, tmp_path):
+    # stream the events table in 3 files; the folded hourly counts
+    # must reproduce the batch w_anomaly_zscore answer bit-for-bit
+    # (shared trailing z-score fold over mergeable counts)
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_stream")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = ops.stream_events(spark, src, glob="*.parquet")
+    counts_path = str(tmp_path / "hourly_counts")
+    q = ops.volume_monitor_ingest(stream, counts_path, "mb_volume").start()
+    try:
+        q.awaitTermination(120)
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert n_batches >= 3, n_batches
+
+    from baronbatch_etl_spark.queries import load_all
+
+    want = [
+        (r.event_type, r.hour, r.n, r.zscore)
+        for r in load_all()["w_anomaly_zscore"].fn(spark, sf_dir).collect()
+    ]
+    got = [
+        (r.event_type, r.hour, r.n, r.zscore)
+        for r in ops.read_anomalies(spark, counts_path).collect()
+    ]
+    assert got == want  # exact equality incl. the IEEE z arithmetic
+
+
+def test_volume_monitor_epoch_idempotent(spark, tmp_path):
+    # replaying an epoch overwrites its own directory: hourly counts
+    # don't double under at-least-once delivery
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(i, "click", f"2024-01-01 0{h}:15:00")
+         for i, h in enumerate([1, 1, 1, 2, 2, 3])],
+        "event_id long, event_type string, ts_s string",
+    ).select("event_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    counts_path = str(tmp_path / "hourly_counts")
+
+    def fold(batch, epoch_id):
+        (
+            batch.groupBy(
+                "event_type", F.date_trunc("hour", "ts").alias("hour")
+            )
+            .agg(F.count("*").cast("long").alias("n"))
+            .write.mode("overwrite")
+            .parquet(f"{counts_path}/epoch={epoch_id}")
+        )
+
+    fold(ev, 0)
+    fold(ev, 0)  # at-least-once replay of the same epoch
+    hourly = (
+        spark.read.parquet(counts_path)
+        .groupBy("event_type", "hour")
+        .agg(F.sum("n").alias("n"))
+    )
+    got = {r.hour.hour: r.n for r in hourly.collect()}
+    assert got == {1: 3, 2: 2, 3: 1}
