@@ -407,7 +407,7 @@ centers AS (
            CAST(floor(1.0::DOUBLE / ln(d) * 1000000000.0 + 0.5)
                 AS BIGINT) AS contrib
     FROM adj JOIN deg USING (w)
-    WHERE d >= 2 AND d <= 10000
+    WHERE d >= 2 AND d <= 64
 ),
 wedge AS (
     SELECT c1.nbr AS x, c2.nbr AS y, c1.contrib
@@ -436,8 +436,10 @@ def g_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-degree neighbors. The recommendation shape ('customers who
     bought these also bought...') and the same wedge machinery as
     `g_triangle_count`, with inverse-log-degree weighting
-    (`operators/graph.py::adamic_adar`): hub centers are capped
-    (they cost d² wedge rows for ~zero per-pair signal) and each
+    (`operators/graph.py::adamic_adar`): hub centers above degree 64
+    are dropped (they cost d² wedge rows for ~zero per-pair signal —
+    the 10× upsample showed 10× runtime recovered by exactly this
+    knob, BENCH_SCALE.json) and each
     contribution is 1e-9 fixed-point quantised so the (x, y) sum is
     partition-order-proof; the oracle spells the identical integer
     arithmetic.
@@ -460,7 +462,7 @@ def g_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
     )
     return (
-        G.adamic_adar(pairs, max_degree=10_000)
+        G.adamic_adar(pairs, max_degree=64)
         .orderBy(F.col("score").desc(), "x", "y")
         .limit(20)
     )
