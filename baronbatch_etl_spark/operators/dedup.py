@@ -15,7 +15,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from baronbatch_etl_spark.io import spread
@@ -187,6 +187,102 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold_pct: int = 90,
+    rare_per_doc: int = 2,
+    df_cap: int = 1000,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: rare-shingle blocking,
+    verified by exact shingle containment ``|A∩B| / min(|A|, |B|)``
+    ≥ threshold.
+
+    Containment is the subset-duplication detector Jaccard
+    structurally misses: a short document quoted whole inside a long
+    one has Jaccard ≈ |A|/|B| (arbitrarily low) but containment 1.0
+    (Broder 1997 distinguishes "resemblance" from "containment" for
+    exactly this). MinHash-LSH banding is the WRONG candidate
+    generator here — band-collision probability tracks resemblance,
+    so low-Jaccard subset pairs are missed — so candidates come from
+    **rare-shingle blocking** (the entity-resolution pattern): each
+    doc posts its ``rare_per_doc`` globally-rarest shingles (ties by
+    hash) against the full shingle inverted index. A fully contained
+    doc shares ALL its shingles with its container, so full
+    containment is found with probability 1; at threshold t the miss
+    chance is ≈ (1−t)^rare_per_doc. Ultra-common shingles
+    (df > ``df_cap``) are skipped as blocking keys — the hub-cap
+    precedent: quadratic candidate cost, no discriminative value.
+
+    Scale shape: one shingle-keyed df count (the token-aggregate
+    family's shuffle), one rare→index equi-join whose fan-out per
+    posting is the shingle's df (≤ df_cap), then candidate-bounded
+    verification. Output carries ``inner_doc`` — the smaller shingle
+    set, the drop candidate (ties → doc_a, mirrored in the oracle).
+    Threshold test is pure integer arithmetic; the score is one IEEE
+    division.
+    """
+    base = (
+        spread(docs).select(
+            "doc_id", sig_and_shingles_fast(F.col("text")).alias("x")
+        )
+        .select(
+            "doc_id", F.array_distinct(F.col("x.sh")).alias("sh")
+        )
+        .cache()  # inverted index + both verification sides reuse it
+    )
+    index = base.select("doc_id", F.explode("sh").alias("h"))
+    dfc = index.groupBy("h").agg(F.count("*").cast("long").alias("df"))
+    w_rare = Window.partitionBy("doc_id").orderBy("df", "h")
+    rare = (
+        index.join(dfc, "h")
+        .withColumn("rn", F.row_number().over(w_rare))
+        .filter((F.col("rn") <= rare_per_doc) & (F.col("df") <= df_cap))
+        .select(F.col("doc_id").alias("post_id"), "h")
+    )
+    cand = (
+        rare.join(index.withColumnRenamed("doc_id", "other_id"), "h")
+        .filter(F.col("post_id") != F.col("other_id"))
+        .select(
+            F.least("post_id", "other_id").alias("doc_a"),
+            F.greatest("post_id", "other_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    j = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
+        )
+    )
+    return (
+        j.filter(
+            (F.col("na") > 0)
+            & (F.col("nb") > 0)
+            & (
+                F.col("inter") * 100
+                >= F.least("na", "nb") * F.lit(threshold_pct)
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double") / F.least("na", "nb")
+            ).alias("containment"),
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("inner_doc"),
+        )
+    )
 
 
 def edit_distance_pairs(

@@ -173,6 +173,9 @@ _PRIORITY: tuple[str, ...] = (
     "g_adamic_adar",
     "q_snapshot_diff",
     "w_percent_of_total",
+    "d_containment",
+    "w_time_to_convert",
+    "h_profit_by_nation",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

@@ -1394,3 +1394,80 @@ def h_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "h_profit_by_nation",
+    oracle="""
+SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS profit
+FROM (
+    SELECT ns.n_name AS nation,
+           year(o.o_orderdate) AS o_year,
+           CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2))
+                - CAST(l.l_discount AS DECIMAL(18,2)))
+           - CAST(l.l_quantity AS DECIMAL(18,2))
+             * (CAST(p.p_retailprice AS DECIMAL(18,2))
+                * CAST(0.2 AS DECIMAL(18,2))) AS amount
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+)
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+    tags=("heavy", "join"),
+)
+def h_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by supplier nation and
+    year. The fixture has no partsupp table, so unit cost is the
+    deterministic stand-in ``0.2 · p_retailprice`` (same join
+    topology and arithmetic discipline as Q9's
+    ``ps_supplycost · l_quantity``). Part/supplier/nation legs
+    broadcast; the lineitem↔orders leg is a keyed shuffle join
+    (orders is fact-sized — not broadcast); profit stays DECIMAL
+    end-to-end (product-before-subtract, exact at any accumulation
+    order) and casts to DOUBLE only on output.
+    """
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    ) - F.col("l_quantity").cast("decimal(18,2)") * (
+        F.col("p_retailprice").cast("decimal(18,2)")
+        * F.lit(0.2).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )

@@ -754,6 +754,71 @@ def d_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d_containment",
+    # rare-shingle blocking (NOT the LSH chain: band collisions track
+    # resemblance and miss low-Jaccard subset pairs); verify is exact
+    # shingle containment |A∩B|/min(|A|,|B|)
+    oracle=f"""
+WITH sh0 AS (
+    SELECT doc_id, list_distinct({_SQL_SHINGLE_HASHES}) AS hs
+    FROM documents
+),
+idx AS (SELECT doc_id, unnest(hs) AS h FROM sh0),
+dfc AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM idx GROUP BY h),
+ranked AS (
+    SELECT i.doc_id, i.h,
+           row_number() OVER (PARTITION BY i.doc_id
+                              ORDER BY d.df, i.h) AS rn,
+           d.df
+    FROM idx i JOIN dfc d USING (h)
+),
+cand AS (
+    SELECT DISTINCT least(r.doc_id, i.doc_id) AS doc_a,
+                    greatest(r.doc_id, i.doc_id) AS doc_b
+    FROM ranked r JOIN idx i USING (h)
+    WHERE r.rn <= 2 AND r.df <= 1000 AND r.doc_id <> i.doc_id
+),
+cont AS (
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(a.hs, b.hs)) AS inter,
+           len(a.hs) AS na, len(b.hs) AS nb
+    FROM cand c
+    JOIN sh0 a ON c.doc_a = a.doc_id
+    JOIN sh0 b ON c.doc_b = b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / least(na, nb) AS containment,
+       CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS inner_doc
+FROM cont
+WHERE na > 0 AND nb > 0 AND inter * 100 >= least(na, nb) * 90
+ORDER BY containment DESC, doc_a, doc_b
+""",
+    tags=("llm", "dedup", "containment"),
+)
+def d_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplication detector: rare-shingle-blocked candidates
+    verified by exact shingle CONTAINMENT ``|A∩B|/min(|A|,|B|)`` ≥
+    0.9 — the Broder-97 "containment" complement to `d_minhash_lsh`'s
+    resemblance check. A short document quoted whole inside a long
+    one has arbitrarily low Jaccard but containment 1.0, so this is
+    the pass that catches quote/boilerplate/subset dups resemblance
+    dedup under-reports — and because a contained doc shares ALL its
+    shingles with its container, the rare-shingle block finds full
+    containment with probability 1 (LSH banding, whose collision
+    rate tracks resemblance, cannot promise that — see
+    operators/dedup.py::containment_pairs). `inner_doc` names the
+    contained (smaller-set) copy — the drop candidate. Integer
+    threshold arithmetic, one IEEE division for the score.
+    """
+    return (
+        D.containment_pairs(
+            load_table(spark, sf_dir, "documents"), threshold_pct=90
+        )
+        .orderBy(F.col("containment").desc(), "doc_a", "doc_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -1267,3 +1267,106 @@ def w_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("in_pareto_head"),
     ).orderBy(F.col("revenue").desc(), "p_brand")
+
+
+@register(
+    "w_time_to_convert",
+    oracle="""
+WITH s AS (
+    SELECT user_id, min(ts) AS t FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+    SELECT user_id, min(ts) AS t FROM events
+    WHERE event_type = 'purchase' GROUP BY user_id
+),
+d AS (
+    SELECT s.user_id,
+           epoch_us(p.t) - epoch_us(s.t) AS delay_us
+    FROM s JOIN p USING (user_id)
+    WHERE p.t > s.t
+),
+r AS (
+    SELECT user_id, delay_us,
+           CAST(row_number() OVER (ORDER BY delay_us, user_id)
+                AS BIGINT) AS rn,
+           CAST(count(*) OVER () AS BIGINT) AS n
+    FROM d
+)
+SELECT q.q AS quantile_pct, r.delay_us, r.n AS n_converters
+FROM r JOIN (VALUES (50), (90), (99)) q(q)
+  ON r.rn = CAST(floor((q.q * r.n + 99) / 100.0) AS BIGINT)
+ORDER BY quantile_pct
+""",
+    tags=("window", "analytics", "funnel"),
+)
+def w_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: exact p50/p90/p99 of the first-
+    signup → first-purchase latency across converting users — the
+    funnel-latency readout (`w_funnel` counts WHO converts; this
+    measures HOW FAST). Exact order statistics, not sketches: delays
+    in integer MICROseconds (no truncation semantics to disagree on),
+    ranked with a user tiebreak, and the q-th index is pure integer
+    arithmetic ``⌈q·n/100⌉ = ⌊(q·n+99)/100⌋`` — both engines select
+    the identical physical row. Scale: two (user, min-ts) partial
+    aggs + one user-keyed join; the global rank runs over the
+    CONVERTER dimension (≪ events), the `a_gini_concentration`
+    precedent.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_s"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_p"))
+    )
+    d = (
+        s.join(p, "user_id")
+        .filter(F.col("t_p") > F.col("t_s"))
+        .select(
+            "user_id",
+            (F.unix_micros("t_p") - F.unix_micros("t_s")).alias(
+                "delay_us"
+            ),
+        )
+    )
+    r = d.select(
+        "user_id",
+        "delay_us",
+        F.row_number()
+        .over(Window.orderBy("delay_us", "user_id"))
+        .cast("long")
+        .alias("rn"),
+        F.count("*")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("n"),
+    )
+    q = spark.range(1).select(
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias(
+            "quantile_pct"
+        )
+    )
+    return (
+        r.join(
+            F.broadcast(q),
+            F.col("rn")
+            == F.floor(
+                (F.col("quantile_pct") * F.col("n") + 99) / F.lit(100.0)
+            ).cast("long"),
+        )
+        .select(
+            "quantile_pct",
+            "delay_us",
+            F.col("n").alias("n_converters"),
+        )
+        .orderBy("quantile_pct")
+    )

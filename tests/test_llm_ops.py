@@ -826,3 +826,28 @@ def test_pq_recall_counts_adc_brute_overlap(spark, sf_dir):
         )
     }
     assert row.n_hits == len(adc & brute)
+
+
+def test_containment_subset_detected(spark):
+    # BASE's shingles are a strict subset of BASE+suffix's: Jaccard is
+    # well below 1, but containment must be exactly 1.0 and the inner
+    # doc must be the shorter one.
+    longer = BASE + " with a long appended tail of extra words " + OTHER
+    docs = _docs(spark, [BASE, longer, OTHER])
+    rows = {
+        (r.doc_a, r.doc_b): (r.containment, r.inner_doc)
+        for r in D.containment_pairs(docs, threshold_pct=90).collect()
+    }
+    assert (0, 1) in rows
+    cont, inner = rows[(0, 1)]
+    assert cont == 1.0
+    assert inner == 0  # the contained (smaller shingle set) copy
+
+
+def test_containment_tie_prefers_doc_a(spark):
+    # identical docs: equal set sizes — inner_doc falls to doc_a by
+    # the documented convention (mirrored in the oracle's CASE)
+    docs = _docs(spark, [BASE, BASE])
+    rows = D.containment_pairs(docs, threshold_pct=90).collect()
+    assert len(rows) == 1
+    assert rows[0].inner_doc == rows[0].doc_a
