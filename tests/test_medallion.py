@@ -366,3 +366,53 @@ def test_snapshot_diff_null_safe_compare(spark):
         old, new, keys=["k"], compare_cols=["s", "v"]
     ).collect()
     assert {r.k: r.op for r in got} == {1: "update", 2: "update"}
+
+
+def test_apply_changelog_roundtrip(spark, sf_dir):
+    """apply(old, diff(old, new)) == new — the CDC pair is a lossless
+    transport, checked on the real fixture-derived snapshots."""
+    from pyspark.sql import functions as F
+
+    from baronbatch_etl_spark.io import load_table
+    from baronbatch_etl_spark.pipeline.medallion import (
+        apply_changelog,
+        snapshot_diff,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    keys, cols = ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    log = snapshot_diff(old, new, keys=keys, compare_cols=cols)
+    rebuilt = apply_changelog(old, log, keys=keys, compare_cols=cols)
+    assert rebuilt.exceptAll(new).count() == 0
+    assert new.exceptAll(rebuilt).count() == 0
+
+
+def test_apply_changelog_units(spark):
+    from baronbatch_etl_spark.pipeline.medallion import apply_changelog
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, s string"
+    )
+    log = spark.createDataFrame(
+        [("delete", 1, None), ("update", 2, "B"), ("insert", 4, "d")],
+        "op string, k long, s string",
+    )
+    got = {
+        r.k: r.s
+        for r in apply_changelog(
+            base, log, keys=["k"], compare_cols=["s"]
+        ).collect()
+    }
+    assert got == {2: "B", 3: "c", 4: "d"}
