@@ -766,3 +766,95 @@ def test_interval_overlap_join_matches_bruteforce(spark, ivs, bucket):
         if i < j and max(s1, s2) < min(e1, e2)
     )
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_triangle_stats_matches_bruteforce_random(spark, raw_pairs):
+    """Degree-oriented triangle census vs an itertools triple scan on
+    arbitrary generated graphs (self-loops dropped, pairs
+    canonicalised) — count, edges and wedges all exact."""
+    import itertools
+
+    from baronbatch_etl_spark.operators import graph as G
+
+    edges = sorted(
+        {(min(a, b), max(a, b)) for a, b in raw_pairs if a != b}
+    )
+    if not edges:
+        return
+    eset = set(edges)
+    nodes = sorted({x for e in edges for x in e})
+    tri = sum(
+        1
+        for x, y, z in itertools.combinations(nodes, 3)
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset
+    )
+    deg = {v: sum(1 for e in edges if v in e) for v in nodes}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    row = G.triangle_stats(
+        spark.createDataFrame(edges, "a long, b long")
+    ).first()
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        len(nodes),
+        len(edges),
+        wedges,
+        tri,
+    )
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),  # key
+            st.integers(min_value=0, max_value=3),  # old value (None-able below)
+            st.integers(min_value=0, max_value=3),  # new value
+            st.booleans(),  # in old
+            st.booleans(),  # in new
+        ),
+        min_size=1,
+        max_size=24,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_cdc_roundtrip_random(spark, rows):
+    """apply_changelog(old, snapshot_diff(old, new)) == new for
+    arbitrary generated snapshots (incl. NULL values via the 0
+    sentinel mapped to None)."""
+    from baronbatch_etl_spark.pipeline.medallion import (
+        apply_changelog,
+        snapshot_diff,
+    )
+
+    old_rows = [
+        (k, None if ov == 0 else f"v{ov}")
+        for k, ov, _, in_old, _ in rows
+        if in_old
+    ]
+    new_rows = [
+        (k, None if nv == 0 else f"v{nv}")
+        for k, _, nv, _, in_new in rows
+        if in_new
+    ]
+    if not old_rows and not new_rows:
+        return
+    old = spark.createDataFrame(old_rows or [(None, None)], "k long, s string").filter(
+        F.col("k").isNotNull()
+    )
+    new = spark.createDataFrame(new_rows or [(None, None)], "k long, s string").filter(
+        F.col("k").isNotNull()
+    )
+    log = snapshot_diff(old, new, keys=["k"], compare_cols=["s"])
+    rebuilt = apply_changelog(old, log, keys=["k"], compare_cols=["s"])
+    assert rebuilt.exceptAll(new).count() == 0
+    assert new.exceptAll(rebuilt).count() == 0
