@@ -565,11 +565,16 @@ def a_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle collapses pairs, and the per-part marginals join back
     onto the 20-row top-k — lift math in exact BIGINTs with one IEEE
     division (``pair·N / (cnt_a·cnt_b)``), identical on both engines.
+    The distinct projection is staged ONCE (localCheckpoint): both
+    self-join sides, the marginal rollup and the order count all fan
+    out from it instead of re-scanning lineitem four times.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    op = (
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    )
     n_orders = (
-        li.select("l_orderkey").distinct().count()
+        op.select("l_orderkey").distinct().count()
     )  # one scalar: burned into the lift literal like the PageRank N
     pc = op.groupBy("l_partkey").agg(
         F.count("*").cast("long").alias("part_orders")
