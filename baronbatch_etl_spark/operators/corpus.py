@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from baronbatch_etl_spark.functions.scalars import round_half_up
 from baronbatch_etl_spark.operators.text import POLY_P
 
 
@@ -155,13 +156,17 @@ def hourly_zscores(
         .orderBy("hour")
         .rowsBetween(-window_hours, -1)
     )
+    # Moments in DECIMAL: Σn and Σn² stay exact at any hourly volume
+    # (a BIGINT Σn² would overflow — and ANSI-crash — near 3·10⁹
+    # events/hour, which an ingest monitor must survive).
+    n_dec = F.col("n").cast("decimal(19,0)")
     roll = hourly.select(
         "event_type",
         "hour",
         "n",
         F.count("*").over(w).cast("long").alias("k"),
-        F.sum("n").over(w).cast("long").alias("s1"),
-        F.sum(F.col("n") * F.col("n")).over(w).cast("long").alias("s2"),
+        F.sum(n_dec).over(w).alias("s1"),
+        F.sum(n_dec * n_dec).over(w).alias("s2"),
     )
     z = roll.filter(
         (F.col("k") >= min_history)
@@ -191,10 +196,7 @@ def hourly_zscores(
             "event_type",
             "hour",
             "n",
-            (
-                F.floor(F.col("zscore") * 1000000.0 + F.lit(0.5))
-                / F.lit(1000000.0)
-            ).alias("zscore"),
+            round_half_up(F.col("zscore"), 6).alias("zscore"),
         )
         .orderBy(F.abs("zscore").desc(), "event_type", "hour")
         .limit(top)

@@ -194,6 +194,7 @@ def containment_pairs(
     threshold_pct: int = 90,
     rare_per_doc: int = 2,
     df_cap: int = 1000,
+    ephemeral: bool = False,
 ) -> DataFrame:
     """Asymmetric containment near-dup pairs: rare-shingle blocking,
     verified by exact shingle containment ``|A∩B| / min(|A|, |B|)``
@@ -230,8 +231,12 @@ def containment_pairs(
         .select(
             "doc_id", F.array_distinct(F.col("x.sh")).alias("sh")
         )
-        .cache()  # inverted index + both verification sides reuse it
     )
+    # inverted index + both verification sides reuse it; ephemeral
+    # callers (per-micro-batch loops) get a collectable checkpoint
+    # instead of an immortal cache entry (the minhash_lsh_pairs
+    # pattern — see operators/multimodal.py:412 for the leak story)
+    base = base.localCheckpoint(eager=False) if ephemeral else base.cache()
     index = base.select("doc_id", F.explode("sh").alias("h"))
     dfc = index.groupBy("h").agg(F.count("*").cast("long").alias("df"))
     w_rare = Window.partitionBy("doc_id").orderBy("df", "h")

@@ -226,16 +226,27 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.col("o1.dst").alias("d1"), F.col("o2.dst").alias("d2")
     ).join(closing, ["d1", "d2"])
     n_tri = tri.agg(F.count("*").cast("long").alias("n_triangles"))
-    # n_edges = Σdeg / 2 (handshake lemma): the degree frame already
-    # carries it, so no separate edge-count pass is needed.
+    # Wedges per node as an exact integer: d·(d−1) is always even, so
+    # the per-row `div 2` is lossless LONG arithmetic (valid to degree
+    # ~3·10⁹, where ANSI mode raises loudly instead of corrupting);
+    # the cross-node sum runs in DECIMAL(38,0) so it cannot overflow
+    # or round through a double. COALESCE covers the empty-graph case
+    # (sum over zero rows is NULL, the oracle's count(*) is 0).
     stats = deg.agg(
         F.count("*").cast("long").alias("n_nodes"),
-        (F.sum("d") / 2).cast("long").alias("n_edges"),
-        (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
+        F.coalesce(
+            F.sum(
+                F.expr("(d * (d - 1)) div 2").cast("decimal(38,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        )
         .cast("long")
         .alias("n_wedges"),
     )
-    return stats.crossJoin(n_tri).select(
+    # n_edges as a plain count on the checkpointed edge list — exact
+    # by construction, no arithmetic to get wrong.
+    n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    return stats.crossJoin(n_edges).crossJoin(n_tri).select(
         "n_nodes", "n_edges", "n_wedges", "n_triangles"
     )
 

@@ -142,6 +142,32 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _frequent_copurchase_edges(spark, sf_dir: str) -> DataFrame:
+    """Canonical (a < b) part pairs co-bought in ≥2 orders — the ONE
+    edge definition `g_triangle_count` and `g_adamic_adar` share (and
+    their oracles spell identically). Pair generation joins the
+    distinct (order, part) projection ON THE ORDER KEY (fan-out
+    bounded by basket size); the ≥2-support gate keeps the graph
+    sparse at any scale (see g_triangle_count's docstring)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    o1, o2 = op.alias("o1"), op.alias("o2")
+    return (
+        o1.join(
+            o2,
+            (F.col("o1.l_orderkey") == F.col("o2.l_orderkey"))
+            & (F.col("o1.l_partkey") < F.col("o2.l_partkey")),
+        )
+        .groupBy(
+            F.col("o1.l_partkey").alias("a"),
+            F.col("o2.l_partkey").alias("b"),
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("a", "b")
+    )
+
+
 @register(
     "g_triangle_count",
     oracle="""
@@ -196,23 +222,7 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the id-ordered triple join — algorithm-independent totals,
     so the two must agree exactly.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    o1, o2 = op.alias("o1"), op.alias("o2")
-    pairs = (
-        o1.join(
-            o2,
-            (F.col("o1.l_orderkey") == F.col("o2.l_orderkey"))
-            & (F.col("o1.l_partkey") < F.col("o2.l_partkey")),
-        )
-        .groupBy(
-            F.col("o1.l_partkey").alias("a"),
-            F.col("o2.l_partkey").alias("b"),
-        )
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("a", "b")
-    )
+    pairs = _frequent_copurchase_edges(spark, sf_dir)
     stats = G.triangle_stats(pairs)
     return stats.select(
         "n_nodes",
@@ -444,23 +454,7 @@ def g_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-order-proof; the oracle spells the identical integer
     arithmetic.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    o1, o2 = op.alias("o1"), op.alias("o2")
-    pairs = (
-        o1.join(
-            o2,
-            (F.col("o1.l_orderkey") == F.col("o2.l_orderkey"))
-            & (F.col("o1.l_partkey") < F.col("o2.l_partkey")),
-        )
-        .groupBy(
-            F.col("o1.l_partkey").alias("a"),
-            F.col("o2.l_partkey").alias("b"),
-        )
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("a", "b")
-    )
+    pairs = _frequent_copurchase_edges(spark, sf_dir)
     return (
         G.adamic_adar(pairs, max_degree=64)
         .orderBy(F.col("score").desc(), "x", "y")

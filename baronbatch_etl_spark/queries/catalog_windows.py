@@ -1050,8 +1050,9 @@ WITH hourly AS (
 roll AS (
     SELECT event_type, hour, n,
            CAST(count(*) OVER w AS BIGINT) AS k,
-           CAST(sum(n) OVER w AS BIGINT) AS s1,
-           CAST(sum(n * n) OVER w AS BIGINT) AS s2
+           CAST(sum(n) OVER w AS DECIMAL(38,0)) AS s1,
+           CAST(sum(CAST(n AS DECIMAL(19,0)) * n) OVER w
+                AS DECIMAL(38,0)) AS s2
     FROM hourly
     WINDOW w AS (PARTITION BY event_type ORDER BY hour
                  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)

@@ -240,3 +240,13 @@ def test_adamic_adar_degree_cap_drops_hub_centers(spark):
     assert G.adamic_adar(star, max_degree=3).count() == 0
     # uncapped, every spoke pair is predicted through the hub
     assert G.adamic_adar(star).count() == 21  # C(7, 2)
+
+
+def test_triangle_stats_empty_graph_zeroes(spark):
+    """Empty edge list → all-zero census (not NULLs): sums over zero
+    rows coalesce to 0 so the oracle's count(*)-based zeros match."""
+    empty = spark.createDataFrame([], "a long, b long")
+    row = G.triangle_stats(empty).first()
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        0, 0, 0, 0,
+    )

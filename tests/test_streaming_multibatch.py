@@ -892,7 +892,11 @@ def test_multibatch_volume_monitor_matches_batch(spark, sf_dir, tmp_path):
 
     stream = ops.stream_events(spark, src, glob="*.parquet")
     counts_path = str(tmp_path / "hourly_counts")
-    q = ops.volume_monitor_ingest(stream, counts_path, "mb_volume").start()
+    q = (
+        ops.volume_monitor_ingest(stream, counts_path, "mb_volume")
+        .option("checkpointLocation", str(tmp_path / "ckpt_volume"))
+        .start()
+    )
     try:
         q.awaitTermination(120)
         n_batches = len(q.recentProgress)
