@@ -176,6 +176,8 @@ _PRIORITY: tuple[str, ...] = (
     "d_containment",
     "w_time_to_convert",
     "h_profit_by_nation",
+    "a_correlation",
+    "a_linear_trend",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

@@ -614,3 +614,169 @@ def a_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pair_orders").desc(), "part_a", "part_b")
     )
+
+
+@register(
+    "a_correlation",
+    oracle="""
+WITH items AS (
+    SELECT l_orderkey, CAST(count(*) AS HUGEINT) AS y
+    FROM lineitem GROUP BY l_orderkey
+),
+xy AS (
+    SELECT CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                AS HUGEINT) AS x,
+           i.y
+    FROM orders o JOIN items i ON o.o_orderkey = i.l_orderkey
+),
+m AS (
+    SELECT CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(x) AS HUGEINT) AS sx,
+           CAST(sum(y) AS HUGEINT) AS sy,
+           CAST(sum(x * y) AS HUGEINT) AS sxy,
+           CAST(sum(x * x) AS HUGEINT) AS sxx,
+           CAST(sum(y * y) AS HUGEINT) AS syy
+    FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n,
+       floor((CAST(n * sxy - sx * sy AS DOUBLE)
+              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                     * CAST(n * syy - sy * sy AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS corr_r
+FROM m
+""",
+    tags=("agg", "analytics", "statistics"),
+)
+def a_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between an order's total price and its
+    line-item count — the canonical two-variable association readout,
+    computed the deterministic way rather than via ``F.corr`` (whose
+    streaming-update float accumulation is partition-order-dependent):
+    prices become exact integer CENTS (the `a_gini_concentration`
+    discipline), all five moments (Σx Σy Σxy Σx² Σy²) accumulate in
+    DECIMAL(38,0) integers — associative, order-proof — and Pearson's
+    closed form runs as THREE final IEEE ops (two casts' products, one
+    division), rounded half-up at 1e-6. The oracle keeps the identical
+    integers in HUGEINT. One orderkey join + one global rollup: the
+    moments frame is a single row at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    items = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("decimal(38,0)").alias("y")
+    )
+    xy = orders.join(
+        items, orders.o_orderkey == items.l_orderkey
+    ).select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)")
+        .alias("x"),
+        "y",
+    )
+    m = xy.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        round_half_up(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                .cast("double")
+            ),
+            6,
+        ).alias("corr_r"),
+    )
+
+
+@register(
+    "a_linear_trend",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01'
+                AS HUGEINT) AS x,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                AS HUGEINT) AS y
+    FROM orders
+    GROUP BY CAST(o_orderdate AS DATE)
+),
+m AS (
+    SELECT CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(x) AS HUGEINT) AS sx,
+           CAST(sum(y) AS HUGEINT) AS sy,
+           CAST(sum(x * y) AS HUGEINT) AS sxy,
+           CAST(sum(x * x) AS HUGEINT) AS sxx
+    FROM daily
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       floor((CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS slope_cents_per_day,
+       floor(((CAST(sy AS DOUBLE)
+               - (CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE))
+                 * CAST(sx AS DOUBLE))
+              / CAST(n AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS intercept_cents
+FROM m
+""",
+    tags=("agg", "analytics", "statistics"),
+)
+def a_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares revenue trend: slope and intercept of
+    daily revenue (integer cents) against the day index — the
+    is-the-business-growing line every dashboard fits, and the same
+    closed form DSPy/feature pipelines use for drift slopes. Moments
+    accumulate as exact DECIMAL(38,0)/HUGEINT integers over the
+    calendar-bounded daily rollup (one fact exchange, then ~2.4k
+    rows); slope = (nΣxy−ΣxΣy)/(nΣxx−Σx²) and the intercept derive
+    with a FIXED IEEE expression order both engines spell
+    identically, rounded half-up at 1e-6.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("decimal(38,0)")
+            .alias("y")
+        )
+        .select(
+            F.datediff(F.col("d"), F.lit("1995-01-01").cast("date"))
+            .cast("decimal(38,0)")
+            .alias("x"),
+            "y",
+        )
+    )
+    m = daily.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        round_half_up(slope, 6).alias("slope_cents_per_day"),
+        round_half_up(
+            (
+                F.col("sy").cast("double")
+                - slope * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double"),
+            6,
+        ).alias("intercept_cents"),
+    )
