@@ -178,6 +178,8 @@ _PRIORITY: tuple[str, ...] = (
     "h_profit_by_nation",
     "a_correlation",
     "a_linear_trend",
+    "w_ab_test",
+    "g_degree_distribution",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

@@ -460,3 +460,52 @@ def g_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "x", "y")
         .limit(20)
     )
+
+
+@register(
+    "g_degree_distribution",
+    oracle="""
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+    SELECT o1.l_partkey AS a, o2.l_partkey AS b
+    FROM op o1 JOIN op o2
+      ON o1.l_orderkey = o2.l_orderkey
+     AND o1.l_partkey < o2.l_partkey
+    GROUP BY o1.l_partkey, o2.l_partkey
+    HAVING count(*) >= 2
+),
+deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS d
+    FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+    GROUP BY node
+)
+SELECT d AS degree,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg
+GROUP BY d
+ORDER BY d
+""",
+    tags=("graph", "analytics"),
+)
+def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the frequent co-purchase graph — the
+    first diagnostic run on ANY production graph (power-law tail ⇒
+    hub caps and salting needed; thin tail ⇒ plain keyed joins
+    suffice; this is how the `g_adamic_adar` max_degree=64 cap was
+    validated). Two partial-agg shuffles over the shared edge
+    derivation, output bounded by the max degree.
+    """
+    edges = _frequent_copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    return (
+        deg.groupBy(F.col("d").alias("degree"))
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .orderBy("degree")
+    )

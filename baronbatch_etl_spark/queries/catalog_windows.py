@@ -1371,3 +1371,123 @@ def w_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quantile_pct")
     )
+
+
+@register(
+    "w_ab_test",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' AND value > 150
+                    THEN 1 ELSE 0 END) AS conv
+    FROM events GROUP BY user_id
+),
+arms AS (
+    SELECT user_id % 2 AS arm,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(conv) AS BIGINT) AS x
+    FROM u GROUP BY user_id % 2
+),
+wide AS (
+    SELECT CAST(max(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+           CAST(max(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS x_a,
+           CAST(max(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+           CAST(max(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS x_b
+    FROM arms
+),
+z AS (
+    SELECT n_a, x_a, n_b, x_b,
+           CASE WHEN x_a + x_b > 0 AND x_a + x_b < n_a + n_b THEN
+               (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(x_a + x_b AS DOUBLE)
+                           / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b))
+           END AS zval
+    FROM wide
+)
+SELECT n_a, x_a, n_b, x_b,
+       floor((CAST(x_a AS DOUBLE) / n_a) * 1000000.0 + 0.5)
+         / 1000000.0 AS rate_a,
+       floor((CAST(x_b AS DOUBLE) / n_b) * 1000000.0 + 0.5)
+         / 1000000.0 AS rate_b,
+       floor(zval * 1000000.0 + 0.5) / 1000000.0 AS z,
+       CASE WHEN zval IS NOT NULL AND abs(zval) > 1.96
+            THEN 1 ELSE 0 END AS significant
+FROM z
+""",
+    tags=("window", "analytics", "abtest"),
+)
+def w_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the A/B experimentation readout: users
+    split into arms by ``user_id % 2`` (the hash-bucket assignment
+    every experiment platform uses), per-arm conversion = made a
+    high-value purchase (>150), pooled-variance z with the 1.96
+    gate. Counts are exact BIGINTs off two keyed rollups (user grain,
+    then 2 arms); the z statistic derives from them with ONE fixed
+    IEEE expression both engines spell identically (NULL when the
+    pooled rate is degenerate at 0 or 1 — a 0/0 otherwise), so even
+    the significance flag (a float boundary) is deterministic. At
+    scale:
+    one user-grain exchange; everything after is 2 rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    arms = u.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("x"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("x"))).alias("x_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("x"))).alias("x_b"),
+    )
+    pooled = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    nondegenerate = (
+        (F.col("x_a") + F.col("x_b") > 0)
+        & (F.col("x_a") + F.col("x_b") < F.col("n_a") + F.col("n_b"))
+    )
+    zval = F.when(
+        nondegenerate,
+        (
+            F.col("x_a").cast("double") / F.col("n_a")
+            - F.col("x_b").cast("double") / F.col("n_b")
+        )
+        / F.sqrt(
+            pooled
+            * (F.lit(1.0) - pooled)
+            * (
+                F.lit(1.0) / F.col("n_a")
+                + F.lit(1.0) / F.col("n_b")
+            )
+        ),
+    )
+    return wide.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        round_half_up(
+            F.col("x_a").cast("double") / F.col("n_a"), 6
+        ).alias("rate_a"),
+        round_half_up(
+            F.col("x_b").cast("double") / F.col("n_b"), 6
+        ).alias("rate_b"),
+        round_half_up(zval, 6).alias("z"),
+        F.when(
+            zval.isNotNull() & (F.abs(zval) > 1.96), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("significant"),
+    )
