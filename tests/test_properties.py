@@ -858,3 +858,50 @@ def test_cdc_roundtrip_random(spark, rows):
     rebuilt = apply_changelog(old, log, keys=["k"], compare_cols=["s"])
     assert rebuilt.exceptAll(new).count() == 0
     assert new.exceptAll(rebuilt).count() == 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=4, max_value=14),  # words per base doc
+        min_size=2,
+        max_size=6,
+    ),
+    st.data(),
+)
+def test_containment_finds_every_strict_subset(spark, sizes, data):
+    """The documented probability-1 recall: a doc whose shingle set is
+    a strict subset of another's (here: a prefix quoted whole inside
+    a longer doc) must ALWAYS surface as a full-containment pair —
+    rare-shingle blocking posts the contained doc's shingles against
+    the full inverted index, so the container cannot be missed."""
+    from pyspark.sql import Row
+
+    from baronbatch_etl_spark.operators import dedup as D
+
+    # distinct vocabularies per doc so only intended pairs contain
+    docs, expected = [], set()
+    doc_id = 0
+    for i, n_words in enumerate(sizes):
+        words = [f"w{i}x{j}" for j in range(n_words)]
+        full = " ".join(words)
+        docs.append(Row(doc_id=doc_id, text=full, lang="en",
+                        source=f"s{i}", n_chars=len(full)))
+        container_id = doc_id
+        doc_id += 1
+        take = data.draw(
+            st.integers(min_value=3, max_value=n_words - 1),
+            label=f"prefix_len_{i}",
+        )
+        prefix = " ".join(words[:take])
+        docs.append(Row(doc_id=doc_id, text=prefix, lang="en",
+                        source=f"s{i}", n_chars=len(prefix)))
+        expected.add((container_id, doc_id))
+        doc_id += 1
+    got = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+        for r in D.containment_pairs(
+            spark.createDataFrame(docs), threshold_pct=100
+        ).collect()
+    }
+    assert expected <= got
