@@ -497,7 +497,10 @@ def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     validated). Two partial-agg shuffles over the shared edge
     derivation, output bounded by the max degree.
     """
-    edges = _frequent_copurchase_edges(spark, sf_dir)
+    # staged once: both union legs below would otherwise re-execute
+    # the self-join + support aggregate past the shared exchange
+    # (the same reason triangle_stats checkpoints its edge list)
+    edges = _frequent_copurchase_edges(spark, sf_dir).localCheckpoint()
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionByName(edges.select(F.col("b").alias("node")))

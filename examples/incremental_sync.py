@@ -12,8 +12,10 @@ synced copy and want to move only the delta. The pair from
 2. `apply_changelog(copy, log)` → tomorrow's copy, bit-identical to
    the new dump (`apply(old, diff(old, new)) == new` is pinned by a
    property test in tests/test_medallion.py).
-3. The synced copy's volume anomalies are then monitored with the
-   shared trailing z-score fold (`w_anomaly_zscore` machinery).
+3. The synced copy itself is then monitored: daily order volumes per
+   status, scored with the shared trailing z-score fold
+   (`operators/corpus.py::hourly_zscores` — the `w_anomaly_zscore`
+   machinery pointed at a day grain).
 """
 
 from __future__ import annotations
@@ -30,7 +32,6 @@ from baronbatch_etl_spark.pipeline.medallion import (
     apply_changelog,
     snapshot_diff,
 )
-from baronbatch_etl_spark.queries import load_all
 from baronbatch_etl_spark.session import get_spark
 
 
@@ -61,7 +62,21 @@ def main() -> None:
     assert drift == 0
 
     print("=== volume anomalies on the synced feed ===")
-    load_all()["w_anomaly_zscore"].fn(spark, sf_dir).show(8, truncate=False)
+    # re-derive dates for the synced keys and score daily volumes per
+    # order status with the shared fold (trailing 30 days, >=12 seen)
+    from baronbatch_etl_spark.operators.corpus import hourly_zscores
+
+    daily = (
+        rebuilt.join(orders.select("o_orderkey", "o_orderdate"), "o_orderkey")
+        .groupBy(
+            F.col("o_orderstatus").alias("event_type"),
+            F.date_trunc("day", "o_orderdate").alias("hour"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    hourly_zscores(daily, window_hours=30, min_history=12, top=8).show(
+        8, truncate=False
+    )
 
 
 if __name__ == "__main__":
