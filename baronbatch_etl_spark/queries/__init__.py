@@ -180,6 +180,7 @@ _PRIORITY: tuple[str, ...] = (
     "a_linear_trend",
     "w_ab_test",
     "g_degree_distribution",
+    "s_hybrid_rrf",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from baronbatch_etl_spark.functions.scalars import round_half_up
 from baronbatch_etl_spark.io import load_table, spread
 from baronbatch_etl_spark.operators import dedup as D
 from baronbatch_etl_spark.operators.fast_text import (
@@ -1897,7 +1898,17 @@ def t_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalars broadcast; the final top-20 is TakeOrderedAndProject —
     no global sort. 100 TB cost = one corpus scan + a tiny agg.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _bm25_scores(load_table(spark, sf_dir, "documents"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def _bm25_scores(docs: DataFrame) -> DataFrame:
+    """Unlimited (doc_id, bm25) score frame for the fixed query terms
+    — shared by `t_bm25` (top-20) and `s_hybrid_rrf` (rank fusion).
+    Arithmetic contract documented on t_bm25."""
     dl = docs.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("double").alias("dl"),
@@ -1940,15 +1951,8 @@ def t_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fp"),
         )
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            (F.sum("fp").cast("double") / F.lit(1000000000.0)).alias(
-                "bm25"
-            )
-        )
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(20)
+    return scored.groupBy("doc_id").agg(
+        (F.sum("fp").cast("double") / F.lit(1000000000.0)).alias("bm25")
     )
 
 
@@ -2441,4 +2445,148 @@ def s_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ_M,
         codebook_k=_PQ_K,
         iters=2,
+    )
+
+
+@register(
+    "s_hybrid_rrf",
+    oracle=f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+  WHERE token IN ('join', 'window', 'hash')
+  GROUP BY doc_id, token
+),
+dfreq AS (
+  SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token
+),
+bscored AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           (((s.n_docs - d.df + 0.5) / (d.df + 0.5))
+            * ((tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl)))))
+           * 1000000000.0 + 0.5) AS BIGINT) AS fp
+  FROM tf
+  JOIN dfreq d USING (token)
+  JOIN dl l USING (doc_id), stats s
+),
+bm AS (
+  SELECT doc_id, CAST(sum(fp) AS DOUBLE) / 1000000000.0 AS bm25
+  FROM bscored GROUP BY doc_id
+),
+lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+              AS BIGINT) AS r_lex
+  FROM bm
+),
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+sem0 AS (
+  SELECT vec_id, {S.sql_cosine("embedding", "q_emb")} AS cos_sim
+  FROM embeddings, q WHERE vec_id <> 0
+),
+sem AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+              AS BIGINT) AS r_sem
+  FROM sem0
+),
+fused AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.r_lex, s.r_sem,
+         coalesce(1.0::DOUBLE / (60 + l.r_lex), 0.0::DOUBLE)
+           + coalesce(1.0::DOUBLE / (60 + s.r_sem), 0.0::DOUBLE)
+           AS rrf_raw
+  FROM (SELECT * FROM lex WHERE r_lex <= 50) l
+  FULL OUTER JOIN (SELECT * FROM sem WHERE r_sem <= 50) s
+    ON l.doc_id = s.doc_id
+)
+SELECT doc_id, r_lex, r_sem,
+       floor(rrf_raw * 1000000.0 + 0.5) / 1000000.0 AS rrf
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT 20
+""",
+    tags=("llm", "retrieval", "similarity", "hybrid"),
+)
+def s_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
+    ranking and the cosine semantic ranking (query = stored vector 0;
+    embeddings share the documents' id space) fused as
+    ``Σ 1/(60+rank)`` over each leg's top-50 — the standard RAG
+    first-stage fusion (Cormack et al. 2009: rank-based, so the two
+    legs' incomparable score scales never touch). Determinism: ranks
+    are row_numbers with id tiebreaks; each RRF term is ONE IEEE
+    division and the two-term sum is written in a fixed order both
+    engines spell identically, rounded half-up at 1e-6 before the
+    final ordering. Scale: each leg is its own bounded top-k (BM25
+    map-side term filter; cosine broadcast-query map pass), and the
+    fusion join touches ≤100 rows regardless of corpus size.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = (
+        _bm25_scores(docs)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+            .cast("long")
+            .alias("r_lex"),
+        )
+        .filter(F.col("r_lex") <= 50)
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    sem = (
+        spread(emb.filter(F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            S.cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"),
+        )
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(Window.orderBy(F.col("cos_sim").desc(), "vec_id"))
+            .cast("long")
+            .alias("r_sem"),
+        )
+        .filter(F.col("r_sem") <= 50)
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_sem",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("r_sem")), F.lit(0.0)
+            )
+        ).alias("rrf_raw"),
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "r_lex",
+            "r_sem",
+            round_half_up(F.col("rrf_raw"), 6).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
     )
