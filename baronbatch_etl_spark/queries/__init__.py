@@ -181,6 +181,7 @@ _PRIORITY: tuple[str, ...] = (
     "w_ab_test",
     "g_degree_distribution",
     "s_hybrid_rrf",
+    "w_seasonal_residual",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

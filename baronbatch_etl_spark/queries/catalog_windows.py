@@ -1491,3 +1491,86 @@ def w_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("significant"),
     )
+
+
+@register(
+    "w_seasonal_residual",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                AS DECIMAL(38,0)) AS cents
+    FROM orders
+    GROUP BY CAST(o_orderdate AS DATE),
+             dayofweek(CAST(o_orderdate AS DATE)) + 1
+),
+prof AS (
+    SELECT dow,
+           CAST(sum(cents) AS DECIMAL(38,0)) AS s,
+           CAST(count(*) AS BIGINT) AS k
+    FROM daily GROUP BY dow
+),
+resid AS (
+    SELECT d.day, d.dow,
+           CAST(d.cents AS DOUBLE) / 100.0 AS revenue,
+           (CAST(d.cents AS DOUBLE)
+            - CAST(p.s AS DOUBLE) / p.k) / 100.0 AS residual
+    FROM daily d JOIN prof p USING (dow)
+)
+SELECT day, dow,
+       floor(revenue * 100.0 + 0.5) / 100.0 AS revenue,
+       floor(residual * 100.0 + 0.5) / 100.0 AS residual
+FROM resid
+ORDER BY abs(residual) DESC, day
+LIMIT 20
+""",
+    tags=("window", "analytics", "timeseries"),
+)
+def w_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive decomposition: daily revenue minus its
+    day-of-week profile mean, top-20 days by |residual| — the
+    'was Tuesday actually unusual, or are Tuesdays just like that'
+    readout that complements `w_anomaly_zscore`'s trailing-window
+    view with a calendar-seasonality view. Revenue accumulates as
+    exact integer cents (DECIMAL); the profile mean and residual are
+    a fixed pair of IEEE ops both engines spell identically, rounded
+    half-up at cents. Scale: one fact exchange to the day grain, a
+    7-row profile joined back (broadcast at any scale), final 20-row
+    TakeOrderedAndProject.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.dayofweek(F.col("o_orderdate").cast("date")).alias("dow"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("decimal(38,0)")
+        .alias("cents")
+    )
+    prof = daily.groupBy("dow").agg(
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.count("*").cast("long").alias("k"),
+    )
+    resid = daily.join(F.broadcast(prof), "dow").select(
+        "day",
+        "dow",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        (
+            (
+                F.col("cents").cast("double")
+                - F.col("s").cast("double") / F.col("k")
+            )
+            / F.lit(100.0)
+        ).alias("residual"),
+    )
+    return (
+        resid.select(
+            "day",
+            "dow",
+            round_half_up(F.col("revenue"), 2).alias("revenue"),
+            round_half_up(F.col("residual"), 2).alias("residual"),
+        )
+        .orderBy(F.abs("residual").desc(), "day")
+        .limit(20)
+    )
