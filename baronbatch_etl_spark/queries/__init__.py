@@ -182,6 +182,7 @@ _PRIORITY: tuple[str, ...] = (
     "g_degree_distribution",
     "s_hybrid_rrf",
     "w_seasonal_residual",
+    "w_cusum_changepoint",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

@@ -1574,3 +1574,109 @@ def w_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs("residual").desc(), "day")
         .limit(20)
     )
+
+
+@register(
+    "w_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                AS DECIMAL(38,0)) AS cents
+    FROM orders GROUP BY CAST(o_orderdate AS DATE)
+),
+pre AS (
+    SELECT day, cents,
+           CAST(sum(cents) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,0)) AS prefix,
+           CAST(row_number() OVER (ORDER BY day) AS DECIMAL(38,0))
+             AS k,
+           CAST(sum(cents) OVER () AS DECIMAL(38,0)) AS total,
+           CAST(count(*) OVER () AS DECIMAL(38,0)) AS n
+    FROM daily
+),
+dev AS (
+    SELECT day,
+           CAST(n * prefix - k * total AS DECIMAL(38,0)) AS d,
+           n
+    FROM pre
+),
+peak AS (
+    SELECT day AS change_day,
+           CAST(abs(d) AS DECIMAL(38,0)) AS absd,
+           n,
+           row_number() OVER (ORDER BY abs(d) DESC, day) AS rn
+    FROM dev
+)
+SELECT change_day,
+       floor((CAST(absd AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
+             * 100.0 + 0.5) / 100.0 AS cusum_peak,
+       CAST(n AS BIGINT) AS n_days
+FROM peak WHERE rn = 1
+""",
+    tags=("window", "analytics", "changepoint"),
+)
+def w_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily revenue: the day where
+    the cumulative deviation from the global mean peaks — the
+    standard 'when did the level shift' estimator (Page 1954; the
+    peak of S_k = Σ_{i≤k}(y_i − ȳ) locates the single change point).
+    Exactness trick: instead of the float mean, the deviation is
+    scaled by n — ``D_k = n·prefix_k − k·total`` — so every value in
+    the argmax is an exact DECIMAL(38,0) integer and the peak
+    location is bit-deterministic; the reported magnitude
+    ``max|S_k| = max|D_k|/n`` takes the ONLY division at the very
+    end (rounded to cents→dollars). Scale: one fact exchange to the
+    day grain; the ordered prefix window runs over the
+    calendar-bounded daily frame.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("decimal(38,0)")
+        .alias("cents")
+    )
+    w_ord = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pre = daily.select(
+        "day",
+        F.sum("cents").over(w_ord).cast("decimal(38,0)").alias("prefix"),
+        F.row_number()
+        .over(Window.orderBy("day"))
+        .cast("decimal(38,0)")
+        .alias("k"),
+        F.sum("cents").over(w_all).cast("decimal(38,0)").alias("total"),
+        F.count("*").over(w_all).cast("decimal(38,0)").alias("n"),
+    )
+    dev = pre.select(
+        "day",
+        (F.col("n") * F.col("prefix") - F.col("k") * F.col("total"))
+        .cast("decimal(38,0)")
+        .alias("d"),
+        "n",
+    )
+    peak = dev.select(
+        F.col("day").alias("change_day"),
+        F.abs("d").cast("decimal(38,0)").alias("absd"),
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.abs("d").desc(), "day"))
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return peak.select(
+        "change_day",
+        round_half_up(
+            F.col("absd").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(100.0),
+            2,
+        ).alias("cusum_peak"),
+        F.col("n").cast("long").alias("n_days"),
+    )
