@@ -2537,16 +2537,19 @@ def s_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    lex = (
-        _bm25_scores(docs)
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
-            .cast("long")
-            .alias("r_lex"),
-        )
-        .filter(F.col("r_lex") <= 50)
+    # Each leg takes its top-50 via orderBy().limit() FIRST — Spark
+    # plans TakeOrderedAndProject (per-partition heads, driver merge),
+    # so no unpartitioned sort ever sees the full corpus; the
+    # row_number that assigns ranks then runs over a 50-row frame.
+    lex = _bm25_scores(docs).orderBy(
+        F.col("bm25").desc(), "doc_id"
+    ).limit(50)
+    lex = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .cast("long")
+        .alias("r_lex"),
     )
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb")
@@ -2558,14 +2561,15 @@ def s_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             S.cosine(F.col("embedding"), F.col("q_emb")).alias("cos_sim"),
         )
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.row_number()
-            .over(Window.orderBy(F.col("cos_sim").desc(), "vec_id"))
-            .cast("long")
-            .alias("r_sem"),
-        )
-        .filter(F.col("r_sem") <= 50)
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(50)
+    )
+    sem = sem.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), "vec_id"))
+        .cast("long")
+        .alias("r_sem"),
     )
     fused = lex.join(sem, "doc_id", "full_outer").select(
         "doc_id",

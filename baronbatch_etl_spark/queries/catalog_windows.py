@@ -1517,11 +1517,15 @@ resid AS (
            (CAST(d.cents AS DOUBLE)
             - CAST(p.s AS DOUBLE) / p.k) / 100.0 AS residual
     FROM daily d JOIN prof p USING (dow)
+),
+rounded AS (
+    SELECT day, dow,
+           floor(revenue * 100.0 + 0.5) / 100.0 AS revenue,
+           floor(residual * 100.0 + 0.5) / 100.0 AS residual
+    FROM resid
 )
-SELECT day, dow,
-       floor(revenue * 100.0 + 0.5) / 100.0 AS revenue,
-       floor(residual * 100.0 + 0.5) / 100.0 AS residual
-FROM resid
+SELECT day, dow, revenue, residual
+FROM rounded
 ORDER BY abs(residual) DESC, day
 LIMIT 20
 """,

@@ -35,10 +35,22 @@ CROSS_OK = {
     "h_top_supplier",
     "s_ivf_recall",  # broadcast held-out query SET scores both rankings
     "s_pq_recall",  # brute-force leg broadcasts the 1-row query vector
+    "s_hybrid_rrf",  # semantic leg broadcasts the 1-row query vector
     # |sources|² pair grid: an inequality join over the broadcast
     # per-source sizes — sources are a catalog dimension (thousands at
     # most), the pair grid is the QUERY's own output granularity
     "d_source_overlap",
+    # Q22: the avg-acctbal scalar subquery attach sits behind a Filter,
+    # so the keyless-HashAggregate child probe can't see it — still a
+    # provably 1-row broadcast
+    "h_dormant_customers",
+    # 1-row norm-augmented query vector broadcast (the s_pq_recall shape)
+    "s_mips_topk",
+    # bounded anchor/query set broadcast scores the corpus map-side
+    "s_hard_negatives",
+    # 3-row quantile-literal frame non-equi-attached to the ranked
+    # converter dimension (rn == ceil(q·n/100) can't be an equi key)
+    "w_time_to_convert",
 }
 
 
@@ -116,8 +128,16 @@ def audit(name: str, plan: str) -> list[str]:
         problems.append("BroadcastNestedLoopJoin in plan")
     n_smj = plan.count("SortMergeJoin")
     n_bhj = plan.count("BroadcastHashJoin")
-    if n_smj and not n_bhj and "lineitem" not in plan:
-        # dim-only joins should broadcast
+    if (
+        n_smj
+        and not n_bhj
+        and "lineitem" not in plan
+        and "orders" not in plan
+    ):
+        # dim-only joins should broadcast; lineitem- and orders-sided
+        # joins are fact⋈fact at the target scale and SMJ is the plan
+        # we WANT there (e.g. q_snapshot_diff's co-partitioned
+        # full-outer, h_market_share's date-gated orders leg)
         problems.append(f"{n_smj} SortMergeJoin with no broadcast")
     return problems
 
