@@ -466,3 +466,42 @@ def test_pagerank_iterations_reuse_staged_edges(spark, registry, sf_dir):
     # AQE string includes the pre-adaptive plan too) — a per-round
     # re-shuffle of the edge list would blow well past this bound
     assert plan.count("Exchange hashpartitioning") <= 12
+
+
+def test_hybrid_rrf_legs_are_bounded_topk(spark, registry, sf_dir):
+    """Each RRF leg must reach its top-50 through TakeOrderedAndProject
+    (per-partition heads, driver merge) — never an unpartitioned full
+    sort of the scored corpus; the fusion join is then ≤100 rows."""
+    plan = _plan(spark, registry, "s_hybrid_rrf", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_is_copartitioned_smj(spark, registry, sf_dir):
+    """The CDC full-outer join must co-partition BOTH snapshots on the
+    key (SortMergeJoin, FullOuter) and broadcast neither — both sides
+    are table-sized at the target scale."""
+    plan = _plan(spark, registry, "q_snapshot_diff", sf_dir)
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_triangle_census_stages_edges_once(spark, registry, sf_dir):
+    """The frequent-pair derivation must be checkpointed: every census
+    consumer reads Scan ExistingRDD, and the lineitem self-join's
+    parquet scans appear only in the (pre-checkpoint) staging, never
+    replayed per aggregate leg."""
+    plan = _plan(spark, registry, "g_triangle_count", sf_dir)
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cusum_argmax_is_integer_decimal(spark, registry, sf_dir):
+    """The change-point search runs on DECIMAL(38,0) deviations — the
+    only double in the plan is the final magnitude report."""
+    df = registry["w_cusum_changepoint"].fn(spark, sf_dir)
+    row = df.first()
+    assert row.n_days > 0 and row.cusum_peak >= 0
+    # the analyzed plan carries the decimal(38,0) deviation column
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "decimal(38,0)" in analyzed
