@@ -183,6 +183,7 @@ _PRIORITY: tuple[str, ...] = (
     "s_hybrid_rrf",
     "w_seasonal_residual",
     "w_cusum_changepoint",
+    "h_parts_supplier_count",
     # --- r02-last remainder: next-oldest rows ---
     "a1_dup_finder",
     "a_approx_distinct",

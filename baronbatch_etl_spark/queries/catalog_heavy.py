@@ -1471,3 +1471,58 @@ def h_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("amount").cast("double").alias("profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
+
+
+@register(
+    "h_parts_supplier_count",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#12'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+""",
+    tags=("heavy", "join", "distinct"),
+)
+def h_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can provide each
+    qualifying (brand, type, size) — supplier diversity per part
+    class. The fixture has no partsupp table, so the part↔supplier
+    relation derives from actual lineitem links (same topology:
+    filtered part dim ⋈ relation, NOT-IN excluded supplier set,
+    count-distinct rollup). The excluded-supplier subquery becomes a
+    broadcast anti-join (complaint suppliers → negative balances
+    here); the count-distinct shuffles (brand, type, size, suppkey)
+    once, then collapses — the two-phase distinct-agg plan.
+    """
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#12")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    excluded = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("excl_key"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(excluded),
+            li.l_suppkey == F.col("excl_key"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
