@@ -55,86 +55,23 @@ def register(
 
 
 # Registry iteration order. External checkers run the catalog front to
-# back under a bounded per-run budget (~50 queries). Round-4 goal:
-# ROTATE THE STALE ROWS — 46 queries' newest driver row was r01 and 42
-# more were last checked in r02 (round 3 spent its window on the
-# then-new entries, all now green in CORRECTNESS_r03). So the oldest
-# rows lead: every r01-last query except p1/p2 (trivial projections
-# whose machinery every other window query re-exercises — parked at
-# 51-52), then the r02 stragglers the round-3 review called out by
-# name (j_salted_skew_join, f_url_encode, the st_* streaming twins)
-# plus mm_features — the catalog's only driver-checked exerciser of
-# the mapInPandas/Arrow Python-worker path, kept in-window per the
-# round-3 advice. Everything r03-green sits after the r02 remainder:
-# freshest rows last. tests/test_registry.py re-derives this invariant
-# from the CORRECTNESS_r0*.json files so the rotation can't silently
-# rot.
+# back under a bounded per-run budget (~50 queries; exactly 50 in
+# rounds 3 and 4). Round-5 goal (the round-4 verdict's #1 item): the
+# 49 queries added mid/late round 4 have NO driver CORRECTNESS row
+# ever — they lead the window, in their round-4 registration order.
+# Slot 50 is mm_features, kept in-window per the standing round-3/-4
+# advice (the catalog's only driver-checked exerciser of the
+# mapInPandas/Arrow Python-worker path; the verdict's alternative
+# slot-50 picks p1/p2 are trivial plan-asserted projections whose
+# scan/project machinery every other window query re-exercises — they
+# park at 51-52, the first overflow slots, and re-enter the r6
+# window). The tail is ordered stalest-first (r02-last, then r03-last,
+# then the r04-refreshed rows) so a driver that runs past 50 still
+# refreshes the oldest rows first. tests/test_registry.py re-derives
+# this invariant from the CORRECTNESS_r0*.json files on disk so the
+# rotation can't silently rot.
 _PRIORITY: tuple[str, ...] = (
-    # --- r4 window (50): newest driver row r01 — TPC-H shapes checked
-    # only in round 1 first ---
-    "h_local_supplier_volume",
-    "h_order_priority",
-    "h_returned_items",
-    "h_small_qty_revenue",
-    "h_disjunctive_revenue",
-    "h_nation_volume",
-    "h_promo_revenue",
-    # joins (r01)
-    "j2_staged_resolution",
-    "j3_anti_orphans",
-    "j4_semi_user_matches",
-    "j5_ingest_dedup",
-    "j6_lookup_with_default",
-    "j7_membership_scan",
-    "j1_broadcast_dim_lookup",
-    "j_asof_join",
-    # aggregations (r01)
-    "a2_grouped_rollup",
-    "a3_champion_rollup",
-    "a5_scalar_aggs",
-    "a6_distinct_sorted",
-    "a7_table_counts",
-    "a8_keep_first_dedup",
-    "a_count_distinct",
-    "a_percentiles",
-    "a_rollup_hierarchy",
-    # kept TPC-H five (r01)
-    "h_pricing_summary",
-    "h_shipping_priority",
-    "h_large_volume_customer",
-    "h_forecast_revenue",
-    "h_top_supplier",
-    # SQL-surface reshapes (r01)
-    "q_pivot_status",
-    "q_cube_status_priority",
-    "q_unpivot",
-    # scalar-function families (r01)
-    "f_string_ops",
-    "f_norm_concat",
-    "f_derived_metrics",
-    "f_date_ops",
-    "f_array_ops",
-    "f_map_lookup",
-    "f_json_extract",
-    "f_rlike_match",
-    # filters/projections (r01)
-    "p3_ci_name_lookup",
-    "p4_membership",
-    "p5_array_first_match",
-    "p12_posexplode",
-    # --- r02 stragglers named by the round-3 review ---
-    "j_salted_skew_join",
-    "f_url_encode",
-    "mm_features",  # the mapInPandas/Arrow-worker path exerciser
-    "st_dedup_ingest",
-    "st_session_window",
-    "st_stream_join",
-    # --- 51-52: the two parked r01 rows (trivial, plan-asserted;
-    # every window query runs the same scan/project machinery) ---
-    "p1_projection",
-    "p2_filter_eq",
-    # --- new this round (no driver row yet; first overflow slot
-    # after the parked pair, window next round) ---
+    # --- r5 window (50): 49 never-driver-checked + mm_features ---
     "mm_audio_stats",
     "mm_resize_stats",
     "mm_pixel_ahash",
@@ -184,7 +121,11 @@ _PRIORITY: tuple[str, ...] = (
     "w_seasonal_residual",
     "w_cusum_changepoint",
     "h_parts_supplier_count",
-    # --- r02-last remainder: next-oldest rows ---
+    "mm_features",
+    # --- 51-52: parked r01 rows (trivial, plan-asserted) ---
+    "p1_projection",
+    "p2_filter_eq",
+    # --- tail, stalest-first: r02-last remainder ---
     "a1_dup_finder",
     "a_approx_distinct",
     "d_exact_dedup",
@@ -221,9 +162,110 @@ _PRIORITY: tuple[str, ...] = (
     "w_rank_lag_lead",
     "w_resample_ffill",
     "w_sessionize",
+    # --- r03-last ---
+    "a_approx_quantiles",
+    "flagship_player_stats",
+    "q_validate_expectations",
+    "f_udaf_median",
+    "f_udtf_chunks",
+    "s1_paginated_scan",
+    "t_token_stats",
+    "t_bigram_novelty",
+    "d_minhash_lsh",
+    "d_dedup_report",
+    "t_hash_sample",
+    "d_simhash",
+    "d_edit_distance",
+    "s_cosine_topk",
+    "s_hard_negatives",
+    "s_ivf_topk",
+    "t_cdc_chunks",
+    "d_chunk_dedup",
+    "mm_phash_dedup",
+    "t_bpe_merges",
+    "s_srp_codes",
+    "mm_frame_sample",
+    "d_bloom_dedup",
+    "s_dim_stats",
+    "d_lsh_recall",
+    "t_bm25",
+    "d_semantic_dedup",
+    "s_kmeans_assign",
+    "t_eval_sample",
+    "t_corpus_drift",
+    "d_source_overlap",
+    "t_shard_plan",
+    "t_split_assign",
+    "t_training_set",
+    "t_outlier_mad",
+    "t_dsir_affinity",
+    "q_profile_table",
+    "a_hll_union",
+    "q_zorder_layout",
+    "a_cms_heavy_hitters",
+    "j_range_join",
+    "j_scd2_history",
+    "w_ntile_battery",
+    "q_sql_recursive",
+    "st_tumbling_agg",
+    "st_sliding_agg",
+    "o1_topk_orders",
+    "w2_recent_slice",
+    "w_running_sum",
+    "set_intersect",
+    # --- r04-refreshed (freshest rows last) ---
+    "h_local_supplier_volume",
+    "h_order_priority",
+    "h_returned_items",
+    "h_small_qty_revenue",
+    "h_disjunctive_revenue",
+    "h_nation_volume",
+    "h_promo_revenue",
+    "j2_staged_resolution",
+    "j3_anti_orphans",
+    "j4_semi_user_matches",
+    "j5_ingest_dedup",
+    "j6_lookup_with_default",
+    "j7_membership_scan",
+    "j1_broadcast_dim_lookup",
+    "j_asof_join",
+    "a2_grouped_rollup",
+    "a3_champion_rollup",
+    "a5_scalar_aggs",
+    "a6_distinct_sorted",
+    "a7_table_counts",
+    "a8_keep_first_dedup",
+    "a_count_distinct",
+    "a_percentiles",
+    "a_rollup_hierarchy",
+    "h_pricing_summary",
+    "h_shipping_priority",
+    "h_large_volume_customer",
+    "h_forecast_revenue",
+    "h_top_supplier",
+    "q_pivot_status",
+    "q_cube_status_priority",
+    "q_unpivot",
+    "f_string_ops",
+    "f_norm_concat",
+    "f_derived_metrics",
+    "f_date_ops",
+    "f_array_ops",
+    "f_map_lookup",
+    "f_json_extract",
+    "f_rlike_match",
+    "p3_ci_name_lookup",
+    "p4_membership",
+    "p5_array_first_match",
+    "p12_posexplode",
+    "j_salted_skew_join",
+    "f_url_encode",
+    "st_dedup_ingest",
+    "st_session_window",
+    "st_stream_join",
 )
-# Everything else (all r03-green — freshest rows) follows in
-# registration order via load_all().
+# The list is exhaustive (all 187 names); load_all() appends any
+# not-yet-listed future registration in module order.
 
 
 def load_all() -> dict[str, QuerySpec]:

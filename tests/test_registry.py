@@ -54,12 +54,10 @@ def test_query_output_is_scalar_only(spark, sf_dir, name):
 
 def test_priority_window_rotates_stale_rows():
     # the external checker verifies ~the first 50 registry entries per
-    # round, front to back. Round-4 invariant, derived from the actual
-    # driver records: the oldest green rows rotate in first — every
-    # query whose newest CORRECTNESS row is r01 sits in the window
-    # (except p1/p2, trivial plan-asserted projections parked at
-    # 51-52), and nothing with a fresh r03 row takes a slot from an
-    # r01/r02-last query.
+    # round, front to back. Round-5 invariant, derived from the actual
+    # driver records: every query with NO CORRECTNESS row in any round
+    # (the 49 added mid/late round 4) sits in the window, and no slot
+    # is wasted on a row refreshed in the newest record.
     import json
     from pathlib import Path
 
@@ -76,24 +74,24 @@ def test_priority_window_rotates_stale_rows():
         return
     names = list(REGISTRY)
     window = set(names[:50])
-    # this window was designed against 3 rounds of records; strict
+    # this window was designed against 4 rounds of records; strict
     # staleness classes only make sense at design time. Once a newer
     # record lands, flip to the outcome check: the rotation must have
     # actually refreshed the window's rows.
-    if latest == 3:
-        r01_stale = {n for n, r in last.items() if r == 1 and n in REGISTRY}
+    if latest == 4:
+        never = {n for n in REGISTRY if n not in last}
+        missing = never - window
+        assert not missing, f"never-checked rows outside window: {missing}"
         parked = {"p1_projection", "p2_filter_eq"}
-        missing = r01_stale - window - parked
-        assert not missing, f"r01-stale rows outside checker window: {missing}"
         assert parked <= set(names[50:52])
-        fresh_in_window = {n for n in window if last.get(n) == 3}
+        fresh_in_window = {
+            n for n in window if last.get(n) == 4 and n != "mm_features"
+        }
         assert not fresh_in_window, (
-            f"r03-green rows holding window slots: {fresh_in_window}"
+            f"r04-green rows holding window slots: {fresh_in_window}"
         )
     else:
-        import json as _json
-
-        newest = set(_json.loads(records[-1].read_text()))
+        newest = set(json.loads(records[-1].read_text()))
         refreshed = len(window & newest)
         assert refreshed >= 25, (
             f"rotation failed: only {refreshed} of the 50-slot window "
