@@ -144,23 +144,34 @@ def hourly_zscores(
     are the mergeable state (they sum across epochs), and this fold
     is deterministic given them — rolling moments are exact BIGINT
     window sums (count / Σn / Σn² over the trailing ``window_hours``
-    rows, current row excluded), mean and sample variance derive
-    from them with one fixed IEEE expression, short histories
-    (< ``min_history`` observed hours) and zero-variance windows are
-    gated arithmetically, and the score rounds half-up at 1e-6.
+    WALL-CLOCK hours, current row excluded), mean and sample variance
+    derive from them with one fixed IEEE expression, short histories
+    (< ``min_history`` observed hours in the window) and zero-variance
+    windows are gated arithmetically, and the score rounds half-up at
+    1e-6.
+
+    The frame is a RANGE over the integer unix-hour index, not a ROWS
+    frame over observed rows: an event type with quiet gaps (hours
+    with zero events emit no count row) must be scored against its
+    recent wall-clock history, not against arbitrarily old rows — a
+    ROWS frame would let a type that was silent for a week be judged
+    'normal' against week-old traffic (the round-4 advice).
     """
     from pyspark.sql import Window
 
     w = (
         Window.partitionBy("event_type")
-        .orderBy("hour")
-        .rowsBetween(-window_hours, -1)
+        .orderBy("hidx")
+        .rangeBetween(-window_hours, -1)
     )
     # Moments in DECIMAL: Σn and Σn² stay exact at any hourly volume
     # (a BIGINT Σn² would overflow — and ANSI-crash — near 3·10⁹
     # events/hour, which an ingest monitor must survive).
     n_dec = F.col("n").cast("decimal(19,0)")
-    roll = hourly.select(
+    roll = hourly.withColumn(
+        # hour is a truncated timestamp, so unix_micros divides evenly
+        "hidx", F.expr("unix_micros(hour) div 3600000000")
+    ).select(
         "event_type",
         "hour",
         "n",

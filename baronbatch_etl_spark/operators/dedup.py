@@ -146,7 +146,7 @@ def lsh_candidate_pairs(base: DataFrame) -> DataFrame:
 
 def minhash_lsh_pairs(
     docs: DataFrame, threshold: float = 0.8, n: int = 3,
-    ephemeral: bool = False,
+    ephemeral: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding, verified by exact
     shingle Jaccard ≥ threshold.
@@ -155,13 +155,13 @@ def minhash_lsh_pairs(
     → self-join on (band, key) for candidates → join shingle sets back
     → exact-verify. Shuffle only on band keys and candidate doc ids.
 
-    ``ephemeral=True`` materializes the internal signature frame via a
-    lazy localCheckpoint instead of ``.cache()``: checkpoint blocks
-    are freed by the ContextCleaner once the frame is unreferenced, so
-    a long-running caller that builds pairs per micro-batch
-    (streaming curate_ingest) doesn't accumulate one immortal cache
-    entry per batch.
-    """
+    The default ``ephemeral=True`` materializes the internal signature
+    frame via a lazy localCheckpoint instead of ``.cache()``:
+    checkpoint blocks are freed by the ContextCleaner once the frame
+    is unreferenced, so neither a 187-query catalog run nor a caller
+    that builds pairs per micro-batch (streaming curate_ingest)
+    accumulates immortal executor-storage entries (the round-4 advice:
+    opt IN to ``.cache()``, never leak by default)."""
     # Signatures + shingle hashes in one Arrow pass (shared tokenize/
     # shingle/hash work); the frame is materialized because three plan
     # branches (banding + both verification sides) reuse it — at
@@ -194,7 +194,7 @@ def containment_pairs(
     threshold_pct: int = 90,
     rare_per_doc: int = 2,
     df_cap: int = 1000,
-    ephemeral: bool = False,
+    ephemeral: bool = True,
 ) -> DataFrame:
     """Asymmetric containment near-dup pairs: rare-shingle blocking,
     verified by exact shingle containment ``|A∩B| / min(|A|, |B|)``
@@ -232,9 +232,9 @@ def containment_pairs(
             "doc_id", F.array_distinct(F.col("x.sh")).alias("sh")
         )
     )
-    # inverted index + both verification sides reuse it; ephemeral
-    # callers (per-micro-batch loops) get a collectable checkpoint
-    # instead of an immortal cache entry (the minhash_lsh_pairs
+    # inverted index + both verification sides reuse it; the default
+    # collectable checkpoint frees with the frame — opt in to cache()
+    # only from a caller that unpersists (the minhash_lsh_pairs
     # pattern — see operators/multimodal.py:412 for the leak story)
     base = base.localCheckpoint(eager=False) if ephemeral else base.cache()
     index = base.select("doc_id", F.explode("sh").alias("h"))
@@ -321,7 +321,9 @@ def edit_distance_pairs(
             "doc_id", "pfx",
             F.col("x.sig").alias("sig"), F.col("x.sh").alias("sh"),
         )
-        .cache()  # banding + both verification sides reuse it
+        # ephemeral checkpoint: banding + both verification sides
+        # reuse the materialized blocks, which free with the frame
+        .localCheckpoint(eager=False)
     )
     cand = lsh_candidate_pairs(base)
     a = base.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pfx_a"))
@@ -356,7 +358,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
-    ephemeral: bool = False,
+    ephemeral: bool = True,
 ) -> DataFrame:
     """Cluster near-dup pairs into components: (node, component) where
     component = min doc_id reachable through the pair graph — the
@@ -386,8 +388,8 @@ def connected_components(
         .select("e.s", "e.d")
         .distinct()
     )
-    # ephemeral: checkpoint blocks free with the frame (per-batch
-    # streaming callers); cache: classic, cleared by clearCache
+    # default ephemeral: checkpoint blocks free with the frame (no
+    # per-query storage pinning); cache: opt-in, cleared by clearCache
     edges = edges.localCheckpoint(eager=False) if ephemeral else edges.cache()
     # seed with round 1 directly: label(node) = min(node, neighbors)
     # — one distributed agg instead of a full join round
@@ -465,7 +467,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
     base = spread(docs).select(
         "doc_id", simhash_fast(F.col("text")).alias("sh")
-    ).cache()
+    ).localCheckpoint(eager=False)  # freed with the frame
     # SimHash bits are CORRELATED across similar-vocabulary docs, so
     # block buckets skew beyond what uniform hashing suggests; 15-bit
     # keys (32k buckets/block) keep the candidate multiset small where
@@ -558,7 +560,9 @@ def ngram_jaccard_pairs(
     hashed = spread(docs).select(
         "doc_id", "lang", "n_chars",
         shingle_hashes_fast(F.col("text")).alias("sh"),
-    ).cache()  # one Arrow hashing pass feeds prefixes AND verification
+    ).localCheckpoint(  # one Arrow hashing pass feeds prefixes AND
+        eager=False  # verification; blocks free with the frame
+    )
     # first (len − ⌈τ·len⌉ + 1) of the ascending-sorted distinct hashes
     pref_len = F.size("sh") - F.ceil(
         F.lit(float(threshold)) * F.size("sh")

@@ -86,7 +86,14 @@ def pagerank(
     carries its link count: contribution becomes
     ``rank · w / Σ_out w`` (written exactly that way, product before
     division, so the oracle matches bit-for-bit). ``None`` keeps the
-    unweighted ``rank / deg`` arithmetic unchanged.
+    unweighted ``rank / deg`` arithmetic unchanged. Weights must be
+    positive: non-positive-weight edges are dropped up front (a
+    ``w = 0`` edge carries no walk mass by definition, and keeping it
+    would make ``Σ_out w = 0`` divide-by-zero — null contributions,
+    i.e. silently vanished rank mass, or an ANSI runtime error — for
+    a node whose edges are ALL zero-weight). A node losing every edge
+    to that filter becomes dangling and falls under the existing
+    no-dangling-nodes contract above.
 
     Determinism contract: per-edge contributions are quantised to
     BIGINT fixed-point before the ``dst`` aggregation, and the
@@ -107,6 +114,9 @@ def pagerank(
     if weight_col is None:
         out_share = F.count("*").over(w_src)
     else:
+        # positive-weight contract (see docstring): guards the
+        # Σ_out w = 0 division for all-zero-weight nodes
+        edges = edges.filter(F.col(weight_col) > 0)
         out_share = F.sum(weight_col).over(w_src)
     weighted = (
         edges.repartition("src")

@@ -735,7 +735,9 @@ def curate_survivors(docs: DataFrame) -> DataFrame:
         .groupBy("text_md5")
         .agg(F.min("doc_id").alias("doc_id"))
     )
-    sdocs = qual.join(keep.select("doc_id"), "doc_id").cache()
+    sdocs = qual.join(keep.select("doc_id"), "doc_id").localCheckpoint(
+        eager=False  # freed with the frame, not pinned for the session
+    )
     comp = D.connected_components(
         D.minhash_lsh_pairs(sdocs, threshold=0.8)
     )
@@ -945,7 +947,8 @@ _SQL_WSAMP_U = (
     oracle=f"""
 WITH keyed AS (
     SELECT doc_id, source, n_chars,
-           ln({_SQL_WSAMP_U}) / n_chars AS es_key
+           CAST(floor(ln({_SQL_WSAMP_U}) / n_chars * 1e9 + 0.5)
+                AS BIGINT) AS es_key
     FROM documents
     WHERE n_chars > 0
 )
@@ -971,9 +974,15 @@ def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global top-k is TakeOrderedAndProject — every partition keeps
     only its local k, the driver merges P·k rows — so 'sample exactly
     50k docs from 100 TB, proportional to length' never sorts or
-    shuffles the corpus. The float key stays OUT of the output (ints/
-    strings only) so cross-engine ulp noise in ln() cannot touch the
-    hash; doc_id breaks any residual tie deterministically.
+    shuffles the corpus. The race key is QUANTIZED to fixed point
+    (floor(x·1e9 + 0.5), the repo's round-before-order discipline)
+    before the top-k: JVM Math.log and DuckDB ln() may disagree in the
+    last ulp, and an unquantized key lets two sub-ulp-adjacent values
+    at the k-boundary select different row sets per engine. One ulp at
+    |key| ≤ 21 is ~3.6e-15, i.e. ~4e-6 of a quantization step — a
+    boundary flip needs the true value within that of a half-step.
+    Equal quantized keys fall to the doc_id tiebreak, identical in
+    both engines; the key itself stays OUT of the output.
 
     Complements t_mixture_sample (rate-based Bernoulli, approximate
     stratum sizes) with the exact-k primitive ("give me exactly N
@@ -994,7 +1003,9 @@ def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             "n_chars",
-            (F.log(u) / F.col("n_chars")).alias("es_key"),
+            F.floor(
+                F.log(u) / F.col("n_chars") * F.lit(1e9) + F.lit(0.5)
+            ).alias("es_key"),
         )
         .orderBy(F.desc("es_key"), F.asc("doc_id"))
         .limit(_WSAMP_K)

@@ -558,7 +558,10 @@ def h_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy("l_suppkey")
         .agg(F.sum(_rev()).alias("total_rev"))
-        .cache()
+        # ephemeral checkpoint, not cache(): one lineitem scan still
+        # feeds both branches, but the blocks free with the frame
+        # instead of pinning executor storage for the session
+        .localCheckpoint(eager=False)
     )
     mx = rev.agg(F.max("total_rev").alias("max_rev"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")

@@ -623,7 +623,9 @@ def t_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("text_md5")
         .agg(F.min("doc_id").alias("doc_id"))
     )
-    sdocs = qual.join(keep.select("doc_id"), "doc_id").cache()
+    sdocs = qual.join(keep.select("doc_id"), "doc_id").localCheckpoint(
+        eager=False  # freed with the frame, not pinned for the session
+    )
     comp = D.connected_components(D.minhash_lsh_pairs(sdocs, threshold=0.8))
     removed = comp.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("doc_id")

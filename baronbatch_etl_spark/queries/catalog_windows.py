@@ -1043,6 +1043,7 @@ def w_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH hourly AS (
     SELECT event_type,
            date_trunc('hour', ts) AS hour,
+           epoch_us(date_trunc('hour', ts)) // 3600000000 AS hidx,
            CAST(count(*) AS BIGINT) AS n
     FROM events
     GROUP BY event_type, date_trunc('hour', ts)
@@ -1054,8 +1055,8 @@ roll AS (
            CAST(sum(CAST(n AS DECIMAL(19,0)) * n) OVER w
                 AS DECIMAL(38,0)) AS s2
     FROM hourly
-    WINDOW w AS (PARTITION BY event_type ORDER BY hour
-                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    WINDOW w AS (PARTITION BY event_type ORDER BY hidx
+                 RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
 ),
 z AS (
     SELECT event_type, hour, n, k,

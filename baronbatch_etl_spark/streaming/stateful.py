@@ -70,7 +70,15 @@ def _update_funnel(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     v, c, p = state.get if state.exists else (None, None, None)
-    for pdf in pdfs:
+    # applyInPandasWithState delivers one GROUP as multiple Arrow
+    # chunks (~10k rows each) in arbitrary shuffle order — sorting each
+    # chunk independently is NOT a total order. Materialize the whole
+    # group first, then sort once, so a user with more events than one
+    # chunk per micro-batch still folds in (ts_us, event_id) order.
+    # Memory bound: one user's events within one micro-batch.
+    chunks = list(pdfs)  # timeout invocations deliver zero chunks
+    pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    if len(pdf):
         pdf = pdf.sort_values(["ts_us", "event_id"])
         for ts, et in zip(pdf["ts_us"], pdf["event_type"]):
             ts = int(ts)

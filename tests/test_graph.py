@@ -151,6 +151,22 @@ def test_weighted_pagerank_heavy_edge_pulls_rank(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-6
 
 
+def test_weighted_pagerank_zero_weight_edges_dropped(spark):
+    """A node whose out-edges ALL carry weight 0 must not emit null
+    contributions (silently dropped rank mass) or ANSI-divide-crash:
+    the positive-weight contract filters those edges up front, the
+    node degrades to dangling (round-4 advice). Node 3's only edge is
+    zero-weight → nodes it pointed at get no mass from it, and no
+    rank in the output is null/NaN."""
+    rows = [(0, 1, 2), (1, 2, 1), (2, 0, 1), (2, 3, 1), (3, 0, 0)]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    got = G.pagerank(edges, iters=3, weight_col="w").collect()
+    ranks = {r.node: r.rank for r in got}
+    assert all(r.rank is not None and r.rank == r.rank for r in got)
+    assert 3 in ranks  # still receives mass as a dst of node 2
+    assert all(r.rank > 0 for r in got)
+
+
 def _canon(spark, pairs):
     return spark.createDataFrame(pairs, "a long, b long")
 

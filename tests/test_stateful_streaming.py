@@ -184,3 +184,48 @@ def test_stateful_funnel_matches_batch_fold(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_funnel_fold_is_chunk_order_invariant():
+    """applyInPandasWithState hands one GROUP to the fold as multiple
+    Arrow chunks (default ~10k rows) in arbitrary shuffle order. The
+    fold must produce the same result no matter how the group's rows
+    are split into chunks or how the chunks are ordered — the r4
+    advice caught per-chunk sorting, which is not a total order."""
+    import pandas as pd
+
+    from baronbatch_etl_spark.streaming.stateful import _update_funnel
+
+    class FakeState:
+        exists = False
+
+        def update(self, t):
+            self.value = t
+
+    # view@10 < click@20 < purchase@30, plus decoys; a per-chunk sort
+    # with the purchase/click chunk arriving FIRST never advances past
+    # stage 1 — the whole-group sort reaches stage 3.
+    rows = pd.DataFrame(
+        {
+            "ts_us": [30, 20, 5, 10, 25],
+            "event_id": [5, 4, 1, 2, 3],
+            "event_type": ["purchase", "click", "click", "view", "view"],
+        }
+    )
+
+    def run(chunks):
+        st = FakeState()
+        out = list(_update_funnel((7,), iter(chunks), st))
+        assert len(out) == 1
+        return int(out[0]["stage"].iloc[0]), st.value
+
+    want = run([rows.sort_values(["ts_us", "event_id"])])
+    assert want[0] == 3 and want[1] == (10, 20, 30)
+    # late-stage events in the FIRST chunk, early in the second
+    assert run([rows.iloc[:2], rows.iloc[2:]]) == want
+    # one row per chunk, reversed
+    assert run([rows.iloc[[i]] for i in range(4, -1, -1)]) == want
+    # empty group (no chunks) still emits current state
+    st = FakeState()
+    out = list(_update_funnel((7,), iter([]), st))
+    assert int(out[0]["stage"].iloc[0]) == 0
