@@ -125,6 +125,11 @@ _PRIORITY: tuple[str, ...] = (
     # --- 51-52: parked r01 rows (trivial, plan-asserted) ---
     "p1_projection",
     "p2_filter_eq",
+    # --- new this round (no driver row yet; first overflow slots,
+    # window next round) ---
+    "h_shipmode_priority",
+    "a_cms_probe",
+    "mm_feature_store",
     # --- tail, stalest-first: r02-last remainder ---
     "a1_dup_finder",
     "a_approx_distinct",

@@ -1529,3 +1529,153 @@ def h_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
         )
     )
+
+
+@register(
+    "h_shipmode_priority",
+    oracle="""
+SELECT l.l_returnflag,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag IN ('A', 'R')
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+""",
+    tags=("heavy", "join", "conditional-agg"),
+)
+def h_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: was critical freight handled under urgent
+    order priorities? Per line category, count lines whose parent
+    order was high-priority (1-URGENT/2-HIGH) vs not — the
+    join-then-conditionally-bucket pattern (the reference buckets
+    match outcomes by queue type the same way, api_service/main.py:
+    340-349). The fixture's lineitem stops at l_shipdate (no
+    l_shipmode/l_commitdate), so the category axis is l_returnflag
+    restricted to two values and the receipt-window filter becomes a
+    shipdate year — identical operator shape, available columns.
+
+    Scale shape: the category+date filters prune the fact scan
+    (pushed to parquet); the join ships only (orderkey, returnflag)
+    against (orderkey, orderpriority) — two key-width shuffles, then
+    the CASE buckets fold map-side into a 2-row result. No dim
+    tables, no sort until the 2-row output.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# Watchlist for the CMS probe twin: four tokens from the synthetic
+# plan-word vocabulary (present at every SF) + one guaranteed-absent
+# token pinning the never-seen → 0 path.
+CMS_PROBE_TOKENS = ("scan", "column", "window", "join", "zz_never_seen_tok")
+
+
+def _cms_probe_oracle() -> str:
+    bucket_rows = "\n    UNION ALL ".join(
+        f"SELECT {j} AS j, {_cms_bucket_sql(j, 'hv')} AS bucket, c FROM h\n"
+        for j in range(CP.CMS_D)
+    )
+    probe_rows = "\n    UNION ALL ".join(
+        f"SELECT tok, {j} AS j, {_cms_bucket_sql(j, 'hv')} AS bucket "
+        f"FROM ph\n"
+        for j in range(CP.CMS_D)
+    )
+    probes = ", ".join(f"'{t}'" for t in CMS_PROBE_TOKENS)
+    return f"""
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+h AS (SELECT tok, c, {X.sql_char_poly_hash('tok')} AS hv FROM cnt),
+buck AS (
+    {bucket_rows}
+),
+cms AS (SELECT j, bucket, CAST(sum(c) AS BIGINT) AS cell
+        FROM buck GROUP BY j, bucket),
+probe AS (SELECT unnest([{probes}]) AS tok),
+ph AS (SELECT tok, {X.sql_char_poly_hash('tok')} AS hv FROM probe),
+pb AS (
+    {probe_rows}
+),
+est AS (
+    SELECT pb.tok, min(coalesce(cms.cell, 0)) AS cms_est
+    FROM pb LEFT JOIN cms USING (j, bucket) GROUP BY pb.tok
+)
+SELECT tok, cms_est FROM est
+"""
+
+
+@register(
+    "a_cms_probe",
+    oracle=_cms_probe_oracle(),
+    tags=("agg", "approx", "sketch", "streaming-twin"),
+)
+def a_cms_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watchlist probe against the count-min grid — the batch twin of
+    the streaming monitor's read fold (streaming/ops.py::cms_estimate
+    over a cms_monitor_ingest grid store): a fixed driver-side token
+    watchlist is hashed into its d (row, bucket) cells and estimated
+    as min over those cells, with an absent cell coalesced to 0 so a
+    NEVER-ingested token reports exactly 0 (a bare min over non-empty
+    cells would over-report it). Complements a_cms_heavy_hitters,
+    which probes only tokens known to be in the grid — this is the
+    dashboard path: 'how often have we seen THESE tokens', some of
+    which never occurred.
+
+    Plan: the grid fold is the vocab partial agg + 2048-cell map-side
+    fold (a_cms_heavy_hitters's shape); the probe set is a 5-row
+    literal frame joined against the broadcast grid — milliseconds
+    regardless of corpus size, the whole point of holding a sketch
+    instead of the token table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = (
+        docs.select(F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .select(X.char_poly_hash(F.col("tok")).alias("hv"), "c")
+    )
+    cms = CP.cms_grid_from_hashes(hashed, weight="c")
+    probes = (
+        spark.createDataFrame(
+            [(t,) for t in CMS_PROBE_TOKENS], "tok STRING"
+        )
+        .select("tok", X.char_poly_hash(F.col("tok")).alias("hv"))
+        .select("tok", F.explode(CP.cms_buckets(F.col("hv"))).alias("jb"))
+        .select(
+            "tok",
+            F.col("jb.j").alias("j"),
+            F.col("jb.bucket").alias("bucket"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(cms), ["j", "bucket"], "left")
+        .groupBy("tok")
+        .agg(
+            F.min(F.coalesce(F.col("cell"), F.lit(0).cast("long"))).alias(
+                "cms_est"
+            )
+        )
+    )

@@ -2596,3 +2596,46 @@ def s_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "mm_feature_store",
+    oracle=f"""
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS byte_len,
+       array_to_string(list_transform(range(0, {M.FEATURE_DIM}),
+           i -> ((octet_length(encode(text)) * (i + 7)) % 256)::VARCHAR),
+           ',') AS features_csv,
+       ({M.sql_payload_ahash('text')}) AS fp
+FROM documents
+""",
+    tags=("llm", "multimodal", "streaming-twin"),
+)
+def mm_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media feature-store row — batch twin of
+    ``streaming/ops.py::media_features_ingest``'s per-epoch fold:
+    mapInPandas feature extraction JOINED to the Arrow aHash
+    fingerprint on media_id, i.e. exactly the frame each micro-batch
+    writes to its epoch directory. mm_features and mm_pixel_ahash
+    driver-check the two operators separately; this checks the
+    composed store row (both Python-worker lanes feeding one join)
+    so the ingest fold's output contract has a direct driver row.
+
+    Plan: both sides are row-local Arrow passes over the same
+    media frame; the join is keyed on media_id — at 100 TB the
+    store build is scan-shaped, one exchange on media_id (or zero
+    with both sides written bucketed by media_id).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.documents_as_media(docs)
+    feats = M.extract_features(media).select(
+        "media_id",
+        "byte_len",
+        F.array_join(
+            F.expr(
+                "transform(features, x -> cast(cast(x AS bigint) AS string))"
+            ),
+            ",",
+        ).alias("features_csv"),
+    )
+    return feats.join(M.payload_fingerprints(media), "media_id")

@@ -153,6 +153,28 @@ def test_multimodal_decoder_rejects_unknown_formats():
         M._decode_image(b"\x89PNG")
 
 
+def test_jpeg_routes_through_pil_and_fails_loud_without_it(monkeypatch):
+    """The layered decoder's JPEG path: PIL when present (decoded
+    pixels come back), and a loud NotImplementedError — never a
+    silent fallthrough — when PIL is absent (r4 verdict item 6)."""
+    if M._PIL_Image is not None:
+        import io
+
+        img = M._PIL_Image.new("RGB", (4, 3), (10, 20, 30))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG")
+        jpeg = buf.getvalue()
+        assert jpeg[:3] == b"\xff\xd8\xff"  # real JFIF magic
+        w, h, ch, px = M._decode_image(jpeg)
+        assert (w, h, ch) == (4, 3, 3)
+        assert len(px) == 4 * 3 * 3
+    else:  # pragma: no cover — PIL ships in this container
+        jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    monkeypatch.setattr(M, "_PIL_Image", None)
+    with pytest.raises(NotImplementedError, match="PIL"):
+        M._decode_image(jpeg)
+
+
 def test_frame_sample_and_resize_plans(spark):
     from pyspark.sql import Row as R
 
