@@ -381,3 +381,65 @@ def word_bigrams_fast(texts: pd.Series) -> pd.Series:
     return pd.Series(
         [_doc_shingles(t if isinstance(t, str) else "", 2) for t in texts]
     )
+
+
+CHAR_ENTROPY_RET = T.StructType(
+    [
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("n_distinct", T.LongType()),
+        T.StructField("surprisal", T.LongType()),
+    ]
+)
+
+
+@F.pandas_udf(CHAR_ENTROPY_RET)
+def char_entropy_fast(texts: pd.Series) -> pd.DataFrame:
+    """Per-document character-distribution surprisal, integer-exact:
+    with n = codepoint count and n_c = count of codepoint c,
+    surprisal = Σ_c n_c · bit_length(n // n_c) — the ⌊log2⌋+1
+    integer surprisal the unigram-LM family uses (no libm), summed
+    over the doc's own char distribution. One vectorized pass:
+    docs concatenate into a flat codepoint array, per-(doc, char)
+    counts come from one np.unique over packed keys (codepoint <
+    2^21, so doc_idx·2^21 + cp is collision-free int64).
+
+    Unit contract: Python len()/ord() count Unicode CODEPOINTS —
+    the same unit DuckDB's string_split(text, '') yields — so the
+    oracle matches beyond ASCII too.
+    """
+    n_docs = len(texts)
+    lens = np.array(
+        [len(t) if isinstance(t, str) else 0 for t in texts],
+        dtype=np.int64,
+    )
+    total = int(lens.sum())
+    if total == 0:
+        z = np.zeros(n_docs, dtype=np.int64)
+        return pd.DataFrame(
+            {"n_chars": lens, "n_distinct": z, "surprisal": z}
+        )
+    flat = np.empty(total, dtype=np.int64)
+    pos = 0
+    for i, t in enumerate(texts):
+        if lens[i]:
+            flat[pos : pos + lens[i]] = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            pos += lens[i]
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    key = doc_idx * (1 << 21) + flat
+    uniq, counts = np.unique(key, return_counts=True)
+    u_doc = (uniq >> 21).astype(np.int64)
+    q = lens[u_doc] // counts
+    bits = np.zeros_like(q)
+    v = q.copy()
+    while v.max(initial=0) > 0:
+        bits += v > 0
+        v >>= 1
+    surp = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(surp, u_doc, counts * bits)
+    ndist = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(ndist, u_doc, 1)
+    return pd.DataFrame(
+        {"n_chars": lens, "n_distinct": ndist, "surprisal": surp}
+    )

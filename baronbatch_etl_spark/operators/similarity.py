@@ -945,3 +945,116 @@ def pq_recall_at_k(
             "recall_at_k"
         ),
     )
+
+
+def knn_graph(
+    embeddings: DataFrame, k: int = 5, cell_cap: int = 4096
+) -> DataFrame:
+    """Cell-blocked k-NN graph: every vector's top-``k`` cosine
+    neighbors WITHIN its coarse cell → (vec_id, label, nbr_id,
+    cos_sim, rank). The batch primitive under SemDeDup-style
+    semantic clustering; candidates come per cell, so join volume is
+    Σ_cells |cell|², never N².
+
+    Two physical paths, one logical result (the
+    embedding_near_dup_pairs pattern):
+      * cells ≤ ``cell_cap``: per-cell applyInPandas — vectors cross
+        the Arrow boundary once per CELL, the n×n score matrix
+        accumulates dimension-sequentially in numpy (the exact fold
+        order of the expression version and the DuckDB oracle — a
+        BLAS matmul would differ in the last ulp), and each row's
+        top-k is a lexsort by (−cos, nbr_id). Peak per task at the
+        cap: two n² double matrices ≈ 270 MB.
+      * cells > ``cell_cap``: expression-fold self-join with a
+        WindowGroupLimit rank ≤ k — unbounded-cell-safe (AQE splits
+        the skew), bit-identical scores, just slower per pair.
+    Neighbor order is (cos_sim DESC, nbr_id) in both paths.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    ret = (
+        "vec_id long, label int, nbr_id long, cos_sim double, rank long"
+    )
+
+    def cell_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "label": pd.Series(dtype="int32"),
+                    "nbr_id": pd.Series(dtype="int64"),
+                    "cos_sim": pd.Series(dtype="float64"),
+                    "rank": pd.Series(dtype="int64"),
+                }
+            )
+        m = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        dot = np.zeros((n, n))
+        sq = np.zeros(n)
+        for d in range(m.shape[1]):  # sequential over dims == fold order
+            col = m[:, d]
+            dot += col[:, None] * col[None, :]
+            sq += col * col
+        norm_ = np.sqrt(sq)
+        cos = dot / (norm_[:, None] * norm_[None, :])
+        np.fill_diagonal(cos, -np.inf)
+        ids = pdf["vec_id"].to_numpy()
+        label = int(pdf["label"].iloc[0])
+        kk = min(k, n - 1)
+        out_v, out_n, out_c, out_r = [], [], [], []
+        for i in range(n):
+            order = np.lexsort((ids, -cos[i]))[:kk]
+            out_v.extend([ids[i]] * kk)
+            out_n.extend(ids[order])
+            out_c.extend(cos[i, order])
+            out_r.extend(range(1, kk + 1))
+        return pd.DataFrame(
+            {
+                "vec_id": np.asarray(out_v, dtype=np.int64),
+                "label": np.full(len(out_v), label, dtype=np.int32),
+                "nbr_id": np.asarray(out_n, dtype=np.int64),
+                "cos_sim": np.asarray(out_c, dtype=np.float64),
+                "rank": np.asarray(out_r, dtype=np.int64),
+            }
+        )
+
+    e = embeddings.select("vec_id", "label", "embedding")
+    sizes = e.groupBy("label").agg(F.count("*").alias("_cell_n"))
+    e = e.join(F.broadcast(sizes), "label")
+
+    fast = (
+        e.filter(F.col("_cell_n") <= cell_cap)
+        .drop("_cell_n")
+        .groupBy("label")
+        .applyInPandas(cell_knn, ret)
+    )
+
+    big = e.filter(F.col("_cell_n") > cell_cap).drop("_cell_n")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nbr_id")
+    )
+    slow = (
+        big.alias("l")
+        .join(
+            big.alias("r"),
+            (F.col("l.label") == F.col("r.label"))
+            & (F.col("l.vec_id") != F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("vec_id"),
+            F.col("l.label").alias("label"),
+            F.col("r.vec_id").alias("nbr_id"),
+            cosine(F.col("l.embedding"), F.col("r.embedding")).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    return fast.unionByName(slow)

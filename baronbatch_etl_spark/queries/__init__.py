@@ -130,6 +130,13 @@ _PRIORITY: tuple[str, ...] = (
     "h_shipmode_priority",
     "a_cms_probe",
     "mm_feature_store",
+    "t_bigram_lm_ppl",
+    "s_maxsim_topk",
+    "a_kmv_overlap",
+    "t_char_entropy",
+    "g_kcore",
+    "s_knn_graph",
+    "st_ttl_dedup",
     # --- tail, stalest-first: r02-last remainder ---
     "a1_dup_finder",
     "a_approx_distinct",

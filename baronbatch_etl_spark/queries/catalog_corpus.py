@@ -253,3 +253,175 @@ def d_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch overlap: the bounded-state estimator
+# next to d_source_overlap's exact grid
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+def _kmv_oracle() -> str:
+    k, p = _KMV_K, X.POLY_P
+    h = X.sql_char_poly_hash("tok")
+    return f"""
+WITH tokset AS (
+    SELECT DISTINCT source, {h} AS hv FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+),
+sk AS (
+    SELECT source, hv FROM (
+        SELECT source, hv,
+               row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+        FROM tokset)
+    WHERE rn <= {k}
+),
+srcs AS (SELECT DISTINCT source FROM sk),
+pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b
+    FROM srcs a JOIN srcs b ON a.source < b.source
+),
+merged AS (
+    SELECT source_a, source_b, hv,
+           max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS in_a,
+           max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS in_b
+    FROM (
+        SELECT p.source_a, p.source_b, s.hv, 0 AS side
+        FROM pairs p JOIN sk s ON s.source = p.source_a
+        UNION ALL
+        SELECT p.source_a, p.source_b, s.hv, 1 AS side
+        FROM pairs p JOIN sk s ON s.source = p.source_b)
+    GROUP BY source_a, source_b, hv
+),
+kept AS (
+    SELECT source_a, source_b, hv, in_a, in_b FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY source_a, source_b ORDER BY hv) AS rn
+        FROM merged)
+    WHERE rn <= {k}
+),
+agg AS (
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS kept_n,
+           CAST(sum(in_a * in_b) AS BIGINT) AS shared,
+           CAST(max(hv) AS BIGINT) AS hk
+    FROM kept GROUP BY source_a, source_b
+)
+SELECT source_a, source_b, shared,
+       CASE WHEN kept_n < {k} THEN CAST(kept_n AS DOUBLE)
+            ELSE ({k - 1}.0::DOUBLE * {p}.0::DOUBLE) / CAST(hk AS DOUBLE)
+       END AS union_est,
+       CAST(shared AS DOUBLE) / CAST(kept_n AS DOUBLE) AS jaccard_est
+FROM agg
+"""
+
+
+@register(
+    "a_kmv_overlap",
+    oracle=_kmv_oracle(),
+    tags=("llm", "corpus", "sketch", "approx"),
+)
+def a_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source overlap from k-minimum-values sketches (Beyer
+    et al. 2007) — the bounded-state estimator beside
+    d_source_overlap's exact shingle grid: each source keeps only its
+    K smallest distinct token hashes, and any pair of sketches yields
+    a distinct-union estimate ((K−1)·P / h_(K) over the merged
+    K-smallest) plus a Jaccard estimate (shared fraction of the
+    merged sketch). HLL (a_hll_union) unions but cannot intersect;
+    KMV gives the intersection family — together they are the two
+    mergeable-cardinality primitives a corpus monitor carries.
+
+    Determinism: hashes are the portable polynomial (integers mod P);
+    the sketch and merged-sketch cuts are integer row_numbers ordered
+    by hash; shared/kept/h_(K) are exact BIGINTs; the two estimates
+    are fixed one-or-two-op IEEE expressions spelled identically in
+    the oracle. Small-union case (|A∪B| < K) degrades to the EXACT
+    distinct count, per the estimator's definition.
+
+    Scale shape: the only corpus-sized work is the (source, token)
+    distinct — one partial-agg exchange (t_tfidf's skeleton). The
+    per-source K-smallest compiles to WindowGroupLimit (every map
+    task pre-trims to K before the exchange); everything after
+    operates on |sources|·K rows — broadcast-sized, the entire point
+    of sketching. At 100 TB per-shard sketches fold by 'merge and
+    re-cut to K', the same mergeable-state contract as the CMS grid
+    and HLL registers.
+    """
+    from pyspark.sql import Window
+
+    k = _KMV_K
+    docs = load_table(spark, sf_dir, "documents")
+    tokset = (
+        docs.select(
+            "source", F.explode(X.tokens("text")).alias("tok")
+        )
+        .select("source", X.char_poly_hash(F.col("tok")).alias("hv"))
+        .distinct()
+    )
+    w_src = Window.partitionBy("source").orderBy("hv")
+    sk = (
+        tokset.withColumn("rn", F.row_number().over(w_src))
+        .filter(F.col("rn") <= k)
+        .select("source", "hv")
+        # sketch feeds the pair grid twice and the source list once —
+        # |sources|·K rows, materialize instead of replaying the
+        # corpus-sized distinct per consumer
+        .localCheckpoint(eager=False)
+    )
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(
+            srcs.alias("b"),
+            F.col("a.source") < F.col("b.source"),
+        )
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+    )
+    side_a = pairs.join(
+        sk.alias("s"), F.col("s.source") == F.col("source_a")
+    ).select("source_a", "source_b", "hv", F.lit(0).alias("side"))
+    side_b = pairs.join(
+        sk.alias("s"), F.col("s.source") == F.col("source_b")
+    ).select("source_a", "source_b", "hv", F.lit(1).alias("side"))
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("source_a", "source_b", "hv")
+        .agg(
+            F.max(F.when(F.col("side") == 0, 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("side") == 1, 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    w_pair = Window.partitionBy("source_a", "source_b").orderBy("hv")
+    agg = (
+        merged.withColumn("rn", F.row_number().over(w_pair))
+        .filter(F.col("rn") <= k)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("kept_n"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("shared"),
+            F.max("hv").alias("hk"),
+        )
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        "shared",
+        F.when(
+            F.col("kept_n") < k, F.col("kept_n").cast("double")
+        )
+        .otherwise(
+            (F.lit(float(k - 1)) * F.lit(float(X.POLY_P)))
+            / F.col("hk").cast("double")
+        )
+        .alias("union_est"),
+        (
+            F.col("shared").cast("double") / F.col("kept_n").cast("double")
+        ).alias("jaccard_est"),
+    )

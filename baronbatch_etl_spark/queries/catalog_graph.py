@@ -512,3 +512,103 @@ def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_nodes"))
         .orderBy("degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core membership: fixed-round degree peel
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def _kcore_peel_ctes(rounds: int, k: int) -> str:
+    # e{i} MATERIALIZED: DuckDB inlines plain CTEs, so an unrolled
+    # 8-round peel would otherwise expand into a tree that re-scans
+    # the lineitem parquet once per reference — thousands of opens
+    # ("Too many open files") and exponential plan text
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+d{i} AS (SELECT s, CAST(count(*) AS BIGINT) AS dg
+         FROM e{i - 1} GROUP BY s),
+a{i} AS (SELECT s FROM d{i} WHERE dg >= {k}),
+e{i} AS MATERIALIZED (
+    SELECT e.s, e.d FROM e{i - 1} e
+    JOIN a{i} x ON e.s = x.s
+    JOIN a{i} y ON e.d = y.s
+)""")
+    return ",".join(parts)
+
+
+@register(
+    "g_kcore",
+    oracle=f"""
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pe AS (
+    SELECT o1.l_partkey AS a, o2.l_partkey AS b
+    FROM op o1 JOIN op o2
+      ON o1.l_orderkey = o2.l_orderkey
+     AND o1.l_partkey < o2.l_partkey
+    GROUP BY o1.l_partkey, o2.l_partkey
+    HAVING count(*) >= 2
+),
+e0 AS MATERIALIZED (
+    SELECT a AS s, b AS d FROM pe
+    UNION ALL
+    SELECT b AS s, a AS d FROM pe
+),
+{_kcore_peel_ctes(_KCORE_ROUNDS, _KCORE_K)}
+SELECT s AS node, CAST(count(*) AS BIGINT) AS degree
+FROM e{_KCORE_ROUNDS}
+GROUP BY s
+""",
+    tags=("graph", "iterative"),
+)
+def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core (k = 3) of the frequent co-purchase graph by
+    fixed-round degree peeling: repeatedly drop nodes with degree
+    < k and the edges they carry — the classic dense-subgraph
+    extractor (spam-farm / boilerplate-ring detection on host link
+    graphs; Batagelj–Zaveršnik is the sequential form, iterated
+    peel is the distributed one). Semantics are pinned as EXACTLY
+    ``_KCORE_ROUNDS`` peel rounds — deterministic on any input even
+    where the peel hasn't converged — and the oracle unrolls the
+    identical rounds; on the fixtures the peel reaches its fixpoint
+    well inside the budget (tests/test_graph.py asserts one more
+    round changes nothing), so the output IS the true k-core there.
+
+    Scale shape: each round is one degree partial-agg plus two
+    left-semi joins against the shrinking alive set — node-sized
+    frames move, the edge list only ever shrinks, and a lazy
+    localCheckpoint per round truncates the growing lineage (the
+    connected-components pattern). Peel-round count on real graphs
+    is small (degeneracy ordering converges fast); the fixed budget
+    makes cost predictable at 100 TB instead of data-dependent.
+    """
+    base = _frequent_copurchase_edges(spark, sf_dir)
+    edges = (
+        base.select(F.col("a").alias("s"), F.col("b").alias("d"))
+        .unionByName(
+            base.select(F.col("b").alias("s"), F.col("a").alias("d"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_KCORE_ROUNDS):
+        alive = (
+            edges.groupBy("s")
+            .agg(F.count("*").alias("dg"))
+            .filter(F.col("dg") >= _KCORE_K)
+            .select("s")
+        )
+        edges = (
+            edges.join(alive, "s", "left_semi")
+            .join(alive.withColumnRenamed("s", "d"), "d", "left_semi")
+            .select("s", "d")
+            .localCheckpoint(eager=False)
+        )
+    return edges.groupBy(F.col("s").alias("node")).agg(
+        F.count("*").cast("long").alias("degree")
+    )

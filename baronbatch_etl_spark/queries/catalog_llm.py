@@ -15,6 +15,7 @@ from baronbatch_etl_spark.functions.scalars import round_half_up
 from baronbatch_etl_spark.io import load_table, spread
 from baronbatch_etl_spark.operators import dedup as D
 from baronbatch_etl_spark.operators.fast_text import (
+    char_entropy_fast,
     make_cdc_chunks_udf,
     word_bigrams_fast,
 )
@@ -2639,3 +2640,311 @@ def mm_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("features_csv"),
     )
     return feats.join(M.payload_fingerprints(media), "media_id")
+
+
+@register(
+    "t_bigram_lm_ppl",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+    SELECT doc_id, u.a AS a, u.ab AS ab FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len(t) - 1),
+                   i -> {'a': t[i+1],
+                         'ab': concat(t[i+1], ' ', t[i+2])})) AS u
+        FROM t WHERE len(t) >= 2)
+),
+lm AS (SELECT a, ab, CAST(count(*) AS BIGINT) AS c_ab
+       FROM bg GROUP BY a, ab),
+pre AS (SELECT a, CAST(count(*) AS BIGINT) AS c_a FROM bg GROUP BY a),
+sc AS (SELECT ab, CAST(length(bin(c_a // c_ab)) AS BIGINT) AS surp
+       FROM lm JOIN pre USING (a))
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(surp) AS BIGINT) AS surprisal,
+       CAST(sum(surp) AS DOUBLE) / count(*) AS ppl_proxy
+FROM bg JOIN sc USING (ab)
+GROUP BY bg.doc_id
+""",
+    tags=("llm", "text", "quality", "lm"),
+)
+def t_bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity proxy — the KenLM-shaped quality filter
+    (CCNet trains a 5-gram LM and keeps low-perplexity docs; this is
+    the same signal one order up from t_perplexity_bucket's unigram):
+    score every document by the mean conditional surprisal of its
+    bigram stream under the corpus's own bigram model.
+
+    Integer-exact conditional surprisal: with c(ab) = corpus bigram
+    occurrences and c(a) = occurrences of ``a`` as a bigram PREFIX
+    (so Σ_b c(ab) = c(a) exactly — the true MLE denominator),
+    surprisal(b|a) = ⌊log2(c(a)/c(ab))⌋ + 1 = length(bin(c_a div
+    c_ab)) ≥ 1 — no libm log anywhere; per-doc totals are BIGINT
+    sums; ONE final IEEE division per doc. Docs under 2 tokens have
+    no bigram stream and drop out (both engines).
+
+    Scale shape: one bigram explode feeds two partial aggs (the LM
+    and its prefix marginals) whose join is vocabulary-sized and
+    happens BEFORE touching document rows again; docs then join the
+    scored LM bigram-keyed and reduce per doc_id — the t_tfidf /
+    t_dsir_affinity two-exchange skeleton with the heavy join on the
+    agg, not the corpus. At 100 TB the scored-LM table is the only
+    thing that needs to be broadcast-or-bucketed, and it is
+    vocab²-bounded, df-capped in practice.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        spread(docs)
+        .select("doc_id", X.tokens("text").alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2), i -> struct("
+                    "element_at(t, i + 1) AS a, "
+                    "concat(element_at(t, i + 1), ' ', "
+                    "element_at(t, i + 2)) AS ab))"
+                )
+            ).alias("u"),
+        )
+        .select("doc_id", "u.a", "u.ab")
+    )
+    lm = bg.groupBy("a", "ab").agg(F.count("*").alias("c_ab"))
+    pre = bg.groupBy("a").agg(F.count("*").alias("c_a"))
+    sc = lm.join(pre, "a").select(
+        "ab",
+        F.length(F.bin(F.expr("c_a div c_ab"))).cast("long").alias("surp"),
+    )
+    return (
+        bg.join(sc, "ab")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("surp").alias("surprisal"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "surprisal",
+            (
+                F.col("surprisal").cast("double") / F.col("n_bigrams")
+            ).alias("ppl_proxy"),
+        )
+    )
+
+
+_MAXSIM_T = 4  # token sub-vectors per 64-dim embedding
+_MAXSIM_D = 16  # dims per sub-vector
+
+
+def _maxsim_sub_sql() -> str:
+    return (
+        f"unnest(list_transform(range(0, {_MAXSIM_T}), p -> "
+        f"{{'pos': p, 'sv': list_slice(embedding, p * {_MAXSIM_D} + 1, "
+        f"(p + 1) * {_MAXSIM_D})}}))"
+    )
+
+
+@register(
+    "s_maxsim_topk",
+    oracle=f"""
+WITH sub AS (
+    SELECT vec_id, label, u.pos AS pos, u.sv AS sv FROM (
+        SELECT vec_id, label, {_maxsim_sub_sql()} AS u FROM embeddings)
+),
+q AS (SELECT pos AS qpos, sv AS qv FROM sub WHERE vec_id = 0),
+d AS (SELECT vec_id, label, sv AS dv FROM sub WHERE vec_id <> 0),
+scored AS (
+    SELECT d.vec_id, d.label, q.qpos,
+           CAST(floor({S.sql_cosine("d.dv", "q.qv")} * 1e9 + 0.5)
+                AS BIGINT) AS qc
+    FROM d, q
+),
+per_qt AS (
+    SELECT vec_id, label, qpos, max(qc) AS m
+    FROM scored GROUP BY vec_id, label, qpos
+),
+tot AS (
+    SELECT vec_id, label, CAST(sum(m) AS BIGINT) AS s
+    FROM per_qt GROUP BY vec_id, label
+)
+SELECT vec_id, label, CAST(s AS DOUBLE) / 1e9 AS maxsim
+FROM tot
+ORDER BY maxsim DESC, vec_id
+LIMIT 20
+""",
+    tags=("llm", "similarity", "late-interaction"),
+)
+def s_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia
+    2020): document and query are SETS of token vectors and the score
+    is MaxSim — Σ over query tokens of the max cosine against any
+    document token. Single-vector cosine (s_cosine_topk) collapses a
+    document to one point; MaxSim keeps per-token granularity, the
+    retrieval form modern rerankers use. The fixture carries one
+    64-dim vector per id, so token vectors are its 4 contiguous
+    16-dim slices — a fixed row-local reshape; with true multi-vector
+    data only the slicing line changes.
+
+    Determinism: each pairwise cosine is the shared sequential DOUBLE
+    fold (bit-identical across engines), quantized to 1e9 fixed point
+    BEFORE max/sum — quantize-then-max equals max-then-quantize
+    (monotone), and the per-doc total is an exact BIGINT sum of
+    ``_MAXSIM_T`` integers, so no accumulation-order dependence; ONE
+    final division scales back to double.
+
+    Scale shape: the query's token vectors are a broadcast constant
+    (T·D scalars); doc-token expansion is a row-local explode (×T
+    rows, never shuffled with payloads); the per-(doc, qtoken) max
+    and per-doc sum are two partial aggs on the doc key — map-side
+    combinable, one exchange. Top-k is TakeOrderedAndProject. At
+    100 TB this is a scan-shaped rerank over a candidate set; the
+    full-corpus form runs after an ANN candidate cut (s_ivf_topk),
+    exactly how ColBERT deployments stage it.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    subs = F.array(
+        *[
+            F.slice("embedding", p * _MAXSIM_D + 1, _MAXSIM_D)
+            for p in range(_MAXSIM_T)
+        ]
+    )
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.posexplode(subs).alias("qpos", "qv"))
+    )
+    d = (
+        spread(emb.filter(F.col("vec_id") != 0))
+        .select("vec_id", "label", F.explode(subs).alias("dv"))
+    )
+    qc = F.floor(
+        S.cosine(F.col("dv"), F.col("qv")) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    return (
+        d.crossJoin(F.broadcast(q))
+        .select("vec_id", "label", "qpos", qc.alias("qc"))
+        .groupBy("vec_id", "label", "qpos")
+        .agg(F.max("qc").alias("m"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("m").alias("s"))
+        .select(
+            "vec_id",
+            "label",
+            (F.col("s").cast("double") / F.lit(1e9)).alias("maxsim"),
+        )
+        .orderBy(F.col("maxsim").desc(), "vec_id")
+        .limit(20)
+    )
+
+
+@register(
+    "t_char_entropy",
+    oracle="""
+WITH ch AS (
+    SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+),
+cnt AS (
+    SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n_c
+    FROM ch GROUP BY doc_id, c
+),
+tot AS (
+    SELECT doc_id, CAST(sum(n_c) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_distinct
+    FROM cnt GROUP BY doc_id
+)
+SELECT t.doc_id,
+       t.n AS n_chars,
+       t.n_distinct,
+       CAST(sum(n_c * length(bin(t.n // n_c))) AS BIGINT) AS surprisal,
+       CAST(sum(n_c * length(bin(t.n // n_c))) AS DOUBLE) / t.n
+           AS entropy_proxy
+FROM cnt JOIN tot t USING (doc_id)
+GROUP BY t.doc_id, t.n, t.n_distinct
+""",
+    tags=("llm", "text", "quality"),
+)
+def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy proxy — the gibberish/spam axis
+    of the C4/Gopher rule family: binary-ish blobs and random noise
+    score HIGH (flat char distribution), single-char/whitespace spam
+    scores at the 1-bit floor, natural text sits in a narrow band.
+    Integer-exact: surprisal = Σ_c n_c·(⌊log2(n/n_c)⌋+1) over the
+    doc's own char counts (length(bin(..)) — no libm), one final IEEE
+    division for the per-char rate. Empty docs have no distribution
+    and drop out (both engines).
+
+    Scale shape: ROW-LOCAL — the whole signal folds inside one Arrow
+    pass (operators/fast_text.char_entropy_fast); zero shuffle at any
+    corpus size, unlike the token-keyed LM scores (t_perplexity_
+    bucket / t_bigram_lm_ppl) this complements. The oracle spells the
+    identical arithmetic relationally (per-char unnest + two aggs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        spread(docs)
+        .select("doc_id", char_entropy_fast(F.col("text")).alias("e"))
+        .filter(F.col("e.n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("e.n_chars").alias("n_chars"),
+            F.col("e.n_distinct").alias("n_distinct"),
+            F.col("e.surprisal").alias("surprisal"),
+            (
+                F.col("e.surprisal").cast("double") / F.col("e.n_chars")
+            ).alias("entropy_proxy"),
+        )
+    )
+
+
+_KNN_K = 5
+
+
+@register(
+    "s_knn_graph",
+    oracle=f"""
+WITH scored AS (
+    SELECT l.vec_id, l.label, r.vec_id AS nbr_id,
+           {S.sql_cosine("l.embedding", "r.embedding")} AS cos_sim
+    FROM embeddings l JOIN embeddings r
+      ON l.label = r.label AND l.vec_id <> r.vec_id
+)
+SELECT vec_id, label, nbr_id, cos_sim, rank FROM (
+    SELECT vec_id, label, nbr_id, cos_sim,
+           CAST(row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id
+           ) AS BIGINT) AS rank
+    FROM scored)
+WHERE rank <= {_KNN_K}
+""",
+    tags=("llm", "similarity", "graph"),
+)
+def s_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-blocked k-NN graph over the whole embedding table — every
+    vector's top-k cosine neighbors WITHIN its coarse cell (`label` =
+    the IVF cell id, as in s_ivf_topk). This is the batch primitive
+    under SemDeDup-style semantic clustering and kNN-graph spectral
+    methods: not one query against the corpus (s_batch_topk) but the
+    corpus against itself, made tractable by refusing the all-pairs
+    join — candidates are generated per cell, so the join volume is
+    Σ_cells |cell|², not N².
+
+    Determinism: scores accumulate dimension-sequentially in BOTH
+    physical paths (numpy per-cell loop / expression fold — the
+    embedding_near_dup_pairs bit-parity trick), so they match each
+    other and the oracle exactly; neighbor order is (cos_sim DESC,
+    nbr_id) — a unique tiebreak, the proven s_batch_topk discipline.
+
+    Scale shape (operators/similarity.py::knn_graph): cells ≤ cap
+    score as ONE Arrow pass per cell (vectors cross the Python
+    boundary once per cell, the n² matrix folds in numpy — the
+    interpreted higher-order-function fold was 20× slower at the 10×
+    upsample); oversized cells fall back to the expression-fold
+    self-join whose rank ≤ k compiles to WindowGroupLimit. At 100 TB
+    the cell width is the recall/cost dial (train more centroids →
+    smaller cells); multi-probe = union over adjacent cells; the
+    graph build stays Σ|cell|² with k·N output either way.
+    """
+    return S.knn_graph(
+        load_table(spark, sf_dir, "embeddings"), k=_KNN_K
+    )

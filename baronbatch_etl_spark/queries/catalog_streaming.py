@@ -195,3 +195,68 @@ def st_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value"
     )
     return ev.unionByName(ev).dropDuplicates(["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# TTL debounce (batch twin of streaming/stateful.py::ttl_debounce)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "st_ttl_dedup",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+    FROM events
+),
+g AS (
+    SELECT user_id, event_type, ts_us, event_id,
+           lag(ts_us) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts_us, event_id
+           ) AS prev
+    FROM e
+)
+SELECT user_id, event_type, ts_us, event_id
+FROM g
+WHERE prev IS NULL OR ts_us - prev >= 1800000000
+""",
+    tags=("streaming", "dedup", "stateful"),
+)
+def st_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL debounce, batch form: keep an event iff its (user, type)
+    key was quiet for >= 30 min before it — alert throttling /
+    re-crawl suppression semantics. Every arrival (kept or not)
+    re-arms the timer, so this is exactly the lag-gap filter; the
+    LIVE form (streaming/stateful.py::ttl_debounce) folds the same
+    rule through applyInPandasWithState with an EventTimeTimeout
+    that EVICTS quiet keys — the one stateful op here whose state is
+    bounded by construction (multibatch equivalence pinned in
+    tests/test_stateful_streaming.py).
+
+    Scale shape: one key-partitioned window (lag needs no frame
+    buffer), no joins; the streaming twin's state is one BIGINT per
+    ACTIVE key, the difference between a state store that grows with
+    traffic and one that grows with history.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    from baronbatch_etl_spark.streaming.stateful import TTL_US
+
+    return (
+        ev.withColumn("prev", F.lag("ts_us").over(w))
+        .filter(
+            F.col("prev").isNull() | (F.col("ts_us") - F.col("prev") >= TTL_US)
+        )
+        .select("user_id", "event_type", "ts_us", "event_id")
+    )

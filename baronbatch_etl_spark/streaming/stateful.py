@@ -131,3 +131,96 @@ def funnel_progress(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# TTL debounce: admit an event only if the key has been quiet >= ttl
+# ---------------------------------------------------------------------------
+
+TTL_OUTPUT_SCHEMA = "user_id LONG, event_type STRING, ts_us LONG, event_id LONG"
+TTL_STATE_SCHEMA = "last_seen_us LONG"
+
+#: debounce quiet period (microseconds): 30 minutes
+TTL_US = 30 * 60 * 1_000_000
+
+
+def _update_ttl(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # the key has been quiet past the TTL horizon: its state can
+        # never reject a future event again — evict it. Output is
+        # untouched (admission is decided in-band below), so WHEN the
+        # engine fires this cleanup cannot change results — it only
+        # bounds state size.
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "event_type": pd.Series(dtype="object"),
+                "ts_us": pd.Series(dtype="int64"),
+                "event_id": pd.Series(dtype="int64"),
+            }
+        )
+        return
+    (last,) = state.get if state.exists else (None,)
+    chunks = list(pdfs)
+    pdf = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    admitted = []
+    if len(pdf):
+        # whole-group sort (the _update_funnel lesson: per-chunk sort
+        # is not a total order)
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ts, eid in zip(pdf["ts_us"], pdf["event_id"]):
+            ts = int(ts)
+            if last is None or ts - last >= TTL_US:
+                admitted.append((ts, int(eid)))
+            last = ts  # debounce: ANY event re-arms the quiet timer
+    if last is not None:
+        state.update((last,))
+        # state eviction when the key stays quiet past TTL: event-time
+        # timeout at last_seen + TTL (clamped above the current
+        # watermark, which Spark requires of timeout timestamps)
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max(last // 1000 + TTL_US // 1000, wm + 1)
+        )
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(admitted),
+            "event_type": [key[1]] * len(admitted),
+            "ts_us": [a[0] for a in admitted],
+            "event_id": [a[1] for a in admitted],
+        }
+    )
+
+
+def ttl_debounce(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming TTL debounce — admit an event for (user, type) only
+    when that key has been quiet for >= TTL_US; every arrival (admitted
+    or not) re-arms the timer. The live form of alert throttling /
+    re-crawl suppression. Admission is decided IN-BAND from the stored
+    last-seen timestamp, so results are independent of when the engine
+    fires timeouts; EventTimeTimeout only EVICTS state for keys quiet
+    past the horizon — at 100 TB the state store holds active keys,
+    not every key ever seen (the unbounded-state leak NoTimeout ops
+    accept). Batch twin: st_ttl_dedup (lag-gap fold); equivalence is
+    pinned in tests/test_stateful_streaming.py. Cross-batch stragglers
+    follow admission-order semantics (the funnel_progress contract).
+    """
+    keyed = events.withWatermark("ts", watermark).select(
+        "user_id",
+        "event_type",
+        F.col("ts"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    return keyed.groupBy("user_id", "event_type").applyInPandasWithState(
+        _update_ttl,
+        outputStructType=TTL_OUTPUT_SCHEMA,
+        stateStructType=TTL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

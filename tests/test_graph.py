@@ -266,3 +266,42 @@ def test_triangle_stats_empty_graph_zeroes(spark):
     assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
         0, 0, 0, 0,
     )
+
+
+def test_kcore_fixed_rounds_reach_fixpoint(spark, sf_dir):
+    """g_kcore pins semantics to _KCORE_ROUNDS peel rounds; on the
+    fixtures the peel must have CONVERGED inside that budget (one
+    more round changes nothing), so the output is the true k-core,
+    and every surviving node has degree >= k by definition."""
+    from baronbatch_etl_spark.queries import catalog_graph as CG
+
+    out = {
+        (r.node, r.degree)
+        for r in CG.g_kcore(spark, sf_dir).collect()
+    }
+    assert all(d >= CG._KCORE_K for _, d in out)
+    # one extra round: same survivors, same degrees
+    base = CG._frequent_copurchase_edges(spark, sf_dir)
+    edges = base.select(
+        F.col("a").alias("s"), F.col("b").alias("d")
+    ).unionByName(base.select(F.col("b").alias("s"), F.col("a").alias("d")))
+    for _ in range(CG._KCORE_ROUNDS + 1):
+        alive = (
+            edges.groupBy("s")
+            .agg(F.count("*").alias("dg"))
+            .filter(F.col("dg") >= CG._KCORE_K)
+            .select("s")
+        )
+        edges = (
+            edges.join(alive, "s", "left_semi")
+            .join(alive.withColumnRenamed("s", "d"), "d", "left_semi")
+            .select("s", "d")
+            .localCheckpoint(eager=False)
+        )
+    more = {
+        (r.node, r.degree)
+        for r in edges.groupBy(F.col("s").alias("node"))
+        .agg(F.count("*").cast("long").alias("degree"))
+        .collect()
+    }
+    assert more == out

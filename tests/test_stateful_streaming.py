@@ -229,3 +229,59 @@ def test_funnel_fold_is_chunk_order_invariant():
     st = FakeState()
     out = list(_update_funnel((7,), iter([]), st))
     assert int(out[0]["stage"].iloc[0]) == 0
+
+
+def test_ttl_debounce_matches_batch_lag_fold(spark, sf_dir, tmp_path):
+    """In-order micro-batches through ttl_debounce must admit exactly
+    the rows the batch lag-gap fold (st_ttl_dedup) keeps — TTL
+    debounce is prefix-decomposable, so streaming state carried
+    across batches reproduces the batch answer row-for-row. Also
+    exercises the EventTimeTimeout eviction path end-to-end (the
+    only stateful op here with bounded state)."""
+    from baronbatch_etl_spark.queries import load_all
+    from baronbatch_etl_spark.streaming.stateful import ttl_debounce
+
+    reg = load_all()
+    want = {
+        (r.user_id, r.event_type, r.ts_us, r.event_id)
+        for r in reg["st_ttl_dedup"].fn(spark, sf_dir).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events").orderBy("ts", "event_id")
+    rows = ev.collect()
+    src = str(tmp_path / "src")
+    shutil.os.makedirs(src)
+    n = len(rows)
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    for i in range(4):
+        chunk = rows[cuts[i]:cuts[i + 1]]
+        (
+            spark.createDataFrame(chunk, ev.schema)
+            .withColumn("ts", F.unix_micros("ts") * 1000)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{src}/stage_{i}")
+        )
+        for f in glob.glob(f"{src}/stage_{i}/part-*.parquet"):
+            shutil.copy(f, f"{src}/f{i}.parquet")
+
+    stream = ops.stream_events(spark, src, glob="f*.parquet")
+    q = (
+        ttl_debounce(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ttl_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+        assert len(q.recentProgress) >= 4
+    finally:
+        q.stop()
+
+    got = {
+        (r.user_id, r.event_type, r.ts_us, r.event_id)
+        for r in spark.sql("SELECT * FROM ttl_out").collect()
+    }
+    assert got == want

@@ -40,12 +40,16 @@ CROSS_OK = {
     # per-source sizes — sources are a catalog dimension (thousands at
     # most), the pair grid is the QUERY's own output granularity
     "d_source_overlap",
+    # same |sources|² grid, over broadcast K-row KMV sketches
+    "a_kmv_overlap",
     # Q22: the avg-acctbal scalar subquery attach sits behind a Filter,
     # so the keyless-HashAggregate child probe can't see it — still a
     # provably 1-row broadcast
     "h_dormant_customers",
     # 1-row norm-augmented query vector broadcast (the s_pq_recall shape)
     "s_mips_topk",
+    # T-row (4) query token-vector broadcast scores doc tokens map-side
+    "s_maxsim_topk",
     # bounded anchor/query set broadcast scores the corpus map-side
     "s_hard_negatives",
     # 3-row quantile-literal frame non-equi-attached to the ranked
