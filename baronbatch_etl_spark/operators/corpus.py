@@ -212,3 +212,89 @@ def hourly_zscores(
         .orderBy(F.abs("zscore").desc(), "event_type", "hour")
         .limit(top)
     )
+
+
+def kmv_source_overlap(docs: DataFrame, k: int = 64) -> DataFrame:
+    """Pairwise source overlap from k-minimum-values sketches (Beyer
+    et al. 2007): per source keep the ``k`` smallest distinct token
+    hashes; any sketch pair yields a distinct-union estimate
+    ((k−1)·P / h_(k) over the merged k-smallest) and a Jaccard
+    estimate (shared fraction of the merged sketch). Small unions
+    (|A∪B| < k) degrade to the EXACT distinct count per the
+    estimator's definition. All cuts are integer row_numbers over
+    the portable polynomial hash; the two estimates are fixed IEEE
+    expressions (see the a_kmv_overlap oracle, which spells them
+    identically).
+
+    Scale: the only corpus-sized work is the (source, token)
+    distinct; the per-source k-smallest compiles to WindowGroupLimit;
+    everything downstream is |sources|·k rows. Sketches are
+    mergeable state: per-shard sketches fold by merge-and-recut.
+    """
+    from pyspark.sql import Window
+
+    from baronbatch_etl_spark.operators import text as X
+
+    tokset = (
+        docs.select("source", F.explode(X.tokens("text")).alias("tok"))
+        .select("source", X.char_poly_hash(F.col("tok")).alias("hv"))
+        .distinct()
+    )
+    w_src = Window.partitionBy("source").orderBy("hv")
+    sk = (
+        tokset.withColumn("rn", F.row_number().over(w_src))
+        .filter(F.col("rn") <= k)
+        .select("source", "hv")
+        # the sketch feeds the pair grid twice and the source list
+        # once — |sources|·k rows, materialize instead of replaying
+        # the corpus-sized distinct per consumer
+        .localCheckpoint(eager=False)
+    )
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+    )
+    side_a = pairs.join(
+        sk.alias("s"), F.col("s.source") == F.col("source_a")
+    ).select("source_a", "source_b", "hv", F.lit(0).alias("side"))
+    side_b = pairs.join(
+        sk.alias("s"), F.col("s.source") == F.col("source_b")
+    ).select("source_a", "source_b", "hv", F.lit(1).alias("side"))
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("source_a", "source_b", "hv")
+        .agg(
+            F.max(F.when(F.col("side") == 0, 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("side") == 1, 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    w_pair = Window.partitionBy("source_a", "source_b").orderBy("hv")
+    agg = (
+        merged.withColumn("rn", F.row_number().over(w_pair))
+        .filter(F.col("rn") <= k)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("kept_n"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("shared"),
+            F.max("hv").alias("hk"),
+        )
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        "shared",
+        F.when(F.col("kept_n") < k, F.col("kept_n").cast("double"))
+        .otherwise(
+            (F.lit(float(k - 1)) * F.lit(float(POLY_P)))
+            / F.col("hk").cast("double")
+        )
+        .alias("union_est"),
+        (
+            F.col("shared").cast("double") / F.col("kept_n").cast("double")
+        ).alias("jaccard_est"),
+    )

@@ -137,6 +137,7 @@ _PRIORITY: tuple[str, ...] = (
     "g_kcore",
     "s_knn_graph",
     "st_ttl_dedup",
+    "d_cluster_canonical",
     # --- tail, stalest-first: r02-last remainder ---
     "a1_dup_finder",
     "a_approx_distinct",

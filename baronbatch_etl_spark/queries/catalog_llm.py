@@ -2948,3 +2948,88 @@ def s_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_graph(
         load_table(spark, sf_dir, "embeddings"), k=_KNN_K
     )
+
+
+@register(
+    "d_cluster_canonical",
+    oracle=f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION
+    SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(s, d) AS (
+    SELECT s, d FROM edges
+    UNION
+    SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    WHERE e.d <> r.s
+),
+comp AS (
+    SELECT s AS doc_id, least(s, min(d)) AS component
+    FROM reach GROUP BY s
+),
+q AS (
+    SELECT doc_id,
+           least(1.0, n_chars / 400.0)
+             * (1.0 - least(1.0,
+                 CASE WHEN len(string_split(text, ' ')) > 0
+                      THEN len(list_filter(string_split(text, ' '),
+                           x -> x IN ('the','a','and','of','to','in'))) * 1.0
+                           / len(string_split(text, ' '))
+                      ELSE 0.0 END * 2.0)) AS quality
+    FROM documents
+),
+ranked AS (
+    SELECT c.component, c.doc_id, q.quality,
+           row_number() OVER (
+               PARTITION BY c.component
+               ORDER BY q.quality DESC, c.doc_id) AS rn,
+           CAST(count(*) OVER (PARTITION BY c.component) AS BIGINT) AS csize
+    FROM comp c JOIN q USING (doc_id)
+)
+SELECT component, doc_id AS canonical_doc, csize, quality
+FROM ranked WHERE rn = 1
+""",
+    tags=("llm", "dedup", "curation"),
+)
+def d_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster survivorship: for every near-dup cluster, the member a
+    production pipeline KEEPS — the highest-quality document, not the
+    min-id one (d_dup_clusters' keep-min contract is the bookkeeping
+    form; real curation keeps the best copy and drops its mirrors).
+    One row per cluster: (component, canonical_doc, csize, quality).
+    Ranking key is the proven quality twin (t_domain_quota ranks on
+    the identical expression, hash-green) with the doc_id tiebreak.
+
+    Scale shape: the pair graph is LSH-banded (never all-pairs);
+    components move node-sized frames (operators/dedup.py); the
+    quality join and the pick-one window run over CLUSTERED docs only
+    — pair-bounded, a vanishing fraction of the corpus. The rn = 1
+    cut compiles to WindowGroupLimit.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = D.connected_components(
+        D.minhash_lsh_pairs(docs, threshold=0.8)
+    ).withColumnRenamed("node", "doc_id")
+    qual = docs.select(
+        "doc_id", X.quality_score("text", "n_chars").alias("quality")
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    ws = Window.partitionBy("comp")
+    return (
+        comp.join(qual, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("csize", F.count("*").over(ws).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("comp").alias("component"),
+            F.col("doc_id").alias("canonical_doc"),
+            "csize",
+            "quality",
+        )
+    )
