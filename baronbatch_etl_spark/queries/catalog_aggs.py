@@ -414,8 +414,8 @@ WITH p AS (
     FROM orders
 )
 SELECT bucket,
-       bucket * 25000.0 AS lo,
-       (bucket + 1) * 25000.0 AS hi,
+       (bucket * 25000.0)::DOUBLE AS lo,
+       ((bucket + 1) * 25000.0)::DOUBLE AS hi,
        CAST(count(*) AS BIGINT) AS n
 FROM p GROUP BY bucket
 """,

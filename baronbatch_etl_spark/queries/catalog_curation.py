@@ -211,13 +211,13 @@ agg AS (
     FROM flag
 )
 SELECT source, avail AS avail_tokens,
-       CASE WHEN capped THEN avail
+       CAST(CASE WHEN capped THEN avail
             ELSE least(avail,
                 (budget - sum_capped) // greatest(n - n_capped, 1)
                 + CASE WHEN urank <=
                        (budget - sum_capped) % greatest(n - n_capped, 1)
                        THEN 1 ELSE 0 END)
-       END AS alloc_tokens,
+       END AS BIGINT) AS alloc_tokens,
        capped
 FROM agg
 """,

@@ -1531,7 +1531,7 @@ WITH px AS (
 SELECT doc_id AS media_id,
        list_sum(list_transform(range(0, 56), k ->
            CASE WHEN cells[k + 1] > list_sum(cells) / 56.0
-                THEN (1::BIGINT << k) ELSE 0::BIGINT END)) AS ahash
+                THEN (1::BIGINT << k) ELSE 0::BIGINT END))::BIGINT AS ahash
 FROM px
 """,
     tags=("llm", "multimodal", "image", "fingerprint"),

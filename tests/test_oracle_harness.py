@@ -46,3 +46,49 @@ def test_float_cells_compare_at_repr_exactness():
 def test_list_cells_hash_without_crashing():
     h = co._hash_rows(["a"], [([1, 2],)])
     assert h != co._hash_rows(["a"], [([2, 1],)])  # order inside matters
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide oracle output-type lint (round-5 verdict item 2).
+#
+# The driver's fetch path coerces DuckDB types the way fetchdf() does:
+# HUGEINT (int128) and wide DECIMAL become float64, losing integer
+# exactness above 2^53 — exactly what hash-failed mm_pixel_ahash and
+# t_mixture_plan in round 5 while this repo's fetchall()-based gate
+# stayed green. Every oracle projection must therefore resolve to a
+# driver-safe type; anything outside the allowlist needs an explicit
+# ::BIGINT / ::DOUBLE cast at the oracle's top-level SELECT.
+# ---------------------------------------------------------------------------
+
+_DRIVER_SAFE_TYPES = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "UBIGINT", "UINTEGER",
+    "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP",
+}
+
+
+def test_every_oracle_output_type_is_driver_safe(sf_dir):
+    import duckdb
+
+    from baronbatch_etl_spark.io import TABLES, table_path
+    from baronbatch_etl_spark.queries import load_all
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{table_path(sf_dir, t)}')"
+        )
+    offenders = []
+    for name, spec in load_all().items():
+        sql = getattr(spec, "oracle", None)
+        if not sql:
+            continue
+        for col, typ, *_ in con.execute(
+            f"DESCRIBE SELECT * FROM ({sql}) _q"
+        ).fetchall():
+            if typ not in _DRIVER_SAFE_TYPES:
+                offenders.append((name, col, typ))
+    assert not offenders, (
+        "oracle columns with driver-fragile DuckDB types (add an "
+        f"explicit cast in the oracle SQL): {offenders}"
+    )
