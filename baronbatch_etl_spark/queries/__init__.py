@@ -56,94 +56,45 @@ def register(
 
 # Registry iteration order. External checkers run the catalog front to
 # back under a bounded per-run budget (~50 queries; exactly 50 in
-# rounds 3 and 4). Round-5 goal (the round-4 verdict's #1 item): the
-# 49 queries added mid/late round 4 have NO driver CORRECTNESS row
-# ever — they lead the window, in their round-4 registration order.
-# Slot 50 is mm_features, kept in-window per the standing round-3/-4
-# advice (the catalog's only driver-checked exerciser of the
-# mapInPandas/Arrow Python-worker path; the verdict's alternative
-# slot-50 picks p1/p2 are trivial plan-asserted projections whose
-# scan/project machinery every other window query re-exercises — they
-# park at 51-52, the first overflow slots, and re-enter the r6
-# window). The tail is ordered stalest-first (r02-last, then r03-last,
-# then the r04-refreshed rows) so a driver that runs past 50 still
-# refreshes the oldest rows first. tests/test_registry.py re-derives
-# this invariant from the CORRECTNESS_r0*.json files on disk so the
-# rotation can't silently rot.
+# rounds 3-5). Round-6 goal (the round-5 verdict's #3 item): lead with
+# the two r5 hash-fails (now fixed — HUGEINT oracle casts), then the
+# 11 round-5 registrations that have no driver row yet, then
+# mm_features (standing advice), then every r1/r2-stale row. With that
+# rotation every registry row will have been driver-checked within the
+# last four rounds. tests/test_registry.py re-derives the invariant
+# from the CORRECTNESS_r0*.json files on disk so it can't silently
+# rot.
 _PRIORITY: tuple[str, ...] = (
-    # --- r5 window (50): 49 never-driver-checked + mm_features ---
-    "mm_audio_stats",
-    "mm_resize_stats",
+    # --- r6 window (50) ---
+    # 1-2: the two r5 hash-fails, re-led post-fix (HUGEINT oracle
+    # casts landed this round; see tests/test_oracle_harness.py)
     "mm_pixel_ahash",
     "t_mixture_plan",
-    "h_order_count_distribution",
-    "h_waiting_suppliers",
-    "h_dormant_customers",
-    "t_weighted_sample",
-    "w_funnel",
-    "w_cohort_retention",
-    "w_event_transitions",
-    "t_domain_quota",
-    "t_split_leakage_safe",
-    "t_perplexity_bucket",
-    "t_source_entropy",
-    "s_mips_topk",
-    "s_pq_codes",
-    "s_pq_adc_topk",
-    "g_pagerank",
-    "s_ivfpq_topk",
-    "w_rfm_segment",
-    "g_hits",
-    "s_pq_recall",
-    "w_peak_concurrency",
-    "j_interval_overlap",
-    "w_m4_downsample",
-    "w_attribution",
-    "a_value_histogram",
-    "a_gini_concentration",
-    "g_pagerank_weighted",
-    "g_triangle_count",
-    "a_basket_pairs",
-    "h_market_share",
-    "w_anomaly_zscore",
-    "w_streak_islands",
-    "g_adamic_adar",
-    "q_snapshot_diff",
-    "w_percent_of_total",
-    "d_containment",
-    "w_time_to_convert",
-    "h_profit_by_nation",
-    "a_correlation",
-    "a_linear_trend",
-    "w_ab_test",
-    "g_degree_distribution",
-    "s_hybrid_rrf",
-    "w_seasonal_residual",
-    "w_cusum_changepoint",
-    "h_parts_supplier_count",
+    # 3-13: the 11 round-5 registrations with no driver row yet
+    "a_cms_probe",
+    "a_kmv_overlap",
+    "d_cluster_canonical",
+    "g_kcore",
+    "h_shipmode_priority",
+    "mm_feature_store",
+    "s_knn_graph",
+    "s_maxsim_topk",
+    "st_ttl_dedup",
+    "t_bigram_lm_ppl",
+    "t_char_entropy",
+    # 14: mm_features, kept in-window per standing round-3+ advice
+    # (the only driver-checked mapInPandas/Arrow-worker exerciser)
     "mm_features",
-    # --- 51-52: parked r01 rows (trivial, plan-asserted) ---
+    # 15-50: the r1/r2-stale rows, stalest first (p1/p2 are the
+    # last r01-era rows on the board; then the r02 block minus the
+    # two parked below)
     "p1_projection",
     "p2_filter_eq",
-    # --- new this round (no driver row yet; first overflow slots,
-    # window next round) ---
-    "h_shipmode_priority",
-    "a_cms_probe",
-    "mm_feature_store",
-    "t_bigram_lm_ppl",
-    "s_maxsim_topk",
-    "a_kmv_overlap",
-    "t_char_entropy",
-    "g_kcore",
-    "s_knn_graph",
-    "st_ttl_dedup",
-    "d_cluster_canonical",
-    # --- tail, stalest-first: r02-last remainder ---
     "a1_dup_finder",
     "a_approx_distinct",
-    "d_exact_dedup",
     "d_dup_clusters",
     "d_embedding_neardup",
+    "d_exact_dedup",
     "d_ngram_jaccard",
     "d_simhash_pairs",
     "d_span_dedup",
@@ -156,7 +107,6 @@ _PRIORITY: tuple[str, ...] = (
     "s_label_centroids",
     "s_quantize_int8",
     "s_srp_topk",
-    "set_ops",
     "t_bpe_tokens",
     "t_contamination",
     "t_corpus_dedup",
@@ -172,76 +122,66 @@ _PRIORITY: tuple[str, ...] = (
     "t_token_topk",
     "w1_retention_trim",
     "w_range_frame",
-    "w_rank_lag_lead",
     "w_resample_ffill",
     "w_sessionize",
-    # --- r03-last ---
+    # --- 51-52: parked overflow (r02-green; their union/except and
+    # rank/lag machinery is re-exercised by in-window queries; they
+    # lead the r7 window) ---
+    "set_ops",
+    "w_rank_lag_lead",
+    # --- tail, stalest-first: r03-last, then r04, then r05
+    # (freshest rows last) so a driver running past 50 still
+    # refreshes oldest rows first ---
     "a_approx_quantiles",
-    "flagship_player_stats",
-    "q_validate_expectations",
+    "a_cms_heavy_hitters",
+    "a_hll_union",
+    "d_bloom_dedup",
+    "d_chunk_dedup",
+    "d_dedup_report",
+    "d_edit_distance",
+    "d_lsh_recall",
+    "d_minhash_lsh",
+    "d_semantic_dedup",
+    "d_simhash",
+    "d_source_overlap",
     "f_udaf_median",
     "f_udtf_chunks",
-    "s1_paginated_scan",
-    "t_token_stats",
-    "t_bigram_novelty",
-    "d_minhash_lsh",
-    "d_dedup_report",
-    "t_hash_sample",
-    "d_simhash",
-    "d_edit_distance",
-    "s_cosine_topk",
-    "s_hard_negatives",
-    "s_ivf_topk",
-    "t_cdc_chunks",
-    "d_chunk_dedup",
-    "mm_phash_dedup",
-    "t_bpe_merges",
-    "s_srp_codes",
-    "mm_frame_sample",
-    "d_bloom_dedup",
-    "s_dim_stats",
-    "d_lsh_recall",
-    "t_bm25",
-    "d_semantic_dedup",
-    "s_kmeans_assign",
-    "t_eval_sample",
-    "t_corpus_drift",
-    "d_source_overlap",
-    "t_shard_plan",
-    "t_split_assign",
-    "t_training_set",
-    "t_outlier_mad",
-    "t_dsir_affinity",
-    "q_profile_table",
-    "a_hll_union",
-    "q_zorder_layout",
-    "a_cms_heavy_hitters",
+    "flagship_player_stats",
     "j_range_join",
     "j_scd2_history",
-    "w_ntile_battery",
-    "q_sql_recursive",
-    "st_tumbling_agg",
-    "st_sliding_agg",
+    "mm_frame_sample",
+    "mm_phash_dedup",
     "o1_topk_orders",
-    "w2_recent_slice",
-    "w_running_sum",
+    "q_profile_table",
+    "q_sql_recursive",
+    "q_validate_expectations",
+    "q_zorder_layout",
+    "s1_paginated_scan",
+    "s_cosine_topk",
+    "s_dim_stats",
+    "s_hard_negatives",
+    "s_ivf_topk",
+    "s_kmeans_assign",
+    "s_srp_codes",
     "set_intersect",
-    # --- r04-refreshed (freshest rows last) ---
-    "h_local_supplier_volume",
-    "h_order_priority",
-    "h_returned_items",
-    "h_small_qty_revenue",
-    "h_disjunctive_revenue",
-    "h_nation_volume",
-    "h_promo_revenue",
-    "j2_staged_resolution",
-    "j3_anti_orphans",
-    "j4_semi_user_matches",
-    "j5_ingest_dedup",
-    "j6_lookup_with_default",
-    "j7_membership_scan",
-    "j1_broadcast_dim_lookup",
-    "j_asof_join",
+    "st_sliding_agg",
+    "st_tumbling_agg",
+    "t_bigram_novelty",
+    "t_bm25",
+    "t_bpe_merges",
+    "t_cdc_chunks",
+    "t_corpus_drift",
+    "t_dsir_affinity",
+    "t_eval_sample",
+    "t_hash_sample",
+    "t_outlier_mad",
+    "t_shard_plan",
+    "t_split_assign",
+    "t_token_stats",
+    "t_training_set",
+    "w2_recent_slice",
+    "w_ntile_battery",
+    "w_running_sum",
     "a2_grouped_rollup",
     "a3_champion_rollup",
     "a5_scalar_aggs",
@@ -251,34 +191,97 @@ _PRIORITY: tuple[str, ...] = (
     "a_count_distinct",
     "a_percentiles",
     "a_rollup_hierarchy",
-    "h_pricing_summary",
-    "h_shipping_priority",
-    "h_large_volume_customer",
-    "h_forecast_revenue",
-    "h_top_supplier",
-    "q_pivot_status",
-    "q_cube_status_priority",
-    "q_unpivot",
-    "f_string_ops",
-    "f_norm_concat",
-    "f_derived_metrics",
-    "f_date_ops",
     "f_array_ops",
-    "f_map_lookup",
+    "f_date_ops",
+    "f_derived_metrics",
     "f_json_extract",
+    "f_map_lookup",
+    "f_norm_concat",
     "f_rlike_match",
+    "f_string_ops",
+    "f_url_encode",
+    "h_disjunctive_revenue",
+    "h_forecast_revenue",
+    "h_large_volume_customer",
+    "h_local_supplier_volume",
+    "h_nation_volume",
+    "h_order_priority",
+    "h_pricing_summary",
+    "h_promo_revenue",
+    "h_returned_items",
+    "h_shipping_priority",
+    "h_small_qty_revenue",
+    "h_top_supplier",
+    "j1_broadcast_dim_lookup",
+    "j2_staged_resolution",
+    "j3_anti_orphans",
+    "j4_semi_user_matches",
+    "j5_ingest_dedup",
+    "j6_lookup_with_default",
+    "j7_membership_scan",
+    "j_asof_join",
+    "j_salted_skew_join",
+    "p12_posexplode",
     "p3_ci_name_lookup",
     "p4_membership",
     "p5_array_first_match",
-    "p12_posexplode",
-    "j_salted_skew_join",
-    "f_url_encode",
+    "q_cube_status_priority",
+    "q_pivot_status",
+    "q_unpivot",
     "st_dedup_ingest",
     "st_session_window",
     "st_stream_join",
+    "a_basket_pairs",
+    "a_correlation",
+    "a_gini_concentration",
+    "a_linear_trend",
+    "a_value_histogram",
+    "d_containment",
+    "g_adamic_adar",
+    "g_degree_distribution",
+    "g_hits",
+    "g_pagerank",
+    "g_pagerank_weighted",
+    "g_triangle_count",
+    "h_dormant_customers",
+    "h_market_share",
+    "h_order_count_distribution",
+    "h_parts_supplier_count",
+    "h_profit_by_nation",
+    "h_waiting_suppliers",
+    "j_interval_overlap",
+    "mm_audio_stats",
+    "mm_resize_stats",
+    "q_snapshot_diff",
+    "s_hybrid_rrf",
+    "s_ivfpq_topk",
+    "s_mips_topk",
+    "s_pq_adc_topk",
+    "s_pq_codes",
+    "s_pq_recall",
+    "t_domain_quota",
+    "t_perplexity_bucket",
+    "t_source_entropy",
+    "t_split_leakage_safe",
+    "t_weighted_sample",
+    "w_ab_test",
+    "w_anomaly_zscore",
+    "w_attribution",
+    "w_cohort_retention",
+    "w_cusum_changepoint",
+    "w_event_transitions",
+    "w_funnel",
+    "w_m4_downsample",
+    "w_peak_concurrency",
+    "w_percent_of_total",
+    "w_rfm_segment",
+    "w_seasonal_residual",
+    "w_streak_islands",
+    "w_time_to_convert",
 )
-# The list is exhaustive (all 187 names); load_all() appends any
-# not-yet-listed future registration in module order.
+# The list is exhaustive over the current registry (enforced by
+# tests/test_registry.py::test_priority_is_exhaustive); load_all()
+# appends any not-yet-listed future registration in module order.
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -54,10 +54,10 @@ def test_query_output_is_scalar_only(spark, sf_dir, name):
 
 def test_priority_window_rotates_stale_rows():
     # the external checker verifies ~the first 50 registry entries per
-    # round, front to back. Round-5 invariant, derived from the actual
-    # driver records: every query with NO CORRECTNESS row in any round
-    # (the 49 added mid/late round 4) sits in the window, and no slot
-    # is wasted on a row refreshed in the newest record.
+    # round, front to back. Round-6 invariant, derived from the actual
+    # driver records: the two r5 hash-fails lead, every design-time
+    # never-checked row holds a window slot, and no slot is wasted on
+    # a row refreshed in the newest record.
     import json
     from pathlib import Path
 
@@ -68,32 +68,51 @@ def test_priority_window_rotates_stale_rows():
     records = sorted(root.glob("CORRECTNESS_r*.json"))
     latest = len(records)
     for r, f in enumerate(records, start=1):
-        for name in json.loads(f.read_text()):
+        for name, row in json.loads(f.read_text()).items():
             last[name] = r
+            if not (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match", True)
+            ):
+                # a failed check is a reason to STAY in the window,
+                # not freshness — treat like never-green this round
+                last[name] = r - 1 if last.get(name) else 0
     if not last:  # fresh clone without driver records — nothing to pin
         return
     names = list(REGISTRY)
     window = set(names[:50])
-    # this window was designed against 4 rounds of records; strict
+    # this window was designed against 5 rounds of records; strict
     # staleness classes only make sense at design time. Once a newer
     # record lands, flip to the outcome check: the rotation must have
     # actually refreshed the window's rows.
-    if latest == 4:
-        never = {n for n in REGISTRY if n not in last}
-        # queries REGISTERED this round (after the window was designed)
-        # legitimately have no row yet and sit in the overflow slots
-        # right after the parked pair — only design-time never-checked
-        # rows are required to hold window slots
-        missing = never - window - set(names[52:])
+    if latest == 5:
+        # ALL rows with no driver record at design time must hold
+        # window slots — no exemption for overflow positions (the r5
+        # version exempted names[52:], which made the check nearly
+        # vacuous). Queries registered AFTER this window was designed
+        # are distinguished explicitly: add them to r6_new below.
+        r6_new: set[str] = set()
+        never = {n for n in REGISTRY if n not in last} - r6_new
+        missing = never - window
         assert not missing, f"never-checked rows outside window: {missing}"
-        parked = {"p1_projection", "p2_filter_eq"}
-        assert parked <= set(names[50:52])
+        # the two r5 hash-fails lead the window post-fix
+        assert names[:2] == ["mm_pixel_ahash", "t_mixture_plan"]
+        parked = {"set_ops", "w_rank_lag_lead"}
+        assert parked == set(names[50:52])
         fresh_in_window = {
-            n for n in window if last.get(n) == 4 and n != "mm_features"
+            n for n in window if last.get(n) == 5 and n != "mm_features"
         }
         assert not fresh_in_window, (
-            f"r04-green rows holding window slots: {fresh_in_window}"
+            f"r05-green rows holding window slots: {fresh_in_window}"
         )
+        # with this rotation every registry row is driver-checked
+        # within the last 4 rounds: nothing r1/r2-stale may sit
+        # outside the window except the parked pair
+        stale_out = {
+            n for n, r in last.items() if r <= 2
+        } - window - parked
+        assert not stale_out, f"r1/r2-stale rows left unrotated: {stale_out}"
     else:
         newest = set(json.loads(records[-1].read_text()))
         refreshed = len(window & newest)
@@ -115,3 +134,16 @@ def test_checker_window_names_resolve():
     for n in Q._PRIORITY:
         assert n in REGISTRY, f"unknown name in priority table: {n}"
     assert len(set(Q._PRIORITY)) == len(Q._PRIORITY), "duplicate priority name"
+
+
+def test_priority_is_exhaustive():
+    # _PRIORITY claims to cover the whole registry; enforce it so the
+    # claim can't drift as queries are added (a new registration that
+    # is missing here would land at an uncontrolled tail position)
+    from baronbatch_etl_spark import queries as Q
+
+    assert set(Q._PRIORITY) == set(REGISTRY), (
+        f"priority/registry drift: only_priority="
+        f"{set(Q._PRIORITY) - set(REGISTRY)} "
+        f"only_registry={set(REGISTRY) - set(Q._PRIORITY)}"
+    )
