@@ -110,6 +110,78 @@ def make_shingle_hashes_udf(n: int = 3):
 shingle_hashes_fast = make_shingle_hashes_udf(3)
 
 
+def _cdc_chunk_arrays(
+    texts: pd.Series, modulus: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized CDC pass for one batch of documents.
+
+    Returns ``(doc_idx, chunk_id, n_tokens, fp)`` flat arrays, one
+    entry per chunk, in (doc, position) order: ``doc_idx`` indexes
+    into ``texts``, ``chunk_id`` is the 0-based chunk ordinal within
+    its doc. Shared by the array-returning pandas UDF and the
+    flat-row mapInPandas mapper so both stay bit-identical.
+    """
+    flat, offs = _per_doc_hashes(texts, _tokenize)
+    # chunk ends: boundary tokens, plus each doc's last token
+    boundary = (flat % modulus) == 0
+    ends = np.zeros(len(flat) + 1, dtype=bool)
+    ends[1:] = boundary  # end AFTER a boundary token
+    ends[offs[1:]] = True  # force an end at every doc edge
+    cut = np.flatnonzero(ends)  # segment starts incl. 0 and len
+    if cut.size == 0 or cut[0] != 0:
+        cut = np.concatenate(([0], cut))
+    starts, stops = cut[:-1], cut[1:]
+    lens = stops - starts
+    keep = lens > 0  # doc edges coinciding with boundaries
+    starts, lens = starts[keep], lens[keep]
+    # fold every chunk at once: (n_chunks × max_len) padded matrix
+    n_chunks = len(starts)
+    fps = np.zeros(n_chunks, dtype=np.int64)
+    if n_chunks:
+        max_len = int(lens.max())
+        col = np.arange(max_len)
+        mask = col[None, :] < lens[:, None]
+        mat = np.zeros((n_chunks, max_len), dtype=np.int64)
+        mat[mask] = flat[(starts[:, None] + col[None, :])[mask]]
+        for j in range(max_len):
+            step = (fps * 131 + mat[:, j]) % POLY_P
+            fps = np.where(mask[:, j], step, fps)
+    # assign chunks back to docs (starts are sorted, so doc_idx is
+    # nondecreasing and the per-doc ordinal is a first-index offset)
+    doc_idx = np.searchsorted(offs[1:], starts, side="right")
+    chunk_id = np.arange(n_chunks) - np.searchsorted(
+        doc_idx, doc_idx, side="left"
+    )
+    return doc_idx, chunk_id, lens, fps
+
+
+def make_cdc_chunk_rows_mapper(modulus: int = 64):
+    """Flat-row twin of :func:`make_cdc_chunks_udf` for mapInPandas.
+
+    Emits ``(doc_id, chunk_id, n_tokens, fp)`` rows straight from the
+    numpy pass — no per-doc Python list assembly and no JVM-side
+    explode of a nested column, which together dominate the
+    array-returning UDF's cost. Row-local: zero shuffle at any
+    corpus size. Input batches must carry ``doc_id`` and ``text``.
+    """
+
+    def cdc_chunk_rows(batches):
+        for pdf in batches:
+            doc_idx, chunk_id, lens, fps = _cdc_chunk_arrays(
+                pdf["text"], modulus
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[doc_idx],
+                    "chunk_id": chunk_id,
+                    "n_tokens": lens,
+                    "fp": fps,
+                }
+            )
+
+    return cdc_chunk_rows
+
+
 def make_cdc_chunks_udf(modulus: int = 64):
     """Content-defined chunking: a token whose polynomial hash is
     ≡ 0 (mod ``modulus``) ENDS the current chunk (rsync/Rabin-style
@@ -138,40 +210,12 @@ def make_cdc_chunks_udf(modulus: int = 64):
 
     @F.pandas_udf(ret)
     def cdc_chunks(texts: pd.Series) -> pd.Series:
-        flat, offs = _per_doc_hashes(texts, _tokenize)
-        n_docs = len(texts)
-        # chunk ends: boundary tokens, plus each doc's last token
-        boundary = (flat % modulus) == 0
-        ends = np.zeros(len(flat) + 1, dtype=bool)
-        ends[1:] = boundary  # end AFTER a boundary token
-        ends[offs[1:]] = True  # force an end at every doc edge
-        cut = np.flatnonzero(ends)  # segment starts incl. 0 and len
-        if cut.size == 0 or cut[0] != 0:
-            cut = np.concatenate(([0], cut))
-        starts, stops = cut[:-1], cut[1:]
-        lens = stops - starts
-        keep = lens > 0  # doc edges coinciding with boundaries
-        starts, stops, lens = starts[keep], stops[keep], lens[keep]
-        # fold every chunk at once: (n_chunks × max_len) padded matrix
-        n_chunks = len(starts)
-        fps = np.zeros(n_chunks, dtype=np.int64)
-        if n_chunks:
-            max_len = int(lens.max())
-            col = np.arange(max_len)
-            mask = col[None, :] < lens[:, None]
-            mat = np.zeros((n_chunks, max_len), dtype=np.int64)
-            mat[mask] = flat[
-                (starts[:, None] + col[None, :])[mask]
-            ]
-            for j in range(max_len):
-                step = (fps * 131 + mat[:, j]) % POLY_P
-                fps = np.where(mask[:, j], step, fps)
-        # assign chunks back to docs (starts are sorted)
-        doc_of = np.searchsorted(offs[1:], starts, side="right")
-        out: list[list[tuple[int, int, int]]] = [[] for _ in range(n_docs)]
-        for c in range(n_chunks):
-            d = doc_of[c]
-            out[d].append((len(out[d]), int(lens[c]), int(fps[c])))
+        doc_idx, chunk_id, lens, fps = _cdc_chunk_arrays(texts, modulus)
+        out: list[list[tuple[int, int, int]]] = [[] for _ in texts]
+        for c in range(len(doc_idx)):
+            out[doc_idx[c]].append(
+                (int(chunk_id[c]), int(lens[c]), int(fps[c]))
+            )
         return pd.Series(out)
 
     return cdc_chunks

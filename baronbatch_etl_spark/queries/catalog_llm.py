@@ -16,6 +16,7 @@ from baronbatch_etl_spark.io import load_table, spread
 from baronbatch_etl_spark.operators import dedup as D
 from baronbatch_etl_spark.operators.fast_text import (
     char_entropy_fast,
+    make_cdc_chunk_rows_mapper,
     make_cdc_chunks_udf,
     word_bigrams_fast,
 )
@@ -1055,6 +1056,8 @@ def s_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CDC_MOD = 32
 
 _cdc_chunks = make_cdc_chunks_udf(_CDC_MOD)
+_cdc_chunk_rows = make_cdc_chunk_rows_mapper(_CDC_MOD)
+_CDC_ROWS_SCHEMA = "doc_id bigint, chunk_id bigint, n_tokens bigint, fp bigint"
 
 #: DuckDB replay of the chunker: token hashes → boundary-prefix-count
 #: chunk ids → per-chunk Horner fingerprint (same constants as
@@ -1085,10 +1088,15 @@ _SQL_CHUNKS = f"""
 
 
 def _chunk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mapInPandas (flat chunk rows straight out of the numpy pass)
+    # instead of pandas_udf + explode: the array-of-struct return
+    # forced a per-doc Python list build and a JVM explode of the
+    # nested column — pure overhead at any scale. Still row-local:
+    # zero shuffle, column-pruned scan.
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(_cdc_chunks(F.col("text"))).alias("c")
-    ).select("doc_id", "c.chunk_id", "c.n_tokens", "c.fp")
+    return docs.select("doc_id", "text").mapInPandas(
+        _cdc_chunk_rows, schema=_CDC_ROWS_SCHEMA
+    )
 
 
 @register(
