@@ -82,19 +82,23 @@ _PRIORITY: tuple[str, ...] = (
     "st_ttl_dedup",
     "t_bigram_lm_ppl",
     "t_char_entropy",
-    # 14: mm_features, kept in-window per standing round-3+ advice
+    # 14: registered this round per the r5 verdict's item 5 — the
+    # curate_ingest batch twin needs a green row THIS round, so it
+    # takes a window slot (d_exact_dedup parks at 53 to make room:
+    # its md5-keep-min plan is a strict sub-plan of this query)
+    "t_curate_survivors",
+    # 15: mm_features, kept in-window per standing round-3+ advice
     # (the only driver-checked mapInPandas/Arrow-worker exerciser)
     "mm_features",
-    # 15-50: the r1/r2-stale rows, stalest first (p1/p2 are the
+    # 16-50: the r1/r2-stale rows, stalest first (p1/p2 are the
     # last r01-era rows on the board; then the r02 block minus the
-    # two parked below)
+    # three parked below)
     "p1_projection",
     "p2_filter_eq",
     "a1_dup_finder",
     "a_approx_distinct",
     "d_dup_clusters",
     "d_embedding_neardup",
-    "d_exact_dedup",
     "d_ngram_jaccard",
     "d_simhash_pairs",
     "d_span_dedup",
@@ -124,11 +128,12 @@ _PRIORITY: tuple[str, ...] = (
     "w_range_frame",
     "w_resample_ffill",
     "w_sessionize",
-    # --- 51-52: parked overflow (r02-green; their union/except and
-    # rank/lag machinery is re-exercised by in-window queries; they
-    # lead the r7 window) ---
+    # --- 51-53: parked overflow (r02-green; their union/except,
+    # rank/lag, and md5-keep-min machinery is re-exercised by
+    # in-window queries; they lead the r7 window) ---
     "set_ops",
     "w_rank_lag_lead",
+    "d_exact_dedup",
     # --- tail, stalest-first: r03-last, then r04, then r05
     # (freshest rows last) so a driver running past 50 still
     # refreshes oldest rows first ---

@@ -575,13 +575,16 @@ def t_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _training_set_oracle() -> str:
-    """Composes the published oracle fragments of every stage so the
-    composite is verified by the SAME arithmetic as its parts."""
+def _survivor_ctes() -> str:
+    """Stages 1–3 (quality filter → exact dedup keep-min → LSH
+    connected-component keep-one) as a reusable WITH-body prefix,
+    composed from each stage's published oracle fragment. Shared by
+    the capstone oracle and t_curate_survivors so the streaming
+    gate's fold (curate_ingest) and the full pipeline are verified
+    by the SAME arithmetic."""
     from baronbatch_etl_spark.queries import catalog_llm as L
 
     return f"""
-WITH RECURSIVE
 qual AS ({L._QUALITY_SQL}),
 surv AS (SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(text)),
 sdocs AS (SELECT q.* FROM qual q JOIN surv s ON q.doc_id = s.doc_id),
@@ -600,7 +603,16 @@ reach(s, d) AS (
 removed AS (
     SELECT s AS doc_id FROM reach GROUP BY s
     HAVING least(s, min(d)) <> s
-),
+)"""
+
+
+def _training_set_oracle() -> str:
+    """Composes the published oracle fragments of every stage so the
+    composite is verified by the SAME arithmetic as its parts."""
+
+    return f"""
+WITH RECURSIVE
+{_survivor_ctes()},
 deduped AS (
     SELECT doc_id FROM sdocs
     WHERE doc_id NOT IN (SELECT doc_id FROM removed)
@@ -745,6 +757,32 @@ def curate_survivors(docs: DataFrame) -> DataFrame:
         F.col("node").alias("doc_id")
     )
     return sdocs.join(removed, "doc_id", "left_anti")
+
+
+@register(
+    "t_curate_survivors",
+    oracle=f"""
+WITH RECURSIVE
+{_survivor_ctes()}
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM sdocs WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+""",
+    tags=("llm", "curation", "streaming-twin"),
+)
+def t_curate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The admitted survivor corpus after stages 1–3 (quality filter →
+    exact dedup keep-min → MinHash-LSH connected-component keep-one) —
+    exactly the fold ``streaming/ops.curate_ingest`` runs inside
+    foreachBatch per epoch, surfaced as a batch query so the streaming
+    gate's arithmetic gets a driver-checked oracle row
+    (tests/test_streaming_multibatch.py asserts the stream-built set
+    equals this one under doc_id-ordered replay).
+
+    Scale: the corpus is never shuffled whole — exact dedup moves
+    (md5, doc_id) digests, LSH moves banded signatures, and the final
+    keep is a doc_id anti-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_survivors(docs).select("doc_id", "lang", "n_chars")
 
 
 @register(

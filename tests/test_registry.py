@@ -92,14 +92,17 @@ def test_priority_window_rotates_stale_rows():
         # version exempted names[52:], which made the check nearly
         # vacuous). Queries registered AFTER this window was designed
         # are distinguished explicitly: add them to r6_new below.
-        r6_new: set[str] = set()
+        # t_curate_survivors is r6-new but holds a window slot anyway
+        # (the r5 verdict's item 5 wants its green row this round)
+        r6_new: set[str] = {"t_curate_survivors"}
         never = {n for n in REGISTRY if n not in last} - r6_new
         missing = never - window
         assert not missing, f"never-checked rows outside window: {missing}"
+        assert "t_curate_survivors" in window
         # the two r5 hash-fails lead the window post-fix
         assert names[:2] == ["mm_pixel_ahash", "t_mixture_plan"]
-        parked = {"set_ops", "w_rank_lag_lead"}
-        assert parked == set(names[50:52])
+        parked = {"set_ops", "w_rank_lag_lead", "d_exact_dedup"}
+        assert parked == set(names[50:53])
         fresh_in_window = {
             n for n in window if last.get(n) == 5 and n != "mm_features"
         }
@@ -108,7 +111,7 @@ def test_priority_window_rotates_stale_rows():
         )
         # with this rotation every registry row is driver-checked
         # within the last 4 rounds: nothing r1/r2-stale may sit
-        # outside the window except the parked pair
+        # outside the window except the parked trio
         stale_out = {
             n for n, r in last.items() if r <= 2
         } - window - parked
