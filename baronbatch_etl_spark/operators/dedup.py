@@ -161,7 +161,17 @@ def minhash_lsh_pairs(
     is unreferenced, so neither a 187-query catalog run nor a caller
     that builds pairs per micro-batch (streaming curate_ingest)
     accumulates immortal executor-storage entries (the round-4 advice:
-    opt IN to ``.cache()``, never leak by default)."""
+    opt IN to ``.cache()``, never leak by default).
+
+    Fault-tolerance trade (applies to every ``ephemeral`` site in
+    this module): localCheckpoint blocks are UNREPLICATED and the
+    lineage is truncated, so losing an executor after materialization
+    fails the job instead of recomputing the lost partitions. Fine
+    for this repo's short interactive/bench runs; a long multi-tenant
+    run where executor loss is routine (dynamic allocation, spot
+    nodes) should pass ``ephemeral=False`` and ``unpersist()`` the
+    result when done — cache keeps lineage, so a lost block recomputes
+    — or use a reliable ``checkpoint()`` to durable storage."""
     # Signatures + shingle hashes in one Arrow pass (shared tokenize/
     # shingle/hash work); the frame is materialized because three plan
     # branches (banding + both verification sides) reuse it — at
@@ -235,7 +245,8 @@ def containment_pairs(
     # inverted index + both verification sides reuse it; the default
     # collectable checkpoint frees with the frame — opt in to cache()
     # only from a caller that unpersists (the minhash_lsh_pairs
-    # pattern — see operators/multimodal.py:412 for the leak story)
+    # pattern — see operators/multimodal.py:412 for the leak story;
+    # fault-tolerance trade documented on minhash_lsh_pairs)
     base = base.localCheckpoint(eager=False) if ephemeral else base.cache()
     index = base.select("doc_id", F.explode("sh").alias("h"))
     dfc = index.groupBy("h").agg(F.count("*").cast("long").alias("df"))
@@ -389,7 +400,9 @@ def connected_components(
         .distinct()
     )
     # default ephemeral: checkpoint blocks free with the frame (no
-    # per-query storage pinning); cache: opt-in, cleared by clearCache
+    # per-query storage pinning); cache: opt-in, cleared by clearCache.
+    # Unreplicated + lineage-truncating: executor loss mid-run fails
+    # the job (fault-tolerance trade documented on minhash_lsh_pairs)
     edges = edges.localCheckpoint(eager=False) if ephemeral else edges.cache()
     # seed with round 1 directly: label(node) = min(node, neighbors)
     # — one distributed agg instead of a full join round

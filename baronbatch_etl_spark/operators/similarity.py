@@ -969,6 +969,14 @@ def knn_graph(
         WindowGroupLimit rank ≤ k — unbounded-cell-safe (AQE splits
         the skew), bit-identical scores, just slower per pair.
     Neighbor order is (cos_sim DESC, nbr_id) in both paths.
+
+    Zero-norm contract: all-zero embeddings are DROPPED before
+    scoring (they appear neither as sources nor as neighbors). A zero
+    vector has no defined cosine direction — scoring it yields NaN,
+    and NaN ordering differs between numpy's lexsort (NaN last) and
+    Spark's DESC row_number (NaN first), which would break the
+    fast/slow/oracle bit-parity triple. The s_knn_graph oracle
+    applies the same filter.
     """
     import numpy as np
     import pandas as pd
@@ -1024,7 +1032,12 @@ def knn_graph(
             }
         )
 
-    e = embeddings.select("vec_id", "label", "embedding")
+    e = embeddings.select("vec_id", "label", "embedding").filter(
+        # zero-norm guard (see docstring): exists() is exact — a
+        # float sum-of-squares test could underflow, a component
+        # comparison cannot
+        F.exists("embedding", lambda x: x != F.lit(0.0))
+    )
     sizes = e.groupBy("label").agg(F.count("*").alias("_cell_n"))
     e = e.join(F.broadcast(sizes), "label")
 

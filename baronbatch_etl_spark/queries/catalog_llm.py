@@ -2911,10 +2911,17 @@ _KNN_K = 5
 @register(
     "s_knn_graph",
     oracle=f"""
-WITH scored AS (
+WITH nz AS (
+    -- zero-norm contract (operators/similarity.py::knn_graph): an
+    -- all-zero embedding has no cosine direction and is dropped on
+    -- both sides before scoring
+    SELECT * FROM embeddings
+    WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+),
+scored AS (
     SELECT l.vec_id, l.label, r.vec_id AS nbr_id,
            {S.sql_cosine("l.embedding", "r.embedding")} AS cos_sim
-    FROM embeddings l JOIN embeddings r
+    FROM nz l JOIN nz r
       ON l.label = r.label AND l.vec_id <> r.vec_id
 )
 SELECT vec_id, label, nbr_id, cos_sim, rank FROM (

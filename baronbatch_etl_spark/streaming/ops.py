@@ -675,6 +675,40 @@ def with_ingest_metrics(events: DataFrame, name: str = "ingest") -> DataFrame:
     )
 
 
+def rate_progress_report(query) -> list[dict]:
+    """Per-micro-batch rate/backpressure digest of a StreamingQuery's
+    ``recentProgress`` — the T5 observability surface next to
+    ``with_ingest_metrics``: with ``maxFilesPerTrigger=N`` the report
+    shows the source feeding bounded batches (one row per trigger),
+    and a ``processed_rps`` persistently below ``input_rps`` is the
+    backpressure signal that the sink can't keep up with the source
+    rate cap. Driver-side and O(#batches) — recentProgress retains at
+    most ``spark.sql.streaming.numRecentProgressUpdates`` (100)
+    entries, so this never scales with data volume.
+
+    Empty triggers (numInputRows=0 heartbeats) are dropped: they carry
+    no rate information and availableNow runs end with one."""
+    out = []
+    for p in query.recentProgress:
+        n = p.get("numInputRows", 0) or 0
+        if n == 0:
+            continue
+        dur = p.get("durationMs", {}) or {}
+        out.append(
+            {
+                "batch_id": p.get("batchId"),
+                "num_input_rows": n,
+                "input_rps": float(p.get("inputRowsPerSecond") or 0.0),
+                "processed_rps": float(
+                    p.get("processedRowsPerSecond") or 0.0
+                ),
+                "trigger_ms": int(dur.get("triggerExecution", 0) or 0),
+                "addbatch_ms": int(dur.get("addBatch", 0) or 0),
+            }
+        )
+    return out
+
+
 SOURCED_DOCS_DDL = (
     "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
 )

@@ -289,3 +289,29 @@ def test_pq_adc_cell_filter_missing_column_errors(spark):
     )
     with pytest.raises(Exception):
         S.pq_adc_topk(emb, 0, cell_col="no_such_col")
+
+
+def test_knn_graph_drops_zero_norm_vectors(spark):
+    # a zero embedding has no cosine direction; the contract drops it
+    # from BOTH sides in BOTH physical paths (docstring + oracle twin)
+    from baronbatch_etl_spark.operators import similarity as S
+    from pyspark.sql import Row
+
+    rows = [
+        Row(vec_id=i, label=lbl, embedding=[float(i + 1), 1.0, 0.0])
+        for lbl in (0, 1)
+        for i in range(lbl * 10, lbl * 10 + 4)
+    ]
+    rows.append(Row(vec_id=99, label=0, embedding=[0.0, 0.0, 0.0]))
+    rows.append(Row(vec_id=98, label=1, embedding=[0.0, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows)
+    # cell_cap=2 forces label cells (5 rows each) down the self-join
+    # path; cell_cap large takes the applyInPandas path
+    for cap in (2, 4096):
+        out = S.knn_graph(emb, k=3, cell_cap=cap).collect()
+        touched = {r.vec_id for r in out} | {r.nbr_id for r in out}
+        assert 99 not in touched and 98 not in touched, f"cap={cap}"
+        # the finite vectors still pair up within their cells
+        assert {r.vec_id for r in out} == {
+            0, 1, 2, 3, 10, 11, 12, 13
+        }, f"cap={cap}"

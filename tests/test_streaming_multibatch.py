@@ -948,3 +948,33 @@ def test_volume_monitor_epoch_idempotent(spark, tmp_path):
     )
     got = {r.hour.hour: r.n for r in hourly.collect()}
     assert got == {1: 3, 2: 2, 3: 1}
+
+
+def test_rate_progress_report_tracks_bounded_batches(
+    spark, sf_dir, split_events_dir
+):
+    # T5 backpressure observability: maxFilesPerTrigger=1 over 4 files
+    # must surface >=4 non-empty triggers whose row counts sum to the
+    # full table, each with rate/latency fields populated
+    stream = ops.stream_events(spark, split_events_dir, glob="*.parquet")
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("noop")
+        .queryName("rate_report")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        report = ops.rate_progress_report(q)
+    finally:
+        q.stop()
+    assert len(report) >= 4, report  # one bounded batch per file
+    total = sum(r["num_input_rows"] for r in report)
+    assert total == load_table(spark, sf_dir, "events").count()
+    for r in report:
+        assert r["batch_id"] is not None
+        assert r["trigger_ms"] >= 0 and r["processed_rps"] >= 0.0
+    # batches are bounded by the rate cap: no single trigger swallowed
+    # the whole table
+    assert max(r["num_input_rows"] for r in report) < total
