@@ -584,9 +584,13 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-semi joins against the shrinking alive set — node-sized
     frames move, the edge list only ever shrinks, and a lazy
     localCheckpoint per round truncates the growing lineage (the
-    connected-components pattern). Peel-round count on real graphs
-    is small (degeneracy ordering converges fast); the fixed budget
-    makes cost predictable at 100 TB instead of data-dependent.
+    connected-components pattern). Rounds exit early at the fixed
+    point: the semi-joins only ever REMOVE edges, so an unchanged
+    edge count means an unchanged edge SET, every remaining round is
+    a no-op, and the early result is bit-identical to the full
+    8-round unroll (the count action piggybacks on the checkpoint
+    materialization each round already pays). The fixed budget still
+    caps cost at 100 TB where the peel hasn't converged.
     """
     base = _frequent_copurchase_edges(spark, sf_dir)
     edges = (
@@ -596,6 +600,7 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+    prev_n = None
     for _ in range(_KCORE_ROUNDS):
         alive = (
             edges.groupBy("s")
@@ -609,6 +614,10 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("s", "d")
             .localCheckpoint(eager=False)
         )
+        n = edges.count()
+        if n == prev_n:  # subset + equal count ⇒ equal set: fixpoint
+            break
+        prev_n = n
     return edges.groupBy(F.col("s").alias("node")).agg(
         F.count("*").cast("long").alias("degree")
     )
