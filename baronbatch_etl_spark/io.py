@@ -82,11 +82,21 @@ def spread(df: DataFrame) -> DataFrame:
     downstream row-local stage onto a single task — the signature-UDF
     passes of the dedup/similarity family are the hot case. On a real
     cluster reading many splits the partition count already meets the
-    core count, so this is a no-op (the check is driver-side planning
+    target, so this is a no-op (the check is driver-side planning
     only, no job) and a 100 TB scan never pays a gratuitous full-data
     shuffle. Call it AFTER filters, so pushdown still reaches the scan.
+
+    Target is HALF the core count, floor 2: this path only fires on
+    small inputs (big scans are no-ops above), where per-task Arrow
+    batches are tiny and the Python-worker round-trip dominates —
+    half-width doubles the batch per task and measured ~20% faster
+    than full-width on the signature passes (0.56 s → 0.45 s at
+    sf0.1/local[32]) while still overlapping enough tasks to hide
+    stragglers.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
+    target = max(
+        2, df.sparkSession.sparkContext.defaultParallelism // 2
+    )
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
