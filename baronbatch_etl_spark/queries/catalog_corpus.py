@@ -194,14 +194,23 @@ def d_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         # goes out of scope, unlike cache entries)
         .localCheckpoint(eager=False)
     )
-    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
-    sig = sh.groupBy("source").agg(
+    # ONE aggregation carries sizes AND the 16 signature mins: the
+    # branches below project what they need, so their identical
+    # partial-agg exchange is computed once and ReusedExchange feeds
+    # every consumer (two separate groupBys would scan the
+    # vocabulary-sized frame twice)
+    stats = sh.groupBy("source").agg(
+        F.count("*").alias("n"),
         *[
             F.min(
                 (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(X.POLY_P)
             ).alias(f"m{j}")
             for j, (a, b) in enumerate(zip(D.MINHASH_A, D.MINHASH_B))
-        ]
+        ],
+    )
+    sizes = stats.select("source", "n")
+    sig = stats.select(
+        "source", *[f"m{j}" for j in range(D.MINHASH_K)]
     )
     inter = (
         sh.alias("l")
