@@ -86,17 +86,14 @@ def spread(df: DataFrame) -> DataFrame:
     only, no job) and a 100 TB scan never pays a gratuitous full-data
     shuffle. Call it AFTER filters, so pushdown still reaches the scan.
 
-    Target is HALF the core count, floor 2: this path only fires on
-    small inputs (big scans are no-ops above), where per-task Arrow
-    batches are tiny and the Python-worker round-trip dominates —
-    half-width doubles the batch per task and measured ~20% faster
-    than full-width on the signature passes (0.56 s → 0.45 s at
-    sf0.1/local[32]) while still overlapping enough tasks to hide
-    stragglers.
+    Target is the FULL core count. A half-width variant measured ~20%
+    faster on the tiny sf0.1 fixtures (larger Arrow batches amortize
+    the Python-worker round-trip) but 2-10× SLOWER at the 10× upsample
+    where the same stages are compute-bound — the 10× case is the one
+    that matters, so width stays at defaultParallelism and the
+    small-fixture overhead is accepted.
     """
-    target = max(
-        2, df.sparkSession.sparkContext.defaultParallelism // 2
-    )
+    target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
