@@ -22,6 +22,14 @@ Noise discipline (memory: never trust one reading): min-of-N with the
 same noop-sink protocol as bench.py; queries whose sf1 time is under
 ``--min-sf1-s`` are never flagged — a 0.2 s→0.35 s wobble is host
 noise, not a scale break.
+
+Flag-confirmation protocol: a full 199×2-SF sequential session
+accumulates JVM/GC state that reproducibly inflates a few
+broadcast-heavy mid-run readings 2-6× (d_bloom_dedup: 2 s isolated vs
+12 s mid-run). Treat full-run flags as ADVISORY — confirm each with an
+isolated re-measure (``scale_gate <name> --passes 3``) before acting,
+and patch confirmed-artifact entries the same way (``--update`` with
+query args merges instead of replacing).
 """
 
 from __future__ import annotations
