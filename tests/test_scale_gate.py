@@ -1,0 +1,44 @@
+"""Unit tests for the scale-ratio regression gate's flag logic
+(tools/scale_gate.py::diff — pure function, no Spark)."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+from pathlib import Path
+
+_spec = importlib.util.spec_from_file_location(
+    "scale_gate",
+    Path(__file__).resolve().parent.parent / "tools" / "scale_gate.py",
+)
+scale_gate = importlib.util.module_from_spec(_spec)
+sys.modules["scale_gate"] = scale_gate
+_spec.loader.exec_module(scale_gate)
+
+
+def _row(sf01: float, sf1: float) -> dict:
+    return {"sf0.1": sf01, "sf1": sf1, "ratio": round(sf1 / sf01, 2)}
+
+
+def test_flags_only_ratio_worsening_beyond_factor():
+    prior = {"q": _row(1.0, 2.0)}  # ratio 2.0
+    # 2.9x is under 2.0 * 1.5 — no flag
+    assert not scale_gate.diff({"q": _row(1.0, 2.9)}, prior, 1.5, 0.5)
+    # 3.1x crosses it
+    flags = scale_gate.diff({"q": _row(1.0, 3.1)}, prior, 1.5, 0.5)
+    assert len(flags) == 1 and flags[0].startswith("q:")
+
+
+def test_sub_threshold_sf1_never_flags():
+    # a 0.1s -> 0.4s wobble is host noise even though the ratio blew up
+    prior = {"q": _row(0.1, 0.1)}
+    assert not scale_gate.diff({"q": _row(0.1, 0.4)}, prior, 1.5, 0.5)
+
+
+def test_new_queries_without_prior_are_not_flagged():
+    assert not scale_gate.diff({"new_q": _row(1.0, 9.0)}, {}, 1.5, 0.5)
+
+
+def test_improvements_never_flag():
+    prior = {"q": _row(1.0, 5.0)}
+    assert not scale_gate.diff({"q": _row(1.0, 1.2)}, prior, 1.5, 0.5)
