@@ -73,6 +73,12 @@ def main() -> None:
     q.awaitTermination(600)
     q.stop()
     print(f"\nmicro-batches processed: {len(q.recentProgress)}")
+    print("per-trigger rate report (T5 backpressure observability):")
+    for r in ops.rate_progress_report(q):
+        print(
+            f"  batch {r['batch_id']}: {r['num_input_rows']} rows, "
+            f"{r['processed_rps']:.0f} rows/s, {r['trigger_ms']} ms"
+        )
 
     accepted = ops.read_curated(spark, acc)
     print(f"stream-accepted survivors: {accepted.count()} of {n}")
