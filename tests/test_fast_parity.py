@@ -204,3 +204,33 @@ def test_word_bigrams_parity(spark):
     for r in out:
         assert sorted(set(r.expr)) == sorted(set(r.fast))
         assert len(set(r.fast)) == len(r.fast)  # distinct contract
+
+
+def test_cdc_row_mapper_matches_array_udf(spark):
+    # the mapInPandas flat-row mapper and the array-returning UDF share
+    # _cdc_chunk_arrays today; this pins them together if either path
+    # is ever edited independently
+    from baronbatch_etl_spark.operators.fast_text import (
+        make_cdc_chunk_rows_mapper,
+        make_cdc_chunks_udf,
+    )
+
+    texts = TEXTS + ["x " * 50, "lone", ""]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    via_udf = {
+        (r.doc_id, c.chunk_id, c.n_tokens, c.fp)
+        for r in df.select(
+            "doc_id", make_cdc_chunks_udf(4)(F.col("text")).alias("c")
+        ).collect()
+        for c in r.c
+    }
+    via_rows = {
+        (r.doc_id, r.chunk_id, r.n_tokens, r.fp)
+        for r in df.mapInPandas(
+            make_cdc_chunk_rows_mapper(4),
+            "doc_id long, chunk_id long, n_tokens long, fp long",
+        ).collect()
+    }
+    assert via_rows == via_udf
