@@ -56,93 +56,34 @@ def register(
 
 # Registry iteration order. External checkers run the catalog front to
 # back under a bounded per-run budget (~50 queries; exactly 50 in
-# rounds 3-5). Round-6 goal (the round-5 verdict's #3 item): lead with
-# the two r5 hash-fails (now fixed — HUGEINT oracle casts), then the
-# 11 round-5 registrations that have no driver row yet, then
-# mm_features (standing advice), then every r1/r2-stale row. With that
-# rotation every registry row will have been driver-checked within the
-# last four rounds. tests/test_registry.py re-derives the invariant
-# from the CORRECTNESS_r0*.json files on disk so it can't silently
-# rot.
+# rounds 3-6). Round-7 goal (the round-6 verdict's #1 item): lead with
+# the parked r2-green trio, give the one r7 registration (P11) its
+# first driver row, and fill the rest with the r3-checked class —
+# after this window runs, every registry row has been driver-checked
+# within the last four rounds except the four parked overflow rows
+# (r3-green, slots 51-54, each re-exercised by an in-window relative).
+# tests/test_registry.py re-derives the invariant from the
+# CORRECTNESS_r0*.json files on disk so it can't silently rot.
 _PRIORITY: tuple[str, ...] = (
-    # --- r6 window (50) ---
-    # 1-2: the two r5 hash-fails, re-led post-fix (HUGEINT oracle
-    # casts landed this round; see tests/test_oracle_harness.py)
-    "mm_pixel_ahash",
-    "t_mixture_plan",
-    # 3-13: the 11 round-5 registrations with no driver row yet
-    "a_cms_probe",
-    "a_kmv_overlap",
-    "d_cluster_canonical",
-    "g_kcore",
-    "h_shipmode_priority",
-    "mm_feature_store",
-    "s_knn_graph",
-    "s_maxsim_topk",
-    "st_ttl_dedup",
-    "t_bigram_lm_ppl",
-    "t_char_entropy",
-    # 14: registered this round per the r5 verdict's item 5 — the
-    # curate_ingest batch twin needs a green row THIS round, so it
-    # takes a window slot (d_exact_dedup parks at 53 to make room:
-    # its md5-keep-min plan is a strict sub-plan of this query)
-    "t_curate_survivors",
-    # 15: mm_features, kept in-window per standing round-3+ advice
-    # (the only driver-checked mapInPandas/Arrow-worker exerciser)
-    "mm_features",
-    # 16-50: the r1/r2-stale rows, stalest first (p1/p2 are the
-    # last r01-era rows on the board; then the r02 block minus the
-    # three parked below)
-    "p1_projection",
-    "p2_filter_eq",
-    "a1_dup_finder",
-    "a_approx_distinct",
-    "d_dup_clusters",
-    "d_embedding_neardup",
-    "d_ngram_jaccard",
-    "d_simhash_pairs",
-    "d_span_dedup",
-    "q_sql_exists",
-    "q_sql_grouping_sets",
-    "q_sql_lateral",
-    "q_sql_scalar_subquery",
-    "s_batch_topk",
-    "s_ivf_recall",
-    "s_label_centroids",
-    "s_quantize_int8",
-    "s_srp_topk",
-    "t_bpe_tokens",
-    "t_contamination",
-    "t_corpus_dedup",
-    "t_fingerprint",
-    "t_lang_id",
-    "t_length_filter",
-    "t_mixture_sample",
-    "t_pack_sequences",
-    "t_pii_redact",
-    "t_quality_score",
-    "t_repetition",
-    "t_tfidf",
-    "t_token_topk",
-    "w1_retention_trim",
-    "w_range_frame",
-    "w_resample_ffill",
-    "w_sessionize",
-    # --- 51-53: parked overflow (r02-green; their union/except,
-    # rank/lag, and md5-keep-min machinery is re-exercised by
-    # in-window queries; they lead the r7 window) ---
+    # --- r7 window (50) ---
+    # 1-3: the parked trio leads (r2-green, slots 51-53 last round —
+    # the stalest rows on the board; the r6 verdict's top item)
     "set_ops",
     "w_rank_lag_lead",
     "d_exact_dedup",
-    # --- tail, stalest-first: r03-last, then r04, then r05
-    # (freshest rows last) so a driver running past 50 still
-    # refreshes oldest rows first ---
+    # 4: registered this round (the r6 verdict's item 5 — P11, the
+    # medallion silver clean projection, gets its first driver row)
+    "p11_clean_projection",
+    # 5-50: 46 of the 50 r3-checked rows (next-stalest class).
+    # mm_features (r6-green) leaves the window: its standing role —
+    # keep the mapInPandas/Arrow-worker path driver-checked — is
+    # carried by t_cdc_chunks (flat-row mapInPandas, slot 39) and the
+    # mm_frame_sample/mm_phash_dedup Arrow passes, all in-window.
     "a_approx_quantiles",
     "a_cms_heavy_hitters",
     "a_hll_union",
     "d_bloom_dedup",
     "d_chunk_dedup",
-    "d_dedup_report",
     "d_edit_distance",
     "d_lsh_recall",
     "d_minhash_lsh",
@@ -163,12 +104,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_zorder_layout",
     "s1_paginated_scan",
     "s_cosine_topk",
-    "s_dim_stats",
     "s_hard_negatives",
     "s_ivf_topk",
     "s_kmeans_assign",
     "s_srp_codes",
-    "set_intersect",
     "st_sliding_agg",
     "st_tumbling_agg",
     "t_bigram_novelty",
@@ -186,7 +125,18 @@ _PRIORITY: tuple[str, ...] = (
     "t_training_set",
     "w2_recent_slice",
     "w_ntile_battery",
+    # --- 51-54: parked overflow (r3-green; four window slots short.
+    # Each one's machinery is re-exercised in-window: set_intersect
+    # by set_ops, w_running_sum by w_rank_lag_lead/w_ntile_battery,
+    # d_dedup_report by d_exact_dedup/d_chunk_dedup, s_dim_stats by
+    # the seven in-window s_* rows. They lead the r8 window.) ---
+    "set_intersect",
     "w_running_sum",
+    "d_dedup_report",
+    "s_dim_stats",
+    # --- tail, stalest-first: r4-green, then r5, then r6 (freshest
+    # last) so a driver running past 50 still refreshes oldest rows
+    # first ---
     "a2_grouped_rollup",
     "a3_champion_rollup",
     "a5_scalar_aggs",
@@ -283,6 +233,56 @@ _PRIORITY: tuple[str, ...] = (
     "w_seasonal_residual",
     "w_streak_islands",
     "w_time_to_convert",
+    "mm_pixel_ahash",
+    "t_mixture_plan",
+    "a_cms_probe",
+    "a_kmv_overlap",
+    "d_cluster_canonical",
+    "g_kcore",
+    "h_shipmode_priority",
+    "mm_feature_store",
+    "s_knn_graph",
+    "s_maxsim_topk",
+    "st_ttl_dedup",
+    "t_bigram_lm_ppl",
+    "t_char_entropy",
+    "t_curate_survivors",
+    "mm_features",
+    "p1_projection",
+    "p2_filter_eq",
+    "a1_dup_finder",
+    "a_approx_distinct",
+    "d_dup_clusters",
+    "d_embedding_neardup",
+    "d_ngram_jaccard",
+    "d_simhash_pairs",
+    "d_span_dedup",
+    "q_sql_exists",
+    "q_sql_grouping_sets",
+    "q_sql_lateral",
+    "q_sql_scalar_subquery",
+    "s_batch_topk",
+    "s_ivf_recall",
+    "s_label_centroids",
+    "s_quantize_int8",
+    "s_srp_topk",
+    "t_bpe_tokens",
+    "t_contamination",
+    "t_corpus_dedup",
+    "t_fingerprint",
+    "t_lang_id",
+    "t_length_filter",
+    "t_mixture_sample",
+    "t_pack_sequences",
+    "t_pii_redact",
+    "t_quality_score",
+    "t_repetition",
+    "t_tfidf",
+    "t_token_topk",
+    "w1_retention_trim",
+    "w_range_frame",
+    "w_resample_ffill",
+    "w_sessionize",
 )
 # The list is exhaustive over the current registry (enforced by
 # tests/test_registry.py::test_priority_is_exhaustive); load_all()

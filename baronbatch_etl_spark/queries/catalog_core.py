@@ -794,3 +794,225 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("op")
     )
+
+
+# ---------------------------------------------------------------------------
+# P11 — the medallion silver clean projection, driver-exposed.
+# Reference: transformer_loader/main.py:159-177 (the 17-field
+# matches_clean document: coalesce defaults, kda / cs / cs_min
+# derivations, gameEnd→gameCreation timestamp fallback, 7-slot item
+# array with 0 defaults, participants summary with the riot-id
+# fallback chain). The engine path under test is the REAL
+# pipeline.medallion.silver_from_bronze — the query synthesizes
+# reference-shaped bronze envelopes from `orders`×`customer`
+# deterministically so a DuckDB oracle can replay the arithmetic
+# over the same parquet.  Every defaulting branch carries traffic:
+# null kills/deaths (k%5, k%9), zero deaths (k%4), null minions
+# (k%11, k%14), zero/null duration (k%7, k%19 → cs_min 0.0), null
+# win (k%8), null gameEndTimestamp (k%3 → gameCreation fallback),
+# empty tag (k%4 → bare-name riot id), null item slots ((k+i)%6),
+# stage-2/3 resolution fallbacks (k%10), dropped invalid envelopes
+# (k%13 empty participants, k%17 null info — the P9 validation).
+# ---------------------------------------------------------------------------
+
+_P11_ITEMS_SQL = ", ".join(
+    f"CAST(CASE WHEN (k + {i}) % 6 = 0 THEN 0 ELSE (k + {i}) % 100 END"
+    " AS VARCHAR)"
+    for i in range(7)
+)
+_P11_KILLS = "CASE WHEN k % 5 = 0 THEN 0 ELSE k % 17 END"
+_P11_DEATHS = "CASE WHEN k % 9 = 0 OR k % 4 = 0 THEN 0 ELSE k % 7 END"
+_P11_CS = (
+    "(CASE WHEN k % 11 = 0 THEN 0 ELSE k % 200 END)"
+    " + (CASE WHEN k % 14 = 0 THEN 0 ELSE k % 60 END)"
+)
+_P11_DUR = "CASE WHEN k % 7 = 0 OR k % 19 = 0 THEN 0 ELSE 300 + (k % 3600) END"
+
+
+@register(
+    "p11_clean_projection",
+    oracle=f"""
+WITH f AS (
+    SELECT o_orderkey AS k,
+           'M' || CAST(o_orderkey AS VARCHAR) AS match_id,
+           'P' || CAST(o_custkey AS VARCHAR) AS bronze_puuid,
+           replace(c_name, '#', '') AS rn
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 13 <> 0 AND o_orderkey % 17 <> 0
+)
+SELECT match_id AS "matchId",
+       bronze_puuid AS puuid,
+       400 + (k % 3) AS queue_id,
+       'Champ' || CAST(k % 8 AS VARCHAR) AS champion,
+       CASE WHEN k % 8 = 0 THEN false ELSE k % 2 = 0 END AS win,
+       {_P11_KILLS} AS kills,
+       {_P11_DEATHS} AS deaths,
+       k % 9 AS assists,
+       {sql_round(f"(({_P11_KILLS}) + (k % 9)) / greatest(1, {_P11_DEATHS})", 2)} AS kda,
+       {_P11_CS} AS cs,
+       CASE WHEN ({_P11_DUR}) > 0
+            THEN {sql_round(f"({_P11_CS}) / (({_P11_DUR}) / 60.0)", 1)}
+            ELSE 0.0 END AS cs_min,
+       CASE WHEN k % 12 = 0 THEN NULL ELSE k % 5000 END AS total_damage,
+       CASE WHEN k % 15 = 0 THEN NULL ELSE k % 3000 END AS gold_earned,
+       concat_ws(',', {_P11_ITEMS_SQL}) AS items,
+       CASE WHEN k % 3 = 0 THEN 1690000000000 + k
+            ELSE 1700000000000 + k END AS game_timestamp,
+       'Champ' || CAST(k % 8 AS VARCHAR) || ':'
+         || (CASE WHEN k % 4 <> 0
+                  THEN (CASE WHEN k % 10 = 5 THEN 'TAG'
+                             ELSE rn || '#TAG' END)
+                  ELSE rn END)
+         || '|Rival' || CAST(k % 5 AS VARCHAR)
+         || ':OtherA#NA1|Smurf:Unknown' AS participants
+FROM f
+""",
+    tags=("projection", "medallion", "udf"),
+)
+def p11_clean_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: run reference-shaped bronze envelopes through the real
+    ``silver_from_bronze`` (validation drop → staged resolution →
+    17-field clean projection) and emit the scalar projection
+    (arrays serialized, non-deterministic processed_at dropped)."""
+    from baronbatch_etl_spark.pipeline.medallion import silver_from_bronze
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    facts = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    k = F.col("o_orderkey")
+    rn = F.regexp_replace("c_name", "#", "")
+
+    def items():
+        return [
+            F.when((k + i) % 6 == 0, F.lit(None).cast("long"))
+            .otherwise((k + i) % 100)
+            .alias(f"item{i}")
+            for i in range(7)
+        ]
+
+    tracked = F.struct(
+        F.when(k % 10 == 0, F.lit("zz"))
+        .when(k % 10 == 5, F.lit("zz"))
+        .otherwise(F.concat(F.lit("P"), F.col("o_custkey").cast("string")))
+        .alias("puuid"),
+        F.lit(100).alias("teamId"),
+        F.concat(F.lit("Champ"), (k % 8).cast("string")).alias("championName"),
+        F.when(k % 10 == 5, F.lit(None).cast("string"))
+        .otherwise(rn)
+        .alias("riotIdGameName"),
+        F.when(k % 4 == 0, F.lit("")).otherwise(F.lit("TAG")).alias(
+            "riotIdTagLine"
+        ),
+        rn.alias("summonerName"),
+        F.when(k % 8 == 0, F.lit(None).cast("boolean"))
+        .otherwise(k % 2 == 0)
+        .alias("win"),
+        F.when(k % 5 == 0, F.lit(None).cast("long")).otherwise(k % 17).alias(
+            "kills"
+        ),
+        F.when(k % 9 == 0, F.lit(None).cast("long"))
+        .when(k % 4 == 0, F.lit(0).cast("long"))
+        .otherwise(k % 7)
+        .alias("deaths"),
+        (k % 9).alias("assists"),
+        F.when(k % 12 == 0, F.lit(None).cast("long"))
+        .otherwise(k % 5000)
+        .alias("totalDamageDealtToChampions"),
+        F.when(k % 15 == 0, F.lit(None).cast("long"))
+        .otherwise(k % 3000)
+        .alias("goldEarned"),
+        F.when(k % 11 == 0, F.lit(None).cast("long"))
+        .otherwise(k % 200)
+        .alias("totalMinionsKilled"),
+        F.when(k % 14 == 0, F.lit(None).cast("long"))
+        .otherwise(k % 60)
+        .alias("neutralMinionsKilled"),
+        *items(),
+    )
+    _zero_items = [F.lit(0).cast("long").alias(f"item{i}") for i in range(7)]
+    x1 = F.struct(
+        F.lit("X1").alias("puuid"),
+        F.lit(200).alias("teamId"),
+        F.concat(F.lit("Rival"), (k % 5).cast("string")).alias("championName"),
+        F.lit("OtherA").alias("riotIdGameName"),
+        F.lit("NA1").alias("riotIdTagLine"),
+        F.lit("OtherA#NA1").alias("summonerName"),
+        F.lit(False).alias("win"),
+        F.lit(1).cast("long").alias("kills"),
+        F.lit(2).cast("long").alias("deaths"),
+        F.lit(3).cast("long").alias("assists"),
+        F.lit(1000).cast("long").alias("totalDamageDealtToChampions"),
+        F.lit(500).cast("long").alias("goldEarned"),
+        F.lit(50).cast("long").alias("totalMinionsKilled"),
+        F.lit(5).cast("long").alias("neutralMinionsKilled"),
+        *_zero_items,
+    )
+    x2 = F.struct(
+        F.lit("X2").alias("puuid"),
+        F.lit(200).alias("teamId"),
+        F.lit("Smurf").alias("championName"),
+        F.lit(None).cast("string").alias("riotIdGameName"),
+        F.lit(None).cast("string").alias("riotIdTagLine"),
+        F.lit(None).cast("string").alias("summonerName"),
+        F.lit(True).alias("win"),
+        F.lit(4).cast("long").alias("kills"),
+        F.lit(1).cast("long").alias("deaths"),
+        F.lit(0).cast("long").alias("assists"),
+        F.lit(2000).cast("long").alias("totalDamageDealtToChampions"),
+        F.lit(700).cast("long").alias("goldEarned"),
+        F.lit(80).cast("long").alias("totalMinionsKilled"),
+        F.lit(0).cast("long").alias("neutralMinionsKilled"),
+        *_zero_items,
+    )
+    parts = F.array(tracked, x1, x2)
+    parts = F.when(k % 13 == 0, F.slice(parts, 1, 0)).otherwise(parts)
+    info = F.struct(
+        (400 + (k % 3)).alias("queueId"),
+        F.when(k % 7 == 0, F.lit(0).cast("long"))
+        .when(k % 19 == 0, F.lit(None).cast("long"))
+        .otherwise(300 + (k % 3600))
+        .alias("gameDuration"),
+        (F.lit(1690000000000) + k).alias("gameCreation"),
+        F.when(k % 3 == 0, F.lit(None).cast("long"))
+        .otherwise(F.lit(1700000000000) + k)
+        .alias("gameEndTimestamp"),
+        parts.alias("participants"),
+    )
+    raw = F.when(k % 17 == 0, F.lit(None)).otherwise(
+        F.struct(info.alias("info"))
+    )
+    bronze = facts.select(
+        F.concat(F.lit("M"), k.cast("string")).alias("matchId"),
+        F.concat(F.lit("P"), F.col("o_custkey").cast("string")).alias("puuid"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("timestamp"),
+        raw.alias("raw"),
+    )
+    summoners = c.select(
+        F.concat(F.lit("P"), F.col("c_custkey").cast("string")).alias("puuid"),
+        F.concat(rn, F.lit("#TAG")).alias("summonerName"),
+    )
+    silver = silver_from_bronze(bronze, summoners)
+    return silver.select(
+        "matchId",
+        "puuid",
+        "queue_id",
+        "champion",
+        "win",
+        "kills",
+        "deaths",
+        "assists",
+        "kda",
+        "cs",
+        "cs_min",
+        "total_damage",
+        "gold_earned",
+        F.array_join(F.col("items").cast("array<string>"), ",").alias("items"),
+        "game_timestamp",
+        F.array_join(
+            F.transform(
+                "participants",
+                lambda s: F.concat_ws(":", s["champion"], s["summonerName"]),
+            ),
+            "|",
+        ).alias("participants"),
+    )

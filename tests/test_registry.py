@@ -69,53 +69,62 @@ def test_priority_window_rotates_stale_rows():
     latest = len(records)
     for r, f in enumerate(records, start=1):
         for name, row in json.loads(f.read_text()).items():
-            last[name] = r
-            if not (
+            # a failed check is a reason to STAY in the window, not
+            # freshness: keep the prior green round (or 0 if the row
+            # has never been green — capture prev BEFORE overwriting,
+            # the r6 advice bug)
+            prev = last.get(name)
+            if (
                 row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match", True)
             ):
-                # a failed check is a reason to STAY in the window,
-                # not freshness — treat like never-green this round
-                last[name] = r - 1 if last.get(name) else 0
+                last[name] = r
+            else:
+                last[name] = prev if prev else 0
     if not last:  # fresh clone without driver records — nothing to pin
         return
     names = list(REGISTRY)
     window = set(names[:50])
-    # this window was designed against 5 rounds of records; strict
+    # this window was designed against 6 rounds of records; strict
     # staleness classes only make sense at design time. Once a newer
     # record lands, flip to the outcome check: the rotation must have
     # actually refreshed the window's rows.
-    if latest == 5:
-        # ALL rows with no driver record at design time must hold
-        # window slots — no exemption for overflow positions (the r5
-        # version exempted names[52:], which made the check nearly
-        # vacuous). Queries registered AFTER this window was designed
-        # are distinguished explicitly: add them to r6_new below.
-        # t_curate_survivors is r6-new but holds a window slot anyway
-        # (the r5 verdict's item 5 wants its green row this round)
-        r6_new: set[str] = {"t_curate_survivors"}
-        never = {n for n in REGISTRY if n not in last} - r6_new
+    if latest == 6:
+        # never-checked rows must hold window slots so they get their
+        # first driver row this round (r7 registrations included —
+        # P11 is the only one and the r6 verdict's item 5 wants its
+        # green row now)
+        never = {n for n in REGISTRY if n not in last}
         missing = never - window
         assert not missing, f"never-checked rows outside window: {missing}"
-        assert "t_curate_survivors" in window
-        # the two r5 hash-fails lead the window post-fix
-        assert names[:2] == ["mm_pixel_ahash", "t_mixture_plan"]
-        parked = {"set_ops", "w_rank_lag_lead", "d_exact_dedup"}
-        assert parked == set(names[50:53])
-        fresh_in_window = {
-            n for n in window if last.get(n) == 5 and n != "mm_features"
-        }
+        assert "p11_clean_projection" in window
+        # the parked trio (r2-green, the stalest rows on the board)
+        # leads the window — the r6 verdict's top item
+        assert names[:3] == ["set_ops", "w_rank_lag_lead", "d_exact_dedup"]
+        # no slot wasted on a row the driver just refreshed
+        fresh_in_window = {n for n in window if last.get(n) == 6}
         assert not fresh_in_window, (
-            f"r05-green rows holding window slots: {fresh_in_window}"
+            f"r06-green rows holding window slots: {fresh_in_window}"
         )
+        # four r3-green rows overflow the window (53 stale candidates,
+        # 50 slots minus P11's); they park at 51-54 so they lead the
+        # r8 window, and each is machinery-covered by an in-window
+        # relative (see the _PRIORITY comments)
+        parked = {
+            "set_intersect",
+            "w_running_sum",
+            "d_dedup_report",
+            "s_dim_stats",
+        }
+        assert parked == set(names[50:54])
         # with this rotation every registry row is driver-checked
-        # within the last 4 rounds: nothing r1/r2-stale may sit
-        # outside the window except the parked trio
+        # within the last 4 rounds except the parked overflow: every
+        # r1-r3-stale row must be in-window or parked
         stale_out = {
-            n for n, r in last.items() if r <= 2
+            n for n, r in last.items() if r <= 3
         } - window - parked
-        assert not stale_out, f"r1/r2-stale rows left unrotated: {stale_out}"
+        assert not stale_out, f"r1-r3-stale rows left unrotated: {stale_out}"
     else:
         newest = set(json.loads(records[-1].read_text()))
         refreshed = len(window & newest)
@@ -125,8 +134,14 @@ def test_priority_window_rotates_stale_rows():
             "order for the new round"
         )
     # the round-3 advice: keep the mapInPandas/Arrow-worker path
-    # driver-checked — mm_features is its only catalog exerciser
-    assert "mm_features" in window
+    # driver-checked every round. mm_features was its only catalog
+    # exerciser through r6; t_cdc_chunks (flat-row mapInPandas) and
+    # p11_clean_projection (norm_nfkc pandas UDF inside the staged
+    # resolution) carry it whenever mm_features rotates out.
+    arrow_exercisers = {"mm_features", "t_cdc_chunks"}
+    assert window & arrow_exercisers, (
+        "no mapInPandas/Arrow-worker exerciser in the checker window"
+    )
 
 
 def test_checker_window_names_resolve():

@@ -42,3 +42,14 @@ def test_new_queries_without_prior_are_not_flagged():
 def test_improvements_never_flag():
     prior = {"q": _row(1.0, 5.0)}
     assert not scale_gate.diff({"q": _row(1.0, 1.2)}, prior, 1.5, 0.5)
+
+
+def test_noise_floor_prior_reading_never_flags():
+    # r6 advice: a PRIOR sf1 below the noise floor carries a
+    # meaningless tiny ratio — a query legitimately growing past the
+    # floor must not flag against that noise-derived baseline
+    prior = {"q": _row(0.2, 0.3)}  # ratio 1.5, sub-floor sf1
+    assert not scale_gate.diff({"q": _row(0.2, 0.9)}, prior, 1.5, 0.5)
+    # but once BOTH readings are above the floor, flags fire normally
+    prior = {"q": _row(0.2, 0.6)}  # ratio 3.0
+    assert scale_gate.diff({"q": _row(0.2, 2.8)}, prior, 1.5, 0.5)

@@ -10,23 +10,32 @@ diff + nonzero exit instead of judge archaeology.
 
 Usage:
     python tools/scale_gate.py [--passes 3] [--factor 1.5]
-        [--min-sf1-s 0.5] [--update] [query ...]
+        [--min-sf1-s 0.5] [--update] [--isolate N] [query ...]
 
-  --update   rewrite full_catalog_sf1 in BENCH_SCALE.json with the new
-             map (flags, if any, are recorded under "regressions" so
-             the git history shows what worsened and when).
-  query ...  restrict to named queries (spot re-measure; --update then
-             patches only those entries).
+  --update    rewrite full_catalog_sf1 in BENCH_SCALE.json with the
+              new map (flags, if any, are recorded under "regressions"
+              so the git history shows what worsened and when; with
+              query args the regression list is merged, not replaced).
+  --isolate N restart the Spark JVM every N queries (fresh subprocess
+              per chunk; 25 recommended for full-map runs). Bounds the
+              mid-run session-aging inflation so the recorded map is
+              generated under the same conditions as the isolated
+              confirmation protocol — full-run flags no longer need a
+              manual re-measure pass.
+  query ...   restrict to named queries (spot re-measure; --update
+              then patches only those entries).
 
 Noise discipline (memory: never trust one reading): min-of-N with the
 same noop-sink protocol as bench.py; queries whose sf1 time is under
 ``--min-sf1-s`` are never flagged — a 0.2 s→0.35 s wobble is host
 noise, not a scale break.
 
-Flag-confirmation protocol: a full 199×2-SF sequential session
+Flag-confirmation protocol: a full 200×2-SF sequential session
 accumulates JVM/GC state that reproducibly inflates a few
 broadcast-heavy mid-run readings 2-6× (d_bloom_dedup: 2 s isolated vs
-12 s mid-run). Treat full-run flags as ADVISORY — confirm each with an
+12 s mid-run). ``--isolate 25`` eliminates the class by construction
+(fresh JVM per 25-query chunk — the full-map default since r7).
+Without it, treat full-run flags as ADVISORY — confirm each with an
 isolated re-measure (``scale_gate <name> --passes 3``) before acting,
 and patch confirmed-artifact entries the same way (``--update`` with
 query args merges instead of replacing).
@@ -72,7 +81,9 @@ def measure(names: list[str], passes: int) -> dict[str, dict[str, float]]:
                 _force(registry[name].fn(spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)
             row[key] = round(best, 3)
-        row["ratio"] = round(row["sf1"] / row["sf0.1"], 2)
+        # guard the denominator: a sub-ms sf0.1 reading rounds to 0.0
+        # (r6 advice) — clamp to 1 ms instead of dividing by zero
+        row["ratio"] = round(row["sf1"] / max(row["sf0.1"], 0.001), 2)
         out[name] = row
         print(
             f"{name}: sf0.1={row['sf0.1']}s sf1={row['sf1']}s "
@@ -94,12 +105,56 @@ def diff(
         old = prior.get(name)
         if old is None or row["sf1"] < min_sf1_s:
             continue
+        # mirror the guard on the PRIOR reading (r6 advice): an old
+        # sf1 below the noise floor carries a meaningless tiny ratio,
+        # and a query legitimately growing past the floor would flag
+        # against noise, not a recorded baseline
+        if old["sf1"] < min_sf1_s:
+            continue
         if row["ratio"] > old["ratio"] * factor:
             flags.append(
                 f"{name}: 10x ratio {old['ratio']} -> {row['ratio']} "
                 f"(sf1 {old['sf1']}s -> {row['sf1']}s)"
             )
     return flags
+
+
+def measure_isolated(
+    names: list[str], passes: int, chunk: int
+) -> dict[str, dict[str, float]]:
+    """Measure in fresh-JVM chunks of ``chunk`` queries.
+
+    A full 200×2-SF sequential session accumulates JVM state that
+    reproducibly inflates a few mid-run readings 2-6× (root cause
+    unknown; GC/checkpoint-block theories falsified — see module
+    docstring). Running each chunk in its own subprocess generates the
+    map under the same conditions as the isolated confirmation
+    protocol, so full-run flags stop needing manual re-measure.
+    """
+    import subprocess
+    import tempfile
+
+    out: dict[str, dict[str, float]] = {}
+    for i in range(0, len(names), chunk):
+        batch = names[i : i + chunk]
+        with tempfile.NamedTemporaryFile(suffix=".json") as tmp:
+            cmd = [
+                sys.executable,
+                __file__,
+                *batch,
+                "--passes",
+                str(passes),
+                "--emit-json",
+                tmp.name,
+            ]
+            subprocess.run(cmd, check=True)
+            out.update(json.loads(Path(tmp.name).read_text()))
+        print(
+            f"-- isolate: {min(i + chunk, len(names))}/{len(names)} done",
+            file=sys.stderr,
+            flush=True,
+        )
+    return out
 
 
 def main() -> int:
@@ -109,6 +164,20 @@ def main() -> int:
     ap.add_argument("--factor", type=float, default=1.5)
     ap.add_argument("--min-sf1-s", type=float, default=0.5)
     ap.add_argument("--update", action="store_true")
+    ap.add_argument(
+        "--isolate",
+        type=int,
+        default=0,
+        metavar="N",
+        help="restart the Spark JVM every N queries (0 = off; 25 is "
+        "the recommended full-map setting — bounds the mid-run "
+        "session-aging inflation, see module docstring)",
+    )
+    ap.add_argument(
+        "--emit-json",
+        default=None,
+        help=argparse.SUPPRESS,  # internal: child mode for --isolate
+    )
     args = ap.parse_args()
 
     if not Path(SF1_DIR).exists():
@@ -119,12 +188,22 @@ def main() -> int:
         )
         return 2
 
+    names = args.queries or list(load_all())
+
+    if args.emit_json:
+        # child mode (--isolate): measure this chunk and dump raw rows
+        rows = measure(names, args.passes)
+        Path(args.emit_json).write_text(json.dumps(rows))
+        return 0
+
     scale = json.loads(SCALE_FILE.read_text())
     block = scale.get("full_catalog_sf1", {})
     prior = block.get("per_query", {})
 
-    names = args.queries or list(load_all())
-    new = measure(names, args.passes)
+    if args.isolate > 0:
+        new = measure_isolated(names, args.passes, args.isolate)
+    else:
+        new = measure(names, args.passes)
     flags = diff(new, prior, args.factor, args.min_sf1_s)
 
     for f in flags:
@@ -138,7 +217,19 @@ def main() -> int:
             sum(r["sf0.1"] for r in merged.values()), 3
         )
         block["total_sf1"] = round(sum(r["sf1"] for r in merged.values()), 3)
-        block["regressions"] = flags
+        if args.queries:
+            # spot re-measure: merge the regression list (r6 advice) —
+            # drop entries for the re-measured names, keep the rest,
+            # append any new flags. Replacing wholesale would erase
+            # the recorded history for untouched queries.
+            remeasured = set(args.queries)
+            block["regressions"] = [
+                f
+                for f in block.get("regressions", [])
+                if f.split(":", 1)[0] not in remeasured
+            ] + flags
+        else:
+            block["regressions"] = flags
         scale["full_catalog_sf1"] = block
         SCALE_FILE.write_text(json.dumps(scale, indent=1) + "\n")
         print(f"updated {SCALE_FILE.name}")
