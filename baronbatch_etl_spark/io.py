@@ -74,8 +74,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: spread() width rule: one task per this many estimated input bytes
+#: (Catalyst plan statistics — compressed parquet bytes after column
+#: pruning). 64 KiB/task reaches FULL width well before the 10×
+#: upsample sizes (sf1 documents ≈ 2.4 MB pruned → 38 → clamped to
+#: the core count) while the tiny single-split fixtures stop paying a
+#: full-width shuffle fan-out for sub-second Arrow passes (sf0.1
+#: documents ≈ 250 KB pruned → 4 tasks). Env-overridable for sweeps.
+SPREAD_BYTES_PER_TASK = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_BYTES_PER_TASK", 64 * 1024)
+)
+
+
 def spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition up to the session's default parallelism
+    """Round-robin repartition toward the session's default parallelism
     when the plan's CURRENT partitioning would leave cores idle.
 
     A small input (one parquet row group → one split) serializes every
@@ -86,17 +98,29 @@ def spread(df: DataFrame) -> DataFrame:
     only, no job) and a 100 TB scan never pays a gratuitous full-data
     shuffle. Call it AFTER filters, so pushdown still reaches the scan.
 
-    Target is the FULL core count. A half-width variant measured ~20%
-    faster on the tiny sf0.1 fixtures (larger Arrow batches amortize
-    the Python-worker round-trip) but 2-10× SLOWER at the 10× upsample
-    where the same stages are compute-bound — the 10× case is the one
-    that matters, so width stays at defaultParallelism and the
-    small-fixture overhead is accepted.
+    Width is bytes-aware (the r6 verdict's #2 item): a FIXED fan-out
+    is wrong in one regime or the other — full width costs ~0.1-0.3 s
+    of gratuitous full-text shuffle per tiny-fixture Arrow pass, while
+    a narrowed fixed width measured 2-10× slower at the 10× upsample
+    where the same stages are compute-bound (the f592f3b lesson; the
+    at-scale regime always wins a conflict). So the fan-out is sized
+    from the optimizer's input-size estimate at one task per
+    ``SPREAD_BYTES_PER_TASK``, clamped to [current, core count]: big
+    inputs always get full width, and the knob only ever narrows
+    plans that are small enough for shuffle overhead to dominate.
+    Never shrinks an existing partitioning.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    current = df.rdd.getNumPartitions()
+    if current >= target:
         return df
-    return df.repartition(target)
+    est = int(
+        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    width = min(target, -(-est // max(SPREAD_BYTES_PER_TASK, 1)))
+    if width <= current:
+        return df
+    return df.repartition(width)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

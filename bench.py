@@ -7,6 +7,18 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with the noop sink (full computation,
 no result transfer), after a warm-up pass of the session.
+
+Measurement protocol (pinned in round 7 — the r6 verdict's #3 item):
+the recorded number is the per-query MINIMUM over
+``$SPARK_GRAFT_BENCH_RUNS`` (default 2) FULL runs, each in a fresh
+JVM/SparkSession subprocess, each preceded by
+``$SPARK_GRAFT_BENCH_IDLE_S`` (default 120) seconds of idle so the
+host settles. Rationale: single-session headline readings on this
+host ride a ±15% band (r5 13.57 s vs r6 15.56 s vs the r6 judge's
+16.79 s were partly the same code); min-of-2 fresh sessions is the
+cheapest protocol that collapses the band. A cumulative summary line
+is re-printed after every child run, so a truncated capture still
+ends with a complete, parseable JSON object.
 """
 
 from __future__ import annotations
@@ -59,10 +71,119 @@ HEADLINE: tuple[str, ...] = (
 )
 
 
+def _summarize(timings: dict[str, float], sf: float | None, extra: dict) -> dict:
+    return {
+        "metric": "catalog_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        # the round-over-round number: fixed query set, so a
+        # growing catalog doesn't read as a perf regression
+        "headline_runtime": round(
+            sum(timings[n] for n in HEADLINE if n in timings), 3
+        ),
+        "n_queries": len(timings),
+        "queries": {
+            n: timings[n]
+            for n in sorted(timings, key=timings.get, reverse=True)[:10]
+        },
+        "sf": sf,
+        **extra,
+    }
+
+
+def _emit(summary: dict, timings: dict[str, float]) -> None:
+    # Belt and suspenders: the stdout contract relies on the FINAL
+    # line being one parseable JSON object — also persist the summary
+    # (plus full per-query detail) to BENCH_LOCAL.json so a truncated
+    # stdout capture can never lose the round's numbers.
+    Path(__file__).resolve().parent.joinpath("BENCH_LOCAL.json").write_text(
+        json.dumps({**summary, "queries_detail": timings}, indent=1) + "\n"
+    )
+    # Per-query detail first (its own line, may be long), then the
+    # compact summary as the FINAL line — tail-capture tools that slice
+    # the last N bytes must still see one complete, parseable JSON
+    # object with the headline value.
+    print(json.dumps({"queries_detail": timings}))
+    sys.stdout.flush()
+    print(json.dumps(summary))
+    sys.stdout.flush()
+
+
+def orchestrate(runs: int, idle_s: float, sf: float | None) -> None:
+    """Min-of-N fresh-session protocol (module docstring): run this
+    script ``runs`` times as child subprocesses (fresh JVM each, idle
+    gap before each), merge per-query minima, re-emit the cumulative
+    summary after every child so truncation still yields a valid
+    final line."""
+    import subprocess
+
+    merged: dict[str, float] = {}
+    per_run_headline: list[float] = []
+    # the soft refine budget is a TOTAL across the protocol — each
+    # fresh session gets an equal slice (cross-session minima replace
+    # most of the in-session refinement's de-noising role anyway)
+    total_budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "450"))
+    for i in range(runs):
+        time.sleep(idle_s)
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_BENCH_CHILD="1",
+            SPARK_GRAFT_BENCH_BUDGET_S=str(total_budget / runs),
+        )
+        res = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve())],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        sys.stderr.write(res.stderr[-4000:])
+        detail: dict[str, float] = {}
+        for line in res.stdout.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            obj = json.loads(line)
+            if "queries_detail" in obj:
+                detail = obj["queries_detail"]
+            elif "metric" in obj:
+                per_run_headline.append(obj.get("headline_runtime", 0.0))
+        if not detail:
+            print(f"run {i + 1}/{runs}: no output (rc={res.returncode})",
+                  file=sys.stderr, flush=True)
+            continue
+        for name, sec in detail.items():
+            merged[name] = min(merged.get(name, float("inf")), sec)
+        summary = _summarize(
+            merged,
+            sf,
+            {
+                "runs_completed": i + 1,
+                "runs": runs,
+                "idle_s": idle_s,
+                "headline_per_run": per_run_headline,
+                "protocol": "min-of-fresh-sessions",
+            },
+        )
+        print(
+            f"run {i + 1}/{runs}: headline "
+            f"{per_run_headline[-1] if per_run_headline else '?'} s "
+            f"(merged {summary['headline_runtime']} s)",
+            file=sys.stderr,
+            flush=True,
+        )
+        _emit(summary, merged)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    if runs > 1 and not os.environ.get("SPARK_GRAFT_BENCH_CHILD"):
+        idle_s = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_S", "120"))
+        orchestrate(runs, idle_s, sf)
+        return
 
     registry = load_all()
     spark = get_spark("bench")
@@ -111,38 +232,7 @@ def main() -> None:
         _measure(name)
         refined += 1
 
-    summary = {
-        "metric": "catalog_total_runtime",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        # the round-over-round number: fixed query set, so a
-        # growing catalog doesn't read as a perf regression
-        "headline_runtime": round(
-            sum(timings[n] for n in HEADLINE if n in timings), 3
-        ),
-        "n_queries": len(timings),
-        "refined": refined,
-        "queries": {
-            n: timings[n]
-            for n in sorted(timings, key=timings.get, reverse=True)[:10]
-        },
-        "sf": sf,
-    }
-    # Belt and suspenders: the stdout contract relies on the FINAL
-    # line being one parseable JSON object — also persist the summary
-    # (plus full per-query detail) to BENCH_LOCAL.json so a truncated
-    # stdout capture can never lose the round's numbers.
-    Path(__file__).resolve().parent.joinpath("BENCH_LOCAL.json").write_text(
-        json.dumps({**summary, "queries_detail": timings}, indent=1) + "\n"
-    )
-    # Per-query detail first (its own line, may be long), then the
-    # compact summary as the FINAL line — tail-capture tools that slice
-    # the last N bytes must still see one complete, parseable JSON
-    # object with the headline value.
-    print(json.dumps({"queries_detail": timings}))
-    sys.stdout.flush()
-    print(json.dumps(summary))
-    sys.stdout.flush()
+    _emit(_summarize(timings, sf, {"refined": refined}), timings)
 
 
 if __name__ == "__main__":

@@ -108,3 +108,39 @@ def test_write_zordered_rejects_out_of_range_keys(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="outside"):
         write_zordered(df, str(tmp_path / "z"), "cx", "dy")
+
+
+def test_spread_width_is_bytes_aware(spark, sf_dir):
+    """spread() sizes its fan-out from the optimizer's input-size
+    estimate (one task per SPREAD_BYTES_PER_TASK): tiny single-split
+    fixtures must NOT pay a full-width shuffle, large inputs must
+    reach full parallelism, and an already-wide partitioning is never
+    shrunk (the r6 verdict's bytes-aware gate)."""
+    from pyspark.sql import functions as F
+
+    from baronbatch_etl_spark import io as IO
+
+    target = spark.sparkContext.defaultParallelism
+    docs = IO.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    est = int(
+        str(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    expected = min(target, -(-est // IO.SPREAD_BYTES_PER_TASK))
+    got = IO.spread(docs).rdd.getNumPartitions()
+    assert got == max(expected, docs.rdd.getNumPartitions())
+    # the sf0.001 smoke fixture is tiny: the whole point is that this
+    # is NARROWER than a blanket full-width repartition
+    assert got < target
+    # a frame the optimizer thinks is big gets full width (inner-join
+    # stats multiply child sizes, so this estimate is astronomically
+    # conservative — exactly the at-scale-wins default we want)
+    big = docs.alias("a").join(
+        IO.load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("b_id")),
+        F.col("a.doc_id") == F.col("b_id"),
+    )
+    assert IO.spread(big).rdd.getNumPartitions() == target
+    # never shrink: a frame already wider than the bytes rule keeps
+    # its partitioning
+    wide = docs.repartition(target)
+    assert IO.spread(wide).rdd.getNumPartitions() == target
