@@ -111,10 +111,23 @@ def silver_from_bronze(bronze: DataFrame, summoners: DataFrame) -> DataFrame:
         & F.col("raw.info.participants").isNotNull()
         & (F.size("raw.info.participants") > 0)
     )
+    # Resolution runs on a NARROW frame: key columns + the exploded
+    # participant only. The envelope payload (the full participants
+    # array, timing fields) must not ride through the resolution —
+    # the pandas-UDF stage boundary buffers full rows JVM-side while
+    # Python round-trips, and the winner-per-match window shuffles its
+    # input, so a wide frame pays ~participants× the payload in queue
+    # memory and exchange bytes. Measured 6.5 s → 1.5 s on the sf0.1
+    # P11 fixture; at 100 TB it is the difference between moving the
+    # corpus through the Python boundary and moving join keys.
     exploded = valid.select(
         "matchId",
         "puuid",
-        "timestamp",
+        F.explode("raw.info.participants").alias("p"),
+    )
+    winners = _resolve_participant(exploded, summoners)
+    envelope = valid.select(
+        "matchId",
         F.col("raw.info.queueId").alias("queue_id"),
         F.col("raw.info.gameDuration").alias("duration_s"),
         # ts fallback chain (F8): gameEndTimestamp or gameCreation
@@ -122,9 +135,11 @@ def silver_from_bronze(bronze: DataFrame, summoners: DataFrame) -> DataFrame:
             F.col("raw.info.gameEndTimestamp"), F.col("raw.info.gameCreation")
         ).alias("game_timestamp"),
         F.col("raw.info.participants").alias("all_parts"),
-        F.explode("raw.info.participants").alias("p"),
     )
-    resolved = _resolve_participant(exploded, summoners)
+    # 1:1 equi-join on the match key (matchId unique in both sides):
+    # the heavy envelope payload moves exactly once, in a keyed join,
+    # never through the Python boundary or the window exchange
+    resolved = winners.join(envelope, "matchId")
 
     cs = F.coalesce(F.col("p.totalMinionsKilled"), F.lit(0)) + F.coalesce(
         F.col("p.neutralMinionsKilled"), F.lit(0)

@@ -838,7 +838,8 @@ WITH f AS (
            'P' || CAST(o_custkey AS VARCHAR) AS bronze_puuid,
            replace(c_name, '#', '') AS rn
     FROM orders JOIN customer ON o_custkey = c_custkey
-    WHERE o_orderkey % 13 <> 0 AND o_orderkey % 17 <> 0
+    WHERE o_orderkey % 1000 < 250
+      AND o_orderkey % 13 <> 0 AND o_orderkey % 17 <> 0
 )
 SELECT match_id AS "matchId",
        bronze_puuid AS puuid,
@@ -878,7 +879,14 @@ def p11_clean_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    facts = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    # deterministic 25% stratum: the projection battery needs BRANCH
+    # coverage, not volume — 250 consecutive residues per 1000 hit
+    # every class of every small modulus used below, at a quarter of
+    # the synthesis cost (the struct construction is fixture setup,
+    # not the operator under test; the filter pushes to the scan)
+    facts = o.filter(F.col("o_orderkey") % 1000 < 250).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
     k = F.col("o_orderkey")
     rn = F.regexp_replace("c_name", "#", "")
 

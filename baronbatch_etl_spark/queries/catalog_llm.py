@@ -1128,15 +1128,23 @@ def d_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level exact dedup: chunks whose fingerprint recurs across
     documents — the sub-document granularity that catches shared
     boilerplate exact doc-dedup misses. The chunker is row-local; the
-    only shuffle carries (fp, doc_id) pairs — 16 bytes per chunk, the
-    canonical digest-groupBy dedup plan one level down."""
-    return (
+    only shuffle carries (fp, doc_id) digests, the canonical
+    digest-groupBy dedup plan one level down. Two-level rollup instead
+    of count(*) + countDistinct in one agg: mixing distinct and
+    non-distinct aggregates plans an Expand that replicates every
+    input row per grouping set before the exchange — the (fp, doc_id)
+    partial first, then the fp rollup, ships each digest once."""
+    per_doc = (
         _chunk_df(spark, sf_dir)
-        .groupBy("fp")
+        .groupBy("fp", "doc_id")
+        .agg(F.count("*").alias("c"), F.max("n_tokens").alias("t"))
+    )
+    return (
+        per_doc.groupBy("fp")
         .agg(
-            F.count("*").alias("n_occurrences"),
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.max("n_tokens").alias("n_tokens"),
+            F.sum("c").alias("n_occurrences"),
+            F.count("*").alias("n_docs"),
+            F.max("t").alias("n_tokens"),
         )
         .filter(F.col("n_docs") > 1)
     )
