@@ -53,3 +53,31 @@ def test_noise_floor_prior_reading_never_flags():
     # but once BOTH readings are above the floor, flags fire normally
     prior = {"q": _row(0.2, 0.6)}  # ratio 3.0
     assert scale_gate.diff({"q": _row(0.2, 2.8)}, prior, 1.5, 0.5)
+
+
+def test_bench_summary_merge_math():
+    """bench.py's orchestrator merges per-query minima across fresh
+    sessions and _summarize derives headline from the frozen set —
+    pin the merge math so protocol edits can't silently change what
+    the recorded number means."""
+    import importlib.util as iu
+    from pathlib import Path
+
+    spec = iu.spec_from_file_location(
+        "bench", Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = iu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    run1 = {n: 2.0 for n in bench.HEADLINE}
+    run2 = {n: 1.0 for n in bench.HEADLINE}
+    run2[bench.HEADLINE[0]] = 3.0  # one query slower in the fast run
+    merged = {}
+    for detail in (run1, run2):
+        for name, sec in detail.items():
+            merged[name] = min(merged.get(name, float("inf")), sec)
+    s = bench._summarize(merged, 0.1, {"runs": 2})
+    # per-query min: 19 queries at 1.0 + the one that stayed at 2.0
+    assert s["headline_runtime"] == 19 * 1.0 + 2.0
+    assert s["value"] == s["headline_runtime"]  # only headline present
+    assert s["runs"] == 2 and s["sf"] == 0.1
