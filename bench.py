@@ -226,8 +226,16 @@ def main() -> None:
         reverse=True,
     )
     refined = 0
-    for name in refine:
-        if time.perf_counter() - start > budget_s:
+    n_headline = sum(1 for n in HEADLINE if n in registry)
+    for i, name in enumerate(refine):
+        # The HEADLINE refine pass is UNCONDITIONAL: it is the
+        # round-over-round number, and a slow host phase that pushes
+        # pass-1 past the soft budget would otherwise leave it as
+        # single cold readings — measured 2-3x inflation on the
+        # Arrow-worker queries exactly when the host is at its
+        # noisiest. ~20 queries, bounded cost. Only the long tail is
+        # budget-gated.
+        if i >= n_headline and time.perf_counter() - start > budget_s:
             break
         _measure(name)
         refined += 1
