@@ -994,7 +994,11 @@ def p11_clean_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("P"), F.col("o_custkey").cast("string")).alias("puuid"),
         F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("timestamp"),
         raw.alias("raw"),
-    )
+        # synthesize the nested envelopes ONCE: silver's two consumers
+        # (narrow resolution + envelope join) would otherwise rebuild
+        # the struct battery per branch — fixture cost, not the
+        # operator under test (ephemeral, freed with the frame)
+    ).localCheckpoint(eager=False)
     summoners = c.select(
         F.concat(F.lit("P"), F.col("c_custkey").cast("string")).alias("puuid"),
         F.concat(rn, F.lit("#TAG")).alias("summonerName"),
