@@ -30,15 +30,17 @@ same noop-sink protocol as bench.py; queries whose sf1 time is under
 ``--min-sf1-s`` are never flagged — a 0.2 s→0.35 s wobble is host
 noise, not a scale break.
 
-Flag-confirmation protocol: a full 200×2-SF sequential session
-accumulates JVM/GC state that reproducibly inflates a few
-broadcast-heavy mid-run readings 2-6× (d_bloom_dedup: 2 s isolated vs
-12 s mid-run). ``--isolate 25`` eliminates the class by construction
-(fresh JVM per 25-query chunk — the full-map default since r7).
-Without it, treat full-run flags as ADVISORY — confirm each with an
-isolated re-measure (``scale_gate <name> --passes 3``) before acting,
-and patch confirmed-artifact entries the same way (``--update`` with
-query args merges instead of replacing).
+Flag-confirmation protocol: a sequential session accumulates JVM/GC
+state that reproducibly inflates some mid-run readings 2-6×
+(d_bloom_dedup: 2 s isolated vs 12 s mid-run in a full 200×2-SF
+session). ``--isolate 25`` (the full-map default since r7) BOUNDS the
+class but does not eliminate it — the r7 full map still produced 19
+late-chunk false flags, all of which cleared on a chunk-4 re-measure.
+So: treat full-run flags as ADVISORY, confirm with
+``scale_gate <names> --passes 3 --isolate 4 --update`` (merge
+semantics drop cleared flags and keep the rest), and check the sf1
+column before believing any flag — an sf0.1 IMPROVEMENT also raises
+the ratio (denominator flag) with sf1 flat.
 """
 
 from __future__ import annotations
