@@ -1087,16 +1087,21 @@ _SQL_CHUNKS = f"""
 """
 
 
-def _chunk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _chunk_df(spark: SparkSession, sf_dir: str, widen: bool = False) -> DataFrame:
     # mapInPandas (flat chunk rows straight out of the numpy pass)
     # instead of pandas_udf + explode: the array-of-struct return
     # forced a per-doc Python list build and a JVM explode of the
-    # nested column — pure overhead at any scale. Still row-local:
-    # zero shuffle, column-pruned scan.
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "text").mapInPandas(
-        _cdc_chunk_rows, schema=_CDC_ROWS_SCHEMA
-    )
+    # nested column — pure overhead at any scale. Column-pruned scan.
+    #
+    # widen=False keeps the pass strictly row-local (zero shuffle —
+    # t_cdc_chunks pins that plan); consumers that shuffle anyway
+    # (the dedup rollup) pass widen=True so a single-split local scan
+    # parallelizes the Arrow pass — bytes-aware, a no-op on any
+    # multi-split input (io.spread).
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if widen:
+        docs = spread(docs)
+    return docs.mapInPandas(_cdc_chunk_rows, schema=_CDC_ROWS_SCHEMA)
 
 
 @register(
@@ -1135,7 +1140,7 @@ def d_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     input row per grouping set before the exchange — the (fp, doc_id)
     partial first, then the fp rollup, ships each digest once."""
     per_doc = (
-        _chunk_df(spark, sf_dir)
+        _chunk_df(spark, sf_dir, widen=True)
         .groupBy("fp", "doc_id")
         .agg(F.count("*").alias("c"), F.max("n_tokens").alias("t"))
     )
