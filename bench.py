@@ -72,15 +72,19 @@ HEADLINE: tuple[str, ...] = (
 
 
 def _summarize(timings: dict[str, float], sf: float | None, extra: dict) -> dict:
+    # the headline is only comparable when every frozen query has a
+    # reading — a crashed child must not yield a partial (lower!) sum
+    missing = [n for n in HEADLINE if n not in timings]
     return {
         "metric": "catalog_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         # the round-over-round number: fixed query set, so a
         # growing catalog doesn't read as a perf regression
-        "headline_runtime": round(
-            sum(timings[n] for n in HEADLINE if n in timings), 3
+        "headline_runtime": (
+            round(sum(timings[n] for n in HEADLINE), 3) if not missing else None
         ),
+        **({"headline_missing": missing} if missing else {}),
         "n_queries": len(timings),
         "queries": {
             n: timings[n]

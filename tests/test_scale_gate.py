@@ -81,3 +81,26 @@ def test_bench_summary_merge_math():
     assert s["headline_runtime"] == 19 * 1.0 + 2.0
     assert s["value"] == s["headline_runtime"]  # only headline present
     assert s["runs"] == 2 and s["sf"] == 0.1
+
+
+def test_bench_summary_partial_headline_is_not_reported():
+    """A crashed child leaves holes in the merged detail; a partial
+    headline sum would read as an improvement. It must be None with
+    the missing names listed instead."""
+    import importlib.util as iu
+    from pathlib import Path
+
+    spec = iu.spec_from_file_location(
+        "bench2", Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = iu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    partial = {n: 1.0 for n in bench.HEADLINE[:-2]}
+    s = bench._summarize(partial, 0.1, {})
+    assert s["headline_runtime"] is None
+    assert s["headline_missing"] == list(bench.HEADLINE[-2:])
+    full = {n: 1.0 for n in bench.HEADLINE}
+    s = bench._summarize(full, 0.1, {})
+    assert s["headline_runtime"] == float(len(bench.HEADLINE))
+    assert "headline_missing" not in s

@@ -190,6 +190,14 @@ def main() -> int:
         )
         return 2
 
+    registry_names = set(load_all())
+    unknown = [n for n in args.queries if n not in registry_names]
+    if unknown:
+        # fail BEFORE paying Spark startup + warmup — a typo'd spot
+        # re-measure would otherwise die mid-run with a bare KeyError
+        print(f"unknown quer{'y' if len(unknown) == 1 else 'ies'}: "
+              f"{', '.join(unknown)}", file=sys.stderr)
+        return 2
     names = args.queries or list(load_all())
 
     if args.emit_json:
