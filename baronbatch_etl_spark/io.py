@@ -117,10 +117,22 @@ def spread(df: DataFrame) -> DataFrame:
     est = int(
         str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     )
-    width = min(target, -(-est // max(SPREAD_BYTES_PER_TASK, 1)))
+    width = spread_width(est, current, target)
     if width <= current:
         return df
     return df.repartition(width)
+
+
+def spread_width(
+    est_bytes: int, current: int, target: int, bytes_per_task: int | None = None
+) -> int:
+    """The spread() width rule as a pure function: one task per
+    ``bytes_per_task`` of estimated input, clamped to
+    [current, target]. Property-tested in test_layout.py."""
+    if bytes_per_task is None:
+        bytes_per_task = SPREAD_BYTES_PER_TASK
+    proportional = -(-est_bytes // max(bytes_per_task, 1))  # ceil div
+    return max(current, min(target, proportional))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -144,3 +144,35 @@ def test_spread_width_is_bytes_aware(spark, sf_dir):
     # its partitioning
     wide = docs.repartition(target)
     assert IO.spread(wide).rdd.getNumPartitions() == target
+
+
+def test_spread_width_properties():
+    """Property-pin the pure width rule: bounded by [current, target],
+    monotonic in the estimate, full width from 'big enough', and the
+    ceil never starves a nonempty input to zero tasks."""
+    from hypothesis import given, strategies as st
+
+    from baronbatch_etl_spark.io import spread_width
+
+    @given(
+        est=st.integers(min_value=0, max_value=1 << 50),
+        current=st.integers(min_value=1, max_value=64),
+        target=st.integers(min_value=1, max_value=4096),
+        bpt=st.integers(min_value=1, max_value=1 << 30),
+    )
+    def check(est, current, target, bpt):
+        w = spread_width(est, current, target, bpt)
+        assert current <= w or w == current  # never shrinks
+        assert w >= min(current, target)
+        assert w <= max(current, target)
+        # monotonic in the estimate
+        assert spread_width(est + bpt, current, target, bpt) >= w
+        # big inputs always reach full width (the f592f3b invariant:
+        # the at-scale regime must never be narrowed)
+        assert spread_width(target * bpt, current, target, bpt) >= min(
+            target, max(current, target)
+        ) or current > target
+        if est > 0 and current == 1:
+            assert w >= 1
+
+    check()
