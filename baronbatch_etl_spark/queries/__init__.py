@@ -56,92 +56,29 @@ def register(
 
 # Registry iteration order. External checkers run the catalog front to
 # back under a bounded per-run budget (~50 queries; exactly 50 in
-# rounds 3-6). Round-7 goal (the round-6 verdict's #1 item): lead with
-# the parked r2-green trio, give the one r7 registration (P11) its
-# first driver row, and fill the rest with the r3-checked class —
-# after this window runs, every registry row has been driver-checked
-# within the last four rounds except the four parked overflow rows
-# (r3-green, slots 51-54, each re-exercised by an in-window relative).
+# rounds 3-7). Round-8 goal (the round-7 verdict's #1 item): lead with
+# the parked r3-green quartet (slots 51-54 last round — the stalest
+# rows on the board), then fill with 46 of the 49-row r4-checked class
+# — after this window runs, every registry row has been driver-checked
+# within the last four rounds except the three parked overflow rows
+# (r4-green, slots 51-53, each re-exercised by an in-window relative).
 # tests/test_registry.py re-derives the invariant from the
 # CORRECTNESS_r0*.json files on disk so it can't silently rot.
 _PRIORITY: tuple[str, ...] = (
-    # --- r7 window (50) ---
-    # 1-3: the parked trio leads (r2-green, slots 51-53 last round —
-    # the stalest rows on the board; the r6 verdict's top item)
-    "set_ops",
-    "w_rank_lag_lead",
-    "d_exact_dedup",
-    # 4: registered this round (the r6 verdict's item 5 — P11, the
-    # medallion silver clean projection, gets its first driver row)
-    "p11_clean_projection",
-    # 5-50: 46 of the 50 r3-checked rows (next-stalest class).
-    # mm_features (r6-green) leaves the window: its standing role —
-    # keep the mapInPandas/Arrow-worker path driver-checked — is
-    # carried by t_cdc_chunks (flat-row mapInPandas, slot 39) and the
-    # mm_frame_sample/mm_phash_dedup Arrow passes, all in-window.
-    "a_approx_quantiles",
-    "a_cms_heavy_hitters",
-    "a_hll_union",
-    "d_bloom_dedup",
-    "d_chunk_dedup",
-    "d_edit_distance",
-    "d_lsh_recall",
-    "d_minhash_lsh",
-    "d_semantic_dedup",
-    "d_simhash",
-    "d_source_overlap",
-    "f_udaf_median",
-    "f_udtf_chunks",
-    "flagship_player_stats",
-    "j_range_join",
-    "j_scd2_history",
-    "mm_frame_sample",
-    "mm_phash_dedup",
-    "o1_topk_orders",
-    "q_profile_table",
-    "q_sql_recursive",
-    "q_validate_expectations",
-    "q_zorder_layout",
-    "s1_paginated_scan",
-    "s_cosine_topk",
-    "s_hard_negatives",
-    "s_ivf_topk",
-    "s_kmeans_assign",
-    "s_srp_codes",
-    "st_sliding_agg",
-    "st_tumbling_agg",
-    "t_bigram_novelty",
-    "t_bm25",
-    "t_bpe_merges",
-    "t_cdc_chunks",
-    "t_corpus_drift",
-    "t_dsir_affinity",
-    "t_eval_sample",
-    "t_hash_sample",
-    "t_outlier_mad",
-    "t_shard_plan",
-    "t_split_assign",
-    "t_token_stats",
-    "t_training_set",
-    "w2_recent_slice",
-    "w_ntile_battery",
-    # --- 51-54: parked overflow (r3-green; four window slots short.
-    # Each one's machinery is re-exercised in-window: set_intersect
-    # by set_ops, w_running_sum by w_rank_lag_lead/w_ntile_battery,
-    # d_dedup_report by d_exact_dedup/d_chunk_dedup, s_dim_stats by
-    # the seven in-window s_* rows. They lead the r8 window.) ---
+    # --- r8 window (50) ---
+    # 1-4: the parked quartet leads (r3-green, slots 51-54 last round;
+    # the r7 verdict's top item)
     "set_intersect",
     "w_running_sum",
     "d_dedup_report",
     "s_dim_stats",
-    # --- tail, stalest-first: r4-green, then r5, then r6 (freshest
-    # last) so a driver running past 50 still refreshes oldest rows
-    # first ---
+    # 5-50: 46 of the 49 r4-checked rows (next-stalest class). The
+    # Arrow-worker path stays driver-checked via f_norm_concat /
+    # j2_staged_resolution (both run the norm_nfkc pandas UDF).
     "a2_grouped_rollup",
     "a3_champion_rollup",
     "a5_scalar_aggs",
     "a6_distinct_sorted",
-    "a7_table_counts",
     "a8_keep_first_dedup",
     "a_count_distinct",
     "a_percentiles",
@@ -154,7 +91,6 @@ _PRIORITY: tuple[str, ...] = (
     "f_norm_concat",
     "f_rlike_match",
     "f_string_ops",
-    "f_url_encode",
     "h_disjunctive_revenue",
     "h_forecast_revenue",
     "h_large_volume_customer",
@@ -165,7 +101,6 @@ _PRIORITY: tuple[str, ...] = (
     "h_promo_revenue",
     "h_returned_items",
     "h_shipping_priority",
-    "h_small_qty_revenue",
     "h_top_supplier",
     "j1_broadcast_dim_lookup",
     "j2_staged_resolution",
@@ -186,6 +121,18 @@ _PRIORITY: tuple[str, ...] = (
     "st_dedup_ingest",
     "st_session_window",
     "st_stream_join",
+    # --- 51-53: parked overflow (r4-green; three window slots short.
+    # Each one's machinery is re-exercised in-window: a7_table_counts
+    # by a5_scalar_aggs/a_count_distinct, f_url_encode by
+    # f_string_ops/f_norm_concat/f_rlike_match, h_small_qty_revenue by
+    # h_promo_revenue/h_disjunctive_revenue/h_pricing_summary. They
+    # lead the r9 window.) ---
+    "a7_table_counts",
+    "f_url_encode",
+    "h_small_qty_revenue",
+    # --- tail, stalest-first: r5-green, then r6, then r7 (freshest
+    # last) so a driver running past 50 still refreshes oldest rows
+    # first ---
     "a_basket_pairs",
     "a_correlation",
     "a_gini_concentration",
@@ -283,6 +230,57 @@ _PRIORITY: tuple[str, ...] = (
     "w_range_frame",
     "w_resample_ffill",
     "w_sessionize",
+    # r7-green (the freshest class — last in line for a re-check)
+    "set_ops",
+    "w_rank_lag_lead",
+    "d_exact_dedup",
+    "p11_clean_projection",
+    "a_approx_quantiles",
+    "a_cms_heavy_hitters",
+    "a_hll_union",
+    "d_bloom_dedup",
+    "d_chunk_dedup",
+    "d_edit_distance",
+    "d_lsh_recall",
+    "d_minhash_lsh",
+    "d_semantic_dedup",
+    "d_simhash",
+    "d_source_overlap",
+    "f_udaf_median",
+    "f_udtf_chunks",
+    "flagship_player_stats",
+    "j_range_join",
+    "j_scd2_history",
+    "mm_frame_sample",
+    "mm_phash_dedup",
+    "o1_topk_orders",
+    "q_profile_table",
+    "q_sql_recursive",
+    "q_validate_expectations",
+    "q_zorder_layout",
+    "s1_paginated_scan",
+    "s_cosine_topk",
+    "s_hard_negatives",
+    "s_ivf_topk",
+    "s_kmeans_assign",
+    "s_srp_codes",
+    "st_sliding_agg",
+    "st_tumbling_agg",
+    "t_bigram_novelty",
+    "t_bm25",
+    "t_bpe_merges",
+    "t_cdc_chunks",
+    "t_corpus_drift",
+    "t_dsir_affinity",
+    "t_eval_sample",
+    "t_hash_sample",
+    "t_outlier_mad",
+    "t_shard_plan",
+    "t_split_assign",
+    "t_token_stats",
+    "t_training_set",
+    "w2_recent_slice",
+    "w_ntile_battery",
 )
 # The list is exhaustive over the current registry (enforced by
 # tests/test_registry.py::test_priority_is_exhaustive); load_all()

@@ -86,45 +86,47 @@ def test_priority_window_rotates_stale_rows():
         return
     names = list(REGISTRY)
     window = set(names[:50])
-    # this window was designed against 6 rounds of records; strict
+    # this window was designed against 7 rounds of records; strict
     # staleness classes only make sense at design time. Once a newer
     # record lands, flip to the outcome check: the rotation must have
     # actually refreshed the window's rows.
-    if latest == 6:
+    if latest == 7:
         # never-checked rows must hold window slots so they get their
-        # first driver row this round (r7 registrations included —
-        # P11 is the only one and the r6 verdict's item 5 wants its
-        # green row now)
+        # first driver row this round (there are none today — the
+        # assertion guards future registrations)
         never = {n for n in REGISTRY if n not in last}
         missing = never - window
         assert not missing, f"never-checked rows outside window: {missing}"
-        assert "p11_clean_projection" in window
-        # the parked trio (r2-green, the stalest rows on the board)
-        # leads the window — the r6 verdict's top item
-        assert names[:3] == ["set_ops", "w_rank_lag_lead", "d_exact_dedup"]
-        # no slot wasted on a row the driver just refreshed
-        fresh_in_window = {n for n in window if last.get(n) == 6}
-        assert not fresh_in_window, (
-            f"r06-green rows holding window slots: {fresh_in_window}"
-        )
-        # four r3-green rows overflow the window (53 stale candidates,
-        # 50 slots minus P11's); they park at 51-54 so they lead the
-        # r8 window, and each is machinery-covered by an in-window
-        # relative (see the _PRIORITY comments)
-        parked = {
+        # the parked quartet (r3-green, the stalest rows on the board)
+        # leads the window — the r7 verdict's top item
+        assert names[:4] == [
             "set_intersect",
             "w_running_sum",
             "d_dedup_report",
             "s_dim_stats",
+        ]
+        # no slot wasted on a row the driver just refreshed
+        fresh_in_window = {n for n in window if last.get(n) == 7}
+        assert not fresh_in_window, (
+            f"r07-green rows holding window slots: {fresh_in_window}"
+        )
+        # three r4-green rows overflow the window (53 stale candidates,
+        # 50 slots); they park at 51-53 so they lead the r9 window, and
+        # each is machinery-covered by an in-window relative (see the
+        # _PRIORITY comments)
+        parked = {
+            "a7_table_counts",
+            "f_url_encode",
+            "h_small_qty_revenue",
         }
-        assert parked == set(names[50:54])
+        assert parked == set(names[50:53])
         # with this rotation every registry row is driver-checked
         # within the last 4 rounds except the parked overflow: every
-        # r1-r3-stale row must be in-window or parked
+        # r1-r4-stale row must be in-window or parked
         stale_out = {
-            n for n, r in last.items() if r <= 3
+            n for n, r in last.items() if r <= 4
         } - window - parked
-        assert not stale_out, f"r1-r3-stale rows left unrotated: {stale_out}"
+        assert not stale_out, f"r1-r4-stale rows left unrotated: {stale_out}"
     else:
         newest = set(json.loads(records[-1].read_text()))
         refreshed = len(window & newest)
@@ -135,10 +137,16 @@ def test_priority_window_rotates_stale_rows():
         )
     # the round-3 advice: keep the mapInPandas/Arrow-worker path
     # driver-checked every round. mm_features was its only catalog
-    # exerciser through r6; t_cdc_chunks (flat-row mapInPandas) and
-    # p11_clean_projection (norm_nfkc pandas UDF inside the staged
-    # resolution) carry it whenever mm_features rotates out.
-    arrow_exercisers = {"mm_features", "t_cdc_chunks"}
+    # exerciser through r6; t_cdc_chunks (flat-row mapInPandas),
+    # p11_clean_projection, f_norm_concat and j2_staged_resolution
+    # (norm_nfkc pandas UDF) carry it whenever mm_features rotates out.
+    arrow_exercisers = {
+        "mm_features",
+        "t_cdc_chunks",
+        "f_norm_concat",
+        "j2_staged_resolution",
+        "p11_clean_projection",
+    }
     assert window & arrow_exercisers, (
         "no mapInPandas/Arrow-worker exerciser in the checker window"
     )
