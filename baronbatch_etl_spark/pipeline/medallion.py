@@ -105,7 +105,18 @@ def silver_from_bronze(bronze: DataFrame, summoners: DataFrame) -> DataFrame:
     Null-safe validation drops envelope rows without info/participants
     (the reference marks them processed and skips — P9/T2), then the
     staged join finds the tracked player, then the clean projection
-    derives kda / cs / cs_min / items / participants summary."""
+    derives kda / cs / cs_min / items / participants summary.
+
+    PRECONDITION: ``matchId`` is unique in ``bronze`` — the reference
+    enforces this upstream with a unique index (extractor/main.py:413)
+    and our ingest path does the same via :func:`ingest_dedup`. A
+    duplicate-matchId bronze frame fans out to one silver row per
+    duplicate (the winner join is 1:N then). We deliberately do NOT
+    defensively ``dropDuplicates`` here: the envelope carries the full
+    participants payload, and deduping it would re-introduce exactly
+    the full-payload shuffle the narrow-frame resolution avoids — at
+    100 TB that is the dominant cost. Callers with un-deduped input
+    must route through :func:`ingest_dedup` first."""
     valid = bronze.filter(
         F.col("raw.info").isNotNull()
         & F.col("raw.info.participants").isNotNull()
@@ -185,8 +196,12 @@ def silver_from_bronze(bronze: DataFrame, summoners: DataFrame) -> DataFrame:
         ).alias("kda"),
         cs.alias("cs"),
         cs_per_min(cs, F.coalesce(F.col("duration_s"), F.lit(0))).alias("cs_min"),
-        F.col("p.totalDamageDealtToChampions").alias("total_damage"),
-        F.col("p.goldEarned").alias("gold_earned"),
+        # the reference clean projection defaults these to 0, not NULL
+        # (transformer_loader/main.py:148-157 target_p.get(..., 0))
+        F.coalesce(F.col("p.totalDamageDealtToChampions"), F.lit(0)).alias(
+            "total_damage"
+        ),
+        F.coalesce(F.col("p.goldEarned"), F.lit(0)).alias("gold_earned"),
         F.array(
             *[F.coalesce(F.col(f"p.item{i}"), F.lit(0)) for i in range(7)]
         ).alias("items"),

@@ -123,11 +123,22 @@ def orchestrate(runs: int, idle_s: float, sf: float | None) -> None:
 
     merged: dict[str, float] = {}
     per_run_headline: list[float] = []
+    per_run_canary: list[float] = []
+    # opportunistic mode: when a child lands in a slow host phase
+    # (canary above threshold), idle longer and run up to this many
+    # extra children. Default 0 — the driver's pinned protocol stays
+    # exactly min-of-$RUNS.
+    retries = int(os.environ.get("SPARK_GRAFT_BENCH_CANARY_RETRIES", "0"))
+    slow_thresh = float(
+        os.environ.get("SPARK_GRAFT_BENCH_CANARY_SLOW_S", "1.1")
+    )
     # the soft refine budget is a TOTAL across the protocol — each
     # fresh session gets an equal slice (cross-session minima replace
     # most of the in-session refinement's de-noising role anyway)
     total_budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "450"))
-    for i in range(runs):
+    i = 0
+    planned = runs
+    while i < planned:
         time.sleep(idle_s)
         env = dict(
             os.environ,
@@ -140,19 +151,47 @@ def orchestrate(runs: int, idle_s: float, sf: float | None) -> None:
             capture_output=True,
             text=True,
         )
+        i += 1
         sys.stderr.write(res.stderr[-4000:])
         detail: dict[str, float] = {}
         for line in res.stdout.splitlines():
             line = line.strip()
             if not line.startswith("{"):
                 continue
-            obj = json.loads(line)
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                # JVM/Ivy/log noise on stdout can start with a brace —
+                # never let it abort the remaining runs of a ~20-min
+                # protocol
+                continue
             if "queries_detail" in obj:
                 detail = obj["queries_detail"]
             elif "metric" in obj:
-                per_run_headline.append(obj.get("headline_runtime", 0.0))
+                # a partial child (headline_runtime null) must not
+                # plant a None in headline_per_run
+                if obj.get("headline_runtime") is not None:
+                    per_run_headline.append(obj["headline_runtime"])
+                if obj.get("canary_s") is not None:
+                    per_run_canary.append(obj["canary_s"])
+        # slow host phase (canary over threshold): for opportunistic
+        # runs, defer and try once more in a hopefully-faster phase
+        if (
+            retries > 0
+            and per_run_canary
+            and per_run_canary[-1] > slow_thresh
+            and planned < runs + retries
+        ):
+            planned += 1
+            print(
+                f"run {i}: slow host phase (canary "
+                f"{per_run_canary[-1]} s > {slow_thresh}) — scheduling "
+                "an extra run",
+                file=sys.stderr,
+                flush=True,
+            )
         if not detail:
-            print(f"run {i + 1}/{runs}: no output (rc={res.returncode})",
+            print(f"run {i}/{planned}: no output (rc={res.returncode})",
                   file=sys.stderr, flush=True)
             continue
         for name, sec in detail.items():
@@ -161,17 +200,19 @@ def orchestrate(runs: int, idle_s: float, sf: float | None) -> None:
             merged,
             sf,
             {
-                "runs_completed": i + 1,
+                "runs_completed": i,
                 "runs": runs,
                 "idle_s": idle_s,
                 "headline_per_run": per_run_headline,
+                "canary_per_run": per_run_canary,
                 "protocol": "min-of-fresh-sessions",
             },
         )
         print(
-            f"run {i + 1}/{runs}: headline "
+            f"run {i}/{planned}: headline "
             f"{per_run_headline[-1] if per_run_headline else '?'} s "
-            f"(merged {summary['headline_runtime']} s)",
+            f"(canary {per_run_canary[-1] if per_run_canary else '?'} s, "
+            f"merged {summary['headline_runtime']} s)",
             file=sys.stderr,
             flush=True,
         )
@@ -196,6 +237,23 @@ def main() -> None:
     # no query is charged for JVM bring-up or Python worker startup.
     _force(registry["p1_projection"].fn(spark, sf_dir))
     _force(registry["f_norm_concat"].fn(spark, sf_dir))
+
+    # Host-phase canary: same-code headline readings on this host
+    # swing ±25% with load phase, and the known tell is a 3-pass
+    # flagship_player_stats min — ~0.87 s in a fast phase at sf0.1,
+    # >1.1 s in a slow one. Measure it first and stamp it into the
+    # emitted JSON so every recorded number carries its own
+    # host-phase context (and the orchestrator can defer slow-phase
+    # opportunistic runs).
+    canary_passes = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        _force(registry["flagship_player_stats"].fn(spark, sf_dir))
+        canary_passes.append(time.perf_counter() - t0)
+    canary = round(min(canary_passes), 3)
+    print(f"canary flagship_player_stats: {canary}s", file=sys.stderr,
+          flush=True)
 
     # Pass 1: every query once — complete per-query detail even if an
     # external timeout cuts the process short later. Pass 2+: re-run
@@ -244,7 +302,10 @@ def main() -> None:
         _measure(name)
         refined += 1
 
-    _emit(_summarize(timings, sf, {"refined": refined}), timings)
+    _emit(
+        _summarize(timings, sf, {"refined": refined, "canary_s": canary}),
+        timings,
+    )
 
 
 if __name__ == "__main__":

@@ -67,9 +67,11 @@ def main() -> int:
         )
 
     failures: list[str] = []
+    n_checked = 0
     for name, spec in registry.items():
         if only and name not in only:
             continue
+        n_checked += 1
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir)
@@ -118,7 +120,12 @@ def main() -> int:
             print(f"ok    {name}: rows={len(srows)} hash-match "
                   f"[{time.time()-t0:.1f}s]")
 
-    print(f"\n{len(registry) - len(failures)}/{len(registry)} pass")
+    # denominate in queries actually CHECKED — a name filter must not
+    # report skipped queries as passes
+    print(f"\n{n_checked - len(failures)}/{n_checked} pass")
+    missing = only - set(registry)
+    if missing:
+        print(f"WARNING unknown names (not checked): {sorted(missing)}")
     if failures:
         print("FAILURES:")
         for f in failures:
