@@ -137,6 +137,7 @@ def measure_isolated(
     import tempfile
 
     out: dict[str, dict[str, float]] = {}
+    failed: list[str] = []
     for i in range(0, len(names), chunk):
         batch = names[i : i + chunk]
         with tempfile.NamedTemporaryFile(suffix=".json") as tmp:
@@ -149,10 +150,30 @@ def measure_isolated(
                 "--emit-json",
                 tmp.name,
             ]
-            subprocess.run(cmd, check=True)
-            out.update(json.loads(Path(tmp.name).read_text()))
+            # one crashed chunk must not abort a 40-60 min full-map
+            # run and discard every completed chunk's measurements —
+            # log it, keep going, report the hole at the end
+            try:
+                subprocess.run(cmd, check=True)
+                out.update(json.loads(Path(tmp.name).read_text()))
+            except (subprocess.CalledProcessError, ValueError, OSError) as e:
+                failed.extend(batch)
+                print(
+                    f"-- isolate: chunk FAILED ({e}); skipping "
+                    f"{', '.join(batch)}",
+                    file=sys.stderr,
+                    flush=True,
+                )
         print(
             f"-- isolate: {min(i + chunk, len(names))}/{len(names)} done",
+            file=sys.stderr,
+            flush=True,
+        )
+    if failed:
+        print(
+            f"-- isolate: {len(failed)} quer"
+            f"{'y' if len(failed) == 1 else 'ies'} unmeasured (failed "
+            f"chunks): {', '.join(failed)}",
             file=sys.stderr,
             flush=True,
         )
@@ -174,6 +195,12 @@ def main() -> int:
         help="restart the Spark JVM every N queries (0 = off; 25 is "
         "the recommended full-map setting — bounds the mid-run "
         "session-aging inflation, see module docstring)",
+    )
+    ap.add_argument(
+        "--no-confirm",
+        action="store_true",
+        help="skip the automatic flag-confirmation re-measures "
+        "(chunk-4 then solo isolation of flagged names)",
     )
     ap.add_argument(
         "--emit-json",
@@ -216,9 +243,34 @@ def main() -> int:
         new = measure(names, args.passes)
     flags = diff(new, prior, args.factor, args.min_sf1_s)
 
+    # Self-confirming flags (every r7 full-map flag — 19 of 19 — was
+    # session-aging noise that cleared under tighter isolation): on
+    # any flag, automatically re-measure JUST the flagged names at
+    # chunk-4 isolation, then solo-chunk the survivors. Only flags
+    # that survive both re-measures are recorded. The cleaner isolated
+    # readings replace the originals in the map.
+    if flags and not args.no_confirm:
+        for conf_chunk, label in ((4, "chunk-4"), (1, "solo")):
+            flagged = [f.split(":", 1)[0] for f in flags]
+            print(
+                f"-- confirming {len(flagged)} flag(s) at {label} "
+                f"isolation: {', '.join(flagged)}",
+                file=sys.stderr,
+                flush=True,
+            )
+            re_rows = measure_isolated(flagged, max(args.passes, 3), conf_chunk)
+            new.update(re_rows)
+            flags = diff(re_rows, prior, args.factor, args.min_sf1_s)
+            if not flags:
+                break
+
     for f in flags:
         print(f"REGRESSION {f}")
     print(f"{len(flags)} regression(s) over {len(new)} measured queries")
+    missing = [n for n in names if n not in new]
+    if missing:
+        print(f"WARNING {len(missing)} queries unmeasured: "
+              f"{', '.join(missing)}")
 
     if args.update:
         merged = {**prior, **new}
@@ -240,6 +292,32 @@ def main() -> int:
             ] + flags
         else:
             block["regressions"] = flags
+        # stamp WHEN the map was (re)generated — round = number of
+        # driver correctness records on disk + 1 (the in-progress
+        # round), so the note can't silently describe stale data. A
+        # spot update records itself separately and leaves the
+        # full-map provenance note intact.
+        rnd = len(list(ROOT.glob("CORRECTNESS_r*.json"))) + 1
+        if args.queries:
+            block["last_spot_update"] = (
+                f"Round {rnd}: re-measured "
+                f"{', '.join(sorted(args.queries))} "
+                f"(passes={args.passes}, isolate={args.isolate})"
+            )
+        else:
+            block["note"] = (
+                f"Round {rnd}: full map ({len(new)} queries) by "
+                f"tools/scale_gate.py (min-of-{args.passes} noop-sink "
+                "at sf0.1 + the 10x localdata_sf1 upsample, --isolate "
+                f"{args.isolate}; flags auto-confirmed at chunk-4 then "
+                "solo isolation before being recorded). Known "
+                "output-quadratic upsample outliers (documented, "
+                "input-side work bucketed): d_embedding_neardup, "
+                "d_semantic_dedup, d_simhash_pairs, d_span_dedup, "
+                "s_knn_graph track replica-embedding pair-output "
+                "cardinality."
+            )
+            block.pop("last_spot_update", None)
         scale["full_catalog_sf1"] = block
         SCALE_FILE.write_text(json.dumps(scale, indent=1) + "\n")
         print(f"updated {SCALE_FILE.name}")
