@@ -113,6 +113,11 @@ def diff(
         # against noise, not a recorded baseline
         if old["sf1"] < min_sf1_s:
             continue
+        # a worsened RATIO with a flat-or-improved sf1 reading is a
+        # denominator artifact (sf0.1 got faster) — definitionally not
+        # a scale regression; require the sf1 column itself to move
+        if row["sf1"] <= old["sf1"]:
+            continue
         if row["ratio"] > old["ratio"] * factor:
             flags.append(
                 f"{name}: 10x ratio {old['ratio']} -> {row['ratio']} "
