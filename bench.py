@@ -113,6 +113,30 @@ def _emit(summary: dict, timings: dict[str, float]) -> None:
     sys.stdout.flush()
 
 
+def parse_child_stdout(
+    stdout: str,
+) -> tuple[dict[str, float], float | None, float | None]:
+    """Extract (queries_detail, headline_runtime, canary_s) from a
+    child's stdout. Tolerates JVM/log noise (including brace-prefixed
+    unparseable lines) and partial children (null headline)."""
+    detail: dict[str, float] = {}
+    headline = canary = None
+    for line in stdout.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if "queries_detail" in obj:
+            detail = obj["queries_detail"]
+        elif "metric" in obj:
+            headline = obj.get("headline_runtime")
+            canary = obj.get("canary_s")
+    return detail, headline, canary
+
+
 def orchestrate(runs: int, idle_s: float, sf: float | None) -> None:
     """Min-of-N fresh-session protocol (module docstring): run this
     script ``runs`` times as child subprocesses (fresh JVM each, idle
@@ -153,39 +177,25 @@ def orchestrate(runs: int, idle_s: float, sf: float | None) -> None:
         )
         i += 1
         sys.stderr.write(res.stderr[-4000:])
-        detail: dict[str, float] = {}
-        for line in res.stdout.splitlines():
-            line = line.strip()
-            if not line.startswith("{"):
-                continue
-            try:
-                obj = json.loads(line)
-            except ValueError:
-                # JVM/Ivy/log noise on stdout can start with a brace —
-                # never let it abort the remaining runs of a ~20-min
-                # protocol
-                continue
-            if "queries_detail" in obj:
-                detail = obj["queries_detail"]
-            elif "metric" in obj:
-                # a partial child (headline_runtime null) must not
-                # plant a None in headline_per_run
-                if obj.get("headline_runtime") is not None:
-                    per_run_headline.append(obj["headline_runtime"])
-                if obj.get("canary_s") is not None:
-                    per_run_canary.append(obj["canary_s"])
+        detail, headline, canary = parse_child_stdout(res.stdout)
+        # a partial child (headline_runtime null) must not plant a
+        # None in headline_per_run
+        if headline is not None:
+            per_run_headline.append(headline)
+        if canary is not None:
+            per_run_canary.append(canary)
         # slow host phase (canary over threshold): for opportunistic
         # runs, defer and try once more in a hopefully-faster phase
         if (
             retries > 0
-            and per_run_canary
-            and per_run_canary[-1] > slow_thresh
+            and canary is not None
+            and canary > slow_thresh
             and planned < runs + retries
         ):
             planned += 1
             print(
                 f"run {i}: slow host phase (canary "
-                f"{per_run_canary[-1]} s > {slow_thresh}) — scheduling "
+                f"{canary} s > {slow_thresh}) — scheduling "
                 "an extra run",
                 file=sys.stderr,
                 flush=True,
