@@ -126,7 +126,12 @@ _PRIORITY: tuple[str, ...] = (
     # by a5_scalar_aggs/a_count_distinct, f_url_encode by
     # f_string_ops/f_norm_concat/f_rlike_match, h_small_qty_revenue by
     # h_promo_revenue/h_disjunctive_revenue/h_pricing_summary. They
-    # lead the r9 window.) ---
+    # lead the r9 window. r9 rotation plan, assuming r08 all-green:
+    # this trio + mm_features (stalest Arrow exerciser, r6) + 46 of
+    # the 47-row r5 class, one r5 row parked at slot 51 — the strict
+    # branch for latest==8 in tests/test_registry.py is pre-written
+    # against exactly that shape and activates when the trio leads.)
+    # ---
     "a7_table_counts",
     "f_url_encode",
     "h_small_qty_revenue",

@@ -90,7 +90,39 @@ def test_priority_window_rotates_stale_rows():
     # staleness classes only make sense at design time. Once a newer
     # record lands, flip to the outcome check: the rotation must have
     # actually refreshed the window's rows.
-    if latest == 7:
+    if latest == 8 and names[:3] == [
+        "a7_table_counts",
+        "f_url_encode",
+        "h_small_qty_revenue",
+    ]:
+        # r9 design invariants, PRE-WRITTEN during round 8 (the fix
+        # for this branch's recurring decay: each round the strict
+        # check died the moment the new record landed). It activates
+        # only once the r9 session rotates (marker: the parked trio
+        # leads). Projection from the first 8 records, r8 all-green:
+        # stale-at-r5-or-older = 3 parked r4 rows + the 47-row r5
+        # class = exactly 50; but that set holds no Arrow exerciser,
+        # so the rotation must seat mm_features (r6-green, the
+        # stalest exerciser) and park exactly one r5 row at slot 51.
+        never = {n for n in REGISTRY if n not in last}
+        assert never <= window, (
+            f"never-checked rows outside window: {never - window}"
+        )
+        fresh_in_window = {n for n in window if last.get(n) == 8}
+        assert not fresh_in_window, (
+            f"r08-green rows holding window slots: {fresh_in_window}"
+        )
+        stale_out = {n for n, r in last.items() if r <= 5} - window
+        assert len(stale_out) <= 1, (
+            "more than one r5-or-older row left unrotated "
+            f"({stale_out}) — if a row went RED in r08, it re-enters "
+            "the window and these invariants must be re-derived"
+        )
+        assert stale_out <= set(names[50:51]), (
+            f"parked overflow {stale_out} must lead the r10 window "
+            f"(slot 51), found {names[50]!r} there"
+        )
+    elif latest == 7:
         # never-checked rows must hold window slots so they get their
         # first driver row this round (there are none today — the
         # assertion guards future registrations)
