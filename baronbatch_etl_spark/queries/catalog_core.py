@@ -828,13 +828,12 @@ _P11_CS = (
 )
 _P11_DUR = "CASE WHEN k % 7 = 0 OR k % 19 = 0 THEN 0 ELSE 300 + (k % 3600) END"
 
-#: Per-session memo for the P11 bronze fixture. The struct battery is
-#: fixture synthesis, not the operator under test, so it is built and
-#: localCheckpointed ONCE per (SparkSession, sf_dir); every repeat run
-#: (bench min-of-runs, refine passes) then pays only the real
-#: ``silver_from_bronze``. ``spark.catalog.clearCache()`` does not
-#: drop localCheckpoints, and a fresh JVM gets a fresh applicationId,
-#: so the memo cannot leak across sessions.
+#: Per-session memo for the P11 bronze fixture plan. The struct
+#: battery PLAN is built once per (SparkSession, sf_dir); execution
+#: recomputes it per consumer — measured cheaper than checkpointing
+#: the wide struct rows (see the note in :func:`_p11_synthesize`).
+#: A fresh JVM gets a fresh applicationId, so the memo cannot leak
+#: across sessions.
 _P11_BRONZE: dict[tuple[str, str], "DataFrame"] = {}
 
 
@@ -911,8 +910,10 @@ def p11_clean_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``silver_from_bronze`` (validation drop → staged resolution →
     17-field clean projection) and emit the scalar projection
     (arrays serialized, non-deterministic processed_at dropped).
-    The bronze fixture is memoized per session (:data:`_P11_BRONZE`)
-    so repeat runs measure the operator, not the synthesis."""
+    The bronze fixture plan is memoized per session
+    (:data:`_P11_BRONZE`); synthesis itself is a map-only 12%-stratum
+    scan cheap enough to recompute per consumer (see
+    :func:`_p11_synthesize`)."""
     from baronbatch_etl_spark.pipeline.medallion import silver_from_bronze
 
     bronze = _p11_bronze(spark, sf_dir)
@@ -1058,9 +1059,13 @@ def _p11_synthesize(facts: DataFrame, k, rn) -> DataFrame:
         F.concat(F.lit("P"), F.col("o_custkey").cast("string")).alias("puuid"),
         F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("timestamp"),
         raw.alias("raw"),
-        # synthesize the nested envelopes ONCE: silver's two consumers
-        # (narrow resolution + envelope join) would otherwise rebuild
-        # the struct battery per branch — fixture cost, not the
-        # operator under test (ephemeral, freed with the frame)
-    ).localCheckpoint(eager=False)
+        # deliberately NOT checkpointed: silver's two consumers (narrow
+        # resolution + envelope join) each recompute this map-only
+        # battery from a pushdown-filtered 12%-stratum scan, and that
+        # double recompute measures CHEAPER than serializing the wide
+        # struct rows into the block manager once (A/B: cold 3.17 s
+        # with localCheckpoint vs 2.50 s without, same host phase).
+        # The bench record sees the COLD run (refine passes rarely
+        # reach this deep into the tail), so cold cost is what counts.
+    )
     return bronze
