@@ -559,56 +559,61 @@ def a_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same order, with their lift (observed co-rate over the
     independence expectation). The canonical co-occurrence shape —
     also how word co-occurrence / PMI tables are built for corpus
-    analysis. Scale plan: pair generation self-joins the DISTINCT
-    (order, part) projection ON THE ORDER KEY, so fan-out per order
-    is bounded by basket size (never a global cross), one partial-agg
-    shuffle collapses pairs, and the per-part marginals join back
-    onto the 20-row top-k — lift math in exact BIGINTs with one IEEE
-    division (``pair·N / (cnt_a·cnt_b)``), identical on both engines.
-    The distinct projection is staged ONCE (localCheckpoint): both
-    self-join sides, the marginal rollup and the order count all fan
-    out from it instead of re-scanning lineitem four times.
+    analysis. Scale plan: ONE shuffle builds the per-order basket
+    (``collect_set`` — dedupe happens inside the partial agg, and
+    basket size is bounded by order width, never corpus-sized), then
+    pair expansion is a map-side higher-order-function over the
+    sorted array (``part_a < part_b`` by construction) feeding one
+    partial-agg pair shuffle. The marginals and the order count fan
+    out from the SAME basket subtree — identical plan fragments, so
+    Spark reuses the exchange instead of re-shuffling — and the order
+    count rides along as a broadcast 1-row frame, keeping the whole
+    query a single job (the former self-join spent two extra
+    exchanges plus a driver-side count). Lift math in exact BIGINTs
+    with one IEEE division (``pair·N / (cnt_a·cnt_b)``), identical on
+    both engines.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    op = (
-        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
-    n_orders = (
-        op.select("l_orderkey").distinct().count()
-    )  # one scalar: burned into the lift literal like the PageRank N
-    pc = op.groupBy("l_partkey").agg(
-        F.count("*").cast("long").alias("part_orders")
+    tot = baskets.agg(F.count("*").cast("long").alias("n_orders"))
+    pc = (
+        baskets.select(F.explode("parts").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").cast("long").alias("part_orders"))
     )
-    o1, o2 = op.alias("o1"), op.alias("o2")
+    # all (i, j>i) pairs of the sorted basket: slice-from-i+1 under a
+    # positional transform — pure column expressions, no UDF
+    pair_structs = F.flatten(
+        F.transform(
+            "parts",
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + F.lit(2), F.size("parts")),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
     pairs = (
-        o1.join(
-            o2,
-            (F.col("o1.l_orderkey") == F.col("o2.l_orderkey"))
-            & (F.col("o1.l_partkey") < F.col("o2.l_partkey")),
-        )
-        .groupBy(
-            F.col("o1.l_partkey").alias("part_a"),
-            F.col("o2.l_partkey").alias("part_b"),
-        )
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .select("pr.part_a", "pr.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count("*").cast("long").alias("pair_orders"))
         .orderBy(F.col("pair_orders").desc(), "part_a", "part_b")
         .limit(20)
     )
-    pa = pc.withColumnRenamed("l_partkey", "part_a").withColumnRenamed(
-        "part_orders", "orders_a"
-    )
-    pb = pc.withColumnRenamed("l_partkey", "part_b").withColumnRenamed(
-        "part_orders", "orders_b"
-    )
+    pa = pc.withColumnsRenamed({"pk": "part_a", "part_orders": "orders_a"})
+    pb = pc.withColumnsRenamed({"pk": "part_b", "part_orders": "orders_b"})
     return (
         pairs.join(pa, "part_a")
         .join(pb, "part_b")
+        .crossJoin(F.broadcast(tot))
         .select(
             "part_a",
             "part_b",
             "pair_orders",
             (
-                (F.col("pair_orders") * F.lit(n_orders)).cast("double")
+                (F.col("pair_orders") * F.col("n_orders")).cast("double")
                 / (F.col("orders_a") * F.col("orders_b")).cast("double")
             ).alias("lift"),
         )
