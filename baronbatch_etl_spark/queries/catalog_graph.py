@@ -145,23 +145,32 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _frequent_copurchase_edges(spark, sf_dir: str) -> DataFrame:
     """Canonical (a < b) part pairs co-bought in ≥2 orders — the ONE
     edge definition `g_triangle_count` and `g_adamic_adar` share (and
-    their oracles spell identically). Pair generation joins the
-    distinct (order, part) projection ON THE ORDER KEY (fan-out
-    bounded by basket size); the ≥2-support gate keeps the graph
-    sparse at any scale (see g_triangle_count's docstring)."""
+    their oracles spell identically). Same single-shuffle shape as
+    ``a_basket_pairs``: one ``collect_set`` exchange forms the
+    per-order basket (width bounded by order size), pair expansion is
+    a map-side higher-order function over the sorted array (``a < b``
+    by construction), and one partial-agg pair shuffle applies the
+    ≥2-support gate that keeps the graph sparse at any scale (see
+    g_triangle_count's docstring). The former distinct-projection
+    self-join spent two extra exchanges for identical output (A/B
+    bit-equal at sf0.1 and the sf1 upsample)."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    o1, o2 = op.alias("o1"), op.alias("o2")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "parts",
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + F.lit(2), F.size("parts")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     return (
-        o1.join(
-            o2,
-            (F.col("o1.l_orderkey") == F.col("o2.l_orderkey"))
-            & (F.col("o1.l_partkey") < F.col("o2.l_partkey")),
-        )
-        .groupBy(
-            F.col("o1.l_partkey").alias("a"),
-            F.col("o2.l_partkey").alias("b"),
-        )
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .select("pr.a", "pr.b")
+        .groupBy("a", "b")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 2)
         .select("a", "b")
