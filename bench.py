@@ -10,8 +10,7 @@ no result transfer), after a warm-up pass of the session.
 
 Measurement protocol (pinned in round 7 — the r6 verdict's #3 item):
 the recorded number is the per-query MINIMUM over
-``$SPARK_GRAFT_BENCH_RUNS`` (default 2) FULL runs, each in a fresh
-JVM/SparkSession subprocess, each preceded by
+``$SPARK_GRAFT_BENCH_RUNS`` (default 2) FULL runs, each preceded by
 ``$SPARK_GRAFT_BENCH_IDLE_S`` (default 120) seconds of idle so the
 host settles. Rationale: single-session headline readings on this
 host ride a ±15% band (r5 13.57 s vs r6 15.56 s vs the r6 judge's
@@ -19,6 +18,22 @@ host ride a ±15% band (r5 13.57 s vs r6 15.56 s vs the r6 judge's
 cheapest protocol that collapses the band. A cumulative summary line
 is re-printed after every child run, so a truncated capture still
 ends with a complete, parseable JSON object.
+
+``$SPARK_GRAFT_BENCH_CHUNK`` > 0 (opt-in, r8) splits each run into
+fresh-JVM chunks of that many queries — the diagnostic mode for the
+mid-session JVM-state pathology where a long single session inflates
+a few tail readings 2-6× (the same effect that moved
+tools/scale_gate.py to --isolate 25; an r8 unchunked run recorded
+untouched queries at 4× their isolated cost, surviving the cross-run
+min). Chunking is deliberately NOT the default: the frozen HEADLINE
+set reads ~18% slower from young chunk JVMs than from a
+fully-JIT-warmed 200-query session (r8 A/B at matched canary: 16.6 s
+chunked vs 13.9 s whole-session), so chunked headlines are not
+comparable round-over-round. The headline stays on the pinned
+whole-session protocol; per-query TAIL truth at both SFs lives in
+BENCH_SCALE.json, which IS measured isolated. With chunking on, each
+chunk child measures the host canary and the per-run canary is the
+median across that run's chunks.
 """
 
 from __future__ import annotations
@@ -99,10 +114,17 @@ def _emit(summary: dict, timings: dict[str, float]) -> None:
     # Belt and suspenders: the stdout contract relies on the FINAL
     # line being one parseable JSON object — also persist the summary
     # (plus full per-query detail) to BENCH_LOCAL.json so a truncated
-    # stdout capture can never lose the round's numbers.
-    Path(__file__).resolve().parent.joinpath("BENCH_LOCAL.json").write_text(
-        json.dumps({**summary, "queries_detail": timings}, indent=1) + "\n"
-    )
+    # stdout capture can never lose the round's numbers. Chunk
+    # children (r8) skip the file: a protocol killed mid-run must
+    # leave the parent's last cumulative record on disk, not a
+    # 25-query slice (the parent re-persists after every run).
+    if not os.environ.get("SPARK_GRAFT_BENCH_NAMES"):
+        Path(__file__).resolve().parent.joinpath(
+            "BENCH_LOCAL.json"
+        ).write_text(
+            json.dumps({**summary, "queries_detail": timings}, indent=1)
+            + "\n"
+        )
     # Per-query detail first (its own line, may be long), then the
     # compact summary as the FINAL line — tail-capture tools that slice
     # the last N bytes must still see one complete, parseable JSON
@@ -137,55 +159,91 @@ def parse_child_stdout(
     return detail, headline, canary
 
 
+def run_headline(detail: dict[str, float]) -> float | None:
+    """Per-run headline: sum over the frozen set, None while any
+    member lacks a reading (a partial run must not yield a lower —
+    therefore better-looking — headline)."""
+    if any(n not in detail for n in HEADLINE):
+        return None
+    return round(sum(detail[n] for n in HEADLINE), 3)
+
+
 def orchestrate(runs: int, idle_s: float, sf: float | None) -> None:
-    """Min-of-N fresh-session protocol (module docstring): run this
-    script ``runs`` times as child subprocesses (fresh JVM each, idle
-    gap before each), merge per-query minima, re-emit the cumulative
-    summary after every child so truncation still yields a valid
-    final line."""
+    """Min-of-N fresh-session protocol (module docstring): execute
+    ``runs`` full catalog passes, each as a sequence of fresh-JVM
+    chunk children, merge per-query minima across runs, re-emit the
+    cumulative summary after every run so truncation still yields a
+    valid final line."""
+    import statistics
     import subprocess
 
+    registry_names = list(load_all())
+    # default 0 = whole-session runs (the pinned, headline-comparable
+    # protocol); >0 = fresh-JVM chunks (tail-inflation diagnostic —
+    # see the module docstring for why it must not be the default)
+    chunk = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "0"))
+    if chunk <= 0:
+        chunk = len(registry_names)
+    chunks = [
+        registry_names[i : i + chunk]
+        for i in range(0, len(registry_names), chunk)
+    ]
     merged: dict[str, float] = {}
     per_run_headline: list[float] = []
     per_run_canary: list[float] = []
-    # opportunistic mode: when a child lands in a slow host phase
-    # (canary above threshold), idle longer and run up to this many
-    # extra children. Default 0 — the driver's pinned protocol stays
+    # opportunistic mode: when a run lands in a slow host phase
+    # (median chunk canary above threshold), run up to this many
+    # extra full runs. Default 0 — the driver's pinned protocol stays
     # exactly min-of-$RUNS.
     retries = int(os.environ.get("SPARK_GRAFT_BENCH_CANARY_RETRIES", "0"))
     slow_thresh = float(
         os.environ.get("SPARK_GRAFT_BENCH_CANARY_SLOW_S", "1.1")
     )
     # the soft refine budget is a TOTAL across the protocol — each
-    # fresh session gets an equal slice (cross-session minima replace
-    # most of the in-session refinement's de-noising role anyway)
+    # chunk child gets an equal slice (cross-run minima replace most
+    # of the in-session refinement's de-noising role anyway)
     total_budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "450"))
     i = 0
     planned = runs
     while i < planned:
         time.sleep(idle_s)
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_BENCH_CHILD="1",
-            SPARK_GRAFT_BENCH_BUDGET_S=str(total_budget / runs),
-        )
-        res = subprocess.run(
-            [sys.executable, str(Path(__file__).resolve())],
-            env=env,
-            capture_output=True,
-            text=True,
-        )
+        run_detail: dict[str, float] = {}
+        run_canaries: list[float] = []
+        rc = 0
+        for batch in chunks:
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_BENCH_CHILD="1",
+                SPARK_GRAFT_BENCH_NAMES=",".join(batch),
+                SPARK_GRAFT_BENCH_BUDGET_S=str(
+                    total_budget / (runs * len(chunks))
+                ),
+            )
+            res = subprocess.run(
+                [sys.executable, str(Path(__file__).resolve())],
+                env=env,
+                capture_output=True,
+                text=True,
+            )
+            rc = rc or res.returncode
+            sys.stderr.write(res.stderr[-2000:])
+            detail, _, canary = parse_child_stdout(res.stdout)
+            run_detail.update(detail)  # chunks are disjoint
+            if canary is not None:
+                run_canaries.append(canary)
         i += 1
-        sys.stderr.write(res.stderr[-4000:])
-        detail, headline, canary = parse_child_stdout(res.stdout)
-        # a partial child (headline_runtime null) must not plant a
-        # None in headline_per_run
+        headline = run_headline(run_detail)
         if headline is not None:
             per_run_headline.append(headline)
+        canary = (
+            round(statistics.median(run_canaries), 3)
+            if run_canaries
+            else None
+        )
         if canary is not None:
             per_run_canary.append(canary)
-        # slow host phase (canary over threshold): for opportunistic
-        # runs, defer and try once more in a hopefully-faster phase
+        # slow host phase: for opportunistic runs, try once more in a
+        # hopefully-faster phase
         if (
             retries > 0
             and canary is not None
@@ -194,17 +252,17 @@ def orchestrate(runs: int, idle_s: float, sf: float | None) -> None:
         ):
             planned += 1
             print(
-                f"run {i}: slow host phase (canary "
+                f"run {i}: slow host phase (median canary "
                 f"{canary} s > {slow_thresh}) — scheduling "
                 "an extra run",
                 file=sys.stderr,
                 flush=True,
             )
-        if not detail:
-            print(f"run {i}/{planned}: no output (rc={res.returncode})",
+        if not run_detail:
+            print(f"run {i}/{planned}: no output (rc={rc})",
                   file=sys.stderr, flush=True)
             continue
-        for name, sec in detail.items():
+        for name, sec in run_detail.items():
             merged[name] = min(merged.get(name, float("inf")), sec)
         summary = _summarize(
             merged,
@@ -213,6 +271,7 @@ def orchestrate(runs: int, idle_s: float, sf: float | None) -> None:
                 "runs_completed": i,
                 "runs": runs,
                 "idle_s": idle_s,
+                "chunk": chunk,
                 "headline_per_run": per_run_headline,
                 "canary_per_run": per_run_canary,
                 "protocol": "min-of-fresh-sessions",
@@ -221,7 +280,7 @@ def orchestrate(runs: int, idle_s: float, sf: float | None) -> None:
         print(
             f"run {i}/{planned}: headline "
             f"{per_run_headline[-1] if per_run_headline else '?'} s "
-            f"(canary {per_run_canary[-1] if per_run_canary else '?'} s, "
+            f"(median canary {canary if canary is not None else '?'} s, "
             f"merged {summary['headline_runtime']} s)",
             file=sys.stderr,
             flush=True,
@@ -265,6 +324,15 @@ def main() -> None:
     print(f"canary flagship_player_stats: {canary}s", file=sys.stderr,
           flush=True)
 
+    # Chunk children (orchestrate() since r8) measure only their
+    # assigned slice of the registry, in registry order
+    names_env = os.environ.get("SPARK_GRAFT_BENCH_NAMES")
+    if names_env:
+        wanted = set(names_env.split(","))
+        measure_names = [n for n in registry if n in wanted]
+    else:
+        measure_names = list(registry)
+
     # Pass 1: every query once — complete per-query detail even if an
     # external timeout cuts the process short later. Pass 2+: re-run
     # the frozen HEADLINE set (and then the rest) taking the min, while
@@ -286,19 +354,19 @@ def main() -> None:
         # progress to stderr — the stdout JSON contract stays intact
         print(f"{name}: {dt:.3f}s", file=sys.stderr, flush=True)
 
-    for name in registry:
+    for name in measure_names:
         _measure(name)
     # Refine order: the frozen HEADLINE set first (the comparable
     # number), then everything else slowest-first — a multi-second
     # pass-1 reading on a sub-second query is usually a noisy-host
     # stall, and re-measuring exactly those returns the min to truth.
-    refine = [n for n in HEADLINE if n in registry] + sorted(
-        (n for n in registry if n not in HEADLINE),
+    refine = [n for n in HEADLINE if n in timings] + sorted(
+        (n for n in measure_names if n not in HEADLINE),
         key=lambda n: timings[n],
         reverse=True,
     )
     refined = 0
-    n_headline = sum(1 for n in HEADLINE if n in registry)
+    n_headline = sum(1 for n in HEADLINE if n in timings)
     for i, name in enumerate(refine):
         # The HEADLINE refine pass is UNCONDITIONAL: it is the
         # round-over-round number, and a slow host phase that pushes

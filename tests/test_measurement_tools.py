@@ -73,6 +73,35 @@ def test_parse_child_empty_stdout():
 
 
 # ---------------------------------------------------------------------------
+# bench.run_headline (the r8 chunked-run orchestrator computes the
+# per-run headline itself — chunk children only ever see a slice)
+# ---------------------------------------------------------------------------
+
+
+def test_run_headline_complete_run_sums_frozen_set():
+    from bench import HEADLINE, run_headline
+
+    detail = {n: 0.5 for n in HEADLINE}
+    detail["not_headline_q"] = 99.0  # must not leak into the sum
+    assert run_headline(detail) == round(0.5 * len(HEADLINE), 3)
+
+
+def test_run_headline_partial_run_yields_none():
+    # a run whose chunks lost a HEADLINE member must not produce a
+    # lower (better-looking) headline — same rule as _summarize
+    from bench import HEADLINE, run_headline
+
+    detail = {n: 0.5 for n in list(HEADLINE)[:-1]}
+    assert run_headline(detail) is None
+
+
+def test_run_headline_empty_run():
+    from bench import run_headline
+
+    assert run_headline({}) is None
+
+
+# ---------------------------------------------------------------------------
 # scale_gate.diff
 # ---------------------------------------------------------------------------
 
