@@ -65,16 +65,175 @@ def register(
 # tests/test_registry.py re-derives the invariant from the
 # CORRECTNESS_r0*.json files on disk so it can't silently rot.
 _PRIORITY: tuple[str, ...] = (
-    # --- r8 window (50) ---
-    # 1-4: the parked quartet leads (r3-green, slots 51-54 last round;
-    # the r7 verdict's top item)
-    "set_intersect",
-    "w_running_sum",
-    "d_dedup_report",
-    "s_dim_stats",
-    # 5-50: 46 of the 49 r4-checked rows (next-stalest class). The
-    # Arrow-worker path stays driver-checked via f_norm_concat /
-    # j2_staged_resolution (both run the norm_nfkc pandas UDF).
+    # --- r9 window (50) ---
+    # 1-3: the parked r4-green trio leads (slots 51-53 last round;
+    # the r8 verdict's #2 item, rotation pre-written during r8)
+    "a7_table_counts",
+    "f_url_encode",
+    "h_small_qty_revenue",
+    # 4: mm_features (r6-green) seats as the stalest Arrow-worker
+    # exerciser — the 47-row r5 class holds none
+    "mm_features",
+    # 5-50: 46 of the 47-row r5-checked class (next-stalest).
+    # s_pq_codes is the one overflow row (see slot 51).
+    "a_basket_pairs",
+    "a_correlation",
+    "a_gini_concentration",
+    "a_linear_trend",
+    "a_value_histogram",
+    "d_containment",
+    "g_adamic_adar",
+    "g_degree_distribution",
+    "g_hits",
+    "g_pagerank",
+    "g_pagerank_weighted",
+    "g_triangle_count",
+    "h_dormant_customers",
+    "h_market_share",
+    "h_order_count_distribution",
+    "h_parts_supplier_count",
+    "h_profit_by_nation",
+    "h_waiting_suppliers",
+    "j_interval_overlap",
+    "mm_audio_stats",
+    "mm_resize_stats",
+    "q_snapshot_diff",
+    "s_hybrid_rrf",
+    "s_ivfpq_topk",
+    "s_mips_topk",
+    "s_pq_adc_topk",
+    "s_pq_recall",
+    "t_domain_quota",
+    "t_perplexity_bucket",
+    "t_source_entropy",
+    "t_split_leakage_safe",
+    "t_weighted_sample",
+    "w_ab_test",
+    "w_anomaly_zscore",
+    "w_attribution",
+    "w_cohort_retention",
+    "w_cusum_changepoint",
+    "w_event_transitions",
+    "w_funnel",
+    "w_m4_downsample",
+    "w_peak_concurrency",
+    "w_percent_of_total",
+    "w_rfm_segment",
+    "w_seasonal_residual",
+    "w_streak_islands",
+    "w_time_to_convert",
+    # --- 51: parked overflow (r5-green; one window slot short.
+    # s_pq_codes's machinery is re-exercised in-window by
+    # s_pq_adc_topk / s_pq_recall / s_ivfpq_topk, which share its
+    # codebook trainer and ADC scan. It leads the r10 window:
+    # r10 rotation plan, assuming r09 all-green: s_pq_codes + the
+    # 49 remaining r6-checked rows = exactly 50 slots, no overflow.
+    # The strict branch for latest==9 in tests/test_registry.py is
+    # pre-written against exactly that shape and activates when
+    # s_pq_codes leads.) ---
+    "s_pq_codes",
+    # --- tail, stalest-first: r6-green, then r7, then r8 (freshest
+    # last) so a driver running past 50 still refreshes oldest rows
+    # first ---
+    "a1_dup_finder",
+    "a_approx_distinct",
+    "a_cms_probe",
+    "a_kmv_overlap",
+    "d_cluster_canonical",
+    "d_dup_clusters",
+    "d_embedding_neardup",
+    "d_ngram_jaccard",
+    "d_simhash_pairs",
+    "d_span_dedup",
+    "g_kcore",
+    "h_shipmode_priority",
+    "mm_feature_store",
+    "mm_pixel_ahash",
+    "p1_projection",
+    "p2_filter_eq",
+    "q_sql_exists",
+    "q_sql_grouping_sets",
+    "q_sql_lateral",
+    "q_sql_scalar_subquery",
+    "s_batch_topk",
+    "s_ivf_recall",
+    "s_knn_graph",
+    "s_label_centroids",
+    "s_maxsim_topk",
+    "s_quantize_int8",
+    "s_srp_topk",
+    "st_ttl_dedup",
+    "t_bigram_lm_ppl",
+    "t_bpe_tokens",
+    "t_char_entropy",
+    "t_contamination",
+    "t_corpus_dedup",
+    "t_curate_survivors",
+    "t_fingerprint",
+    "t_lang_id",
+    "t_length_filter",
+    "t_mixture_plan",
+    "t_mixture_sample",
+    "t_pack_sequences",
+    "t_pii_redact",
+    "t_quality_score",
+    "t_repetition",
+    "t_tfidf",
+    "t_token_topk",
+    "w1_retention_trim",
+    "w_range_frame",
+    "w_resample_ffill",
+    "w_sessionize",
+    "a_approx_quantiles",
+    "a_cms_heavy_hitters",
+    "a_hll_union",
+    "d_bloom_dedup",
+    "d_chunk_dedup",
+    "d_edit_distance",
+    "d_exact_dedup",
+    "d_lsh_recall",
+    "d_minhash_lsh",
+    "d_semantic_dedup",
+    "d_simhash",
+    "d_source_overlap",
+    "f_udaf_median",
+    "f_udtf_chunks",
+    "flagship_player_stats",
+    "j_range_join",
+    "j_scd2_history",
+    "mm_frame_sample",
+    "mm_phash_dedup",
+    "o1_topk_orders",
+    "p11_clean_projection",
+    "q_profile_table",
+    "q_sql_recursive",
+    "q_validate_expectations",
+    "q_zorder_layout",
+    "s1_paginated_scan",
+    "s_cosine_topk",
+    "s_hard_negatives",
+    "s_ivf_topk",
+    "s_kmeans_assign",
+    "s_srp_codes",
+    "set_ops",
+    "st_sliding_agg",
+    "st_tumbling_agg",
+    "t_bigram_novelty",
+    "t_bm25",
+    "t_bpe_merges",
+    "t_cdc_chunks",
+    "t_corpus_drift",
+    "t_dsir_affinity",
+    "t_eval_sample",
+    "t_hash_sample",
+    "t_outlier_mad",
+    "t_shard_plan",
+    "t_split_assign",
+    "t_token_stats",
+    "t_training_set",
+    "w2_recent_slice",
+    "w_ntile_battery",
+    "w_rank_lag_lead",
     "a2_grouped_rollup",
     "a3_champion_rollup",
     "a5_scalar_aggs",
@@ -83,6 +242,7 @@ _PRIORITY: tuple[str, ...] = (
     "a_count_distinct",
     "a_percentiles",
     "a_rollup_hierarchy",
+    "d_dedup_report",
     "f_array_ops",
     "f_date_ops",
     "f_derived_metrics",
@@ -118,174 +278,12 @@ _PRIORITY: tuple[str, ...] = (
     "q_cube_status_priority",
     "q_pivot_status",
     "q_unpivot",
+    "s_dim_stats",
+    "set_intersect",
     "st_dedup_ingest",
     "st_session_window",
     "st_stream_join",
-    # --- 51-53: parked overflow (r4-green; three window slots short.
-    # Each one's machinery is re-exercised in-window: a7_table_counts
-    # by a5_scalar_aggs/a_count_distinct, f_url_encode by
-    # f_string_ops/f_norm_concat/f_rlike_match, h_small_qty_revenue by
-    # h_promo_revenue/h_disjunctive_revenue/h_pricing_summary. They
-    # lead the r9 window. r9 rotation plan, assuming r08 all-green:
-    # this trio + mm_features (stalest Arrow exerciser, r6) + 46 of
-    # the 47-row r5 class, one r5 row parked at slot 51 — the strict
-    # branch for latest==8 in tests/test_registry.py is pre-written
-    # against exactly that shape and activates when the trio leads.)
-    # ---
-    "a7_table_counts",
-    "f_url_encode",
-    "h_small_qty_revenue",
-    # --- tail, stalest-first: r5-green, then r6, then r7 (freshest
-    # last) so a driver running past 50 still refreshes oldest rows
-    # first ---
-    "a_basket_pairs",
-    "a_correlation",
-    "a_gini_concentration",
-    "a_linear_trend",
-    "a_value_histogram",
-    "d_containment",
-    "g_adamic_adar",
-    "g_degree_distribution",
-    "g_hits",
-    "g_pagerank",
-    "g_pagerank_weighted",
-    "g_triangle_count",
-    "h_dormant_customers",
-    "h_market_share",
-    "h_order_count_distribution",
-    "h_parts_supplier_count",
-    "h_profit_by_nation",
-    "h_waiting_suppliers",
-    "j_interval_overlap",
-    "mm_audio_stats",
-    "mm_resize_stats",
-    "q_snapshot_diff",
-    "s_hybrid_rrf",
-    "s_ivfpq_topk",
-    "s_mips_topk",
-    "s_pq_adc_topk",
-    "s_pq_codes",
-    "s_pq_recall",
-    "t_domain_quota",
-    "t_perplexity_bucket",
-    "t_source_entropy",
-    "t_split_leakage_safe",
-    "t_weighted_sample",
-    "w_ab_test",
-    "w_anomaly_zscore",
-    "w_attribution",
-    "w_cohort_retention",
-    "w_cusum_changepoint",
-    "w_event_transitions",
-    "w_funnel",
-    "w_m4_downsample",
-    "w_peak_concurrency",
-    "w_percent_of_total",
-    "w_rfm_segment",
-    "w_seasonal_residual",
-    "w_streak_islands",
-    "w_time_to_convert",
-    "mm_pixel_ahash",
-    "t_mixture_plan",
-    "a_cms_probe",
-    "a_kmv_overlap",
-    "d_cluster_canonical",
-    "g_kcore",
-    "h_shipmode_priority",
-    "mm_feature_store",
-    "s_knn_graph",
-    "s_maxsim_topk",
-    "st_ttl_dedup",
-    "t_bigram_lm_ppl",
-    "t_char_entropy",
-    "t_curate_survivors",
-    "mm_features",
-    "p1_projection",
-    "p2_filter_eq",
-    "a1_dup_finder",
-    "a_approx_distinct",
-    "d_dup_clusters",
-    "d_embedding_neardup",
-    "d_ngram_jaccard",
-    "d_simhash_pairs",
-    "d_span_dedup",
-    "q_sql_exists",
-    "q_sql_grouping_sets",
-    "q_sql_lateral",
-    "q_sql_scalar_subquery",
-    "s_batch_topk",
-    "s_ivf_recall",
-    "s_label_centroids",
-    "s_quantize_int8",
-    "s_srp_topk",
-    "t_bpe_tokens",
-    "t_contamination",
-    "t_corpus_dedup",
-    "t_fingerprint",
-    "t_lang_id",
-    "t_length_filter",
-    "t_mixture_sample",
-    "t_pack_sequences",
-    "t_pii_redact",
-    "t_quality_score",
-    "t_repetition",
-    "t_tfidf",
-    "t_token_topk",
-    "w1_retention_trim",
-    "w_range_frame",
-    "w_resample_ffill",
-    "w_sessionize",
-    # r7-green (the freshest class — last in line for a re-check)
-    "set_ops",
-    "w_rank_lag_lead",
-    "d_exact_dedup",
-    "p11_clean_projection",
-    "a_approx_quantiles",
-    "a_cms_heavy_hitters",
-    "a_hll_union",
-    "d_bloom_dedup",
-    "d_chunk_dedup",
-    "d_edit_distance",
-    "d_lsh_recall",
-    "d_minhash_lsh",
-    "d_semantic_dedup",
-    "d_simhash",
-    "d_source_overlap",
-    "f_udaf_median",
-    "f_udtf_chunks",
-    "flagship_player_stats",
-    "j_range_join",
-    "j_scd2_history",
-    "mm_frame_sample",
-    "mm_phash_dedup",
-    "o1_topk_orders",
-    "q_profile_table",
-    "q_sql_recursive",
-    "q_validate_expectations",
-    "q_zorder_layout",
-    "s1_paginated_scan",
-    "s_cosine_topk",
-    "s_hard_negatives",
-    "s_ivf_topk",
-    "s_kmeans_assign",
-    "s_srp_codes",
-    "st_sliding_agg",
-    "st_tumbling_agg",
-    "t_bigram_novelty",
-    "t_bm25",
-    "t_bpe_merges",
-    "t_cdc_chunks",
-    "t_corpus_drift",
-    "t_dsir_affinity",
-    "t_eval_sample",
-    "t_hash_sample",
-    "t_outlier_mad",
-    "t_shard_plan",
-    "t_split_assign",
-    "t_token_stats",
-    "t_training_set",
-    "w2_recent_slice",
-    "w_ntile_battery",
+    "w_running_sum",
 )
 # The list is exhaustive over the current registry (enforced by
 # tests/test_registry.py::test_priority_is_exhaustive); load_all()

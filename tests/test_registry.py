@@ -90,16 +90,56 @@ def test_priority_window_rotates_stale_rows():
     # staleness classes only make sense at design time. Once a newer
     # record lands, flip to the outcome check: the rotation must have
     # actually refreshed the window's rows.
-    if latest == 8 and names[:3] == [
-        "a7_table_counts",
-        "f_url_encode",
-        "h_small_qty_revenue",
-    ]:
-        # r9 design invariants, PRE-WRITTEN during round 8 (the fix
-        # for this branch's recurring decay: each round the strict
-        # check died the moment the new record landed). It activates
-        # only once the r9 session rotates (marker: the parked trio
-        # leads). Projection from the first 8 records, r8 all-green:
+    if latest == 9:
+        # r10 design invariants, PRE-WRITTEN during round 9 (same
+        # decay fix as the r9 branch: write the next round's strict
+        # check while designing its rotation). Arms on the marker:
+        # the r9-parked overflow row leads. Projection from the first
+        # 9 records, r9 all-green: stale-at-r6-or-older = s_pq_codes
+        # (r5, parked at slot 51 in r9) + the 49 remaining r6 rows =
+        # exactly 50, no overflow, and the class carries its own
+        # Arrow exercisers (mm_pixel_ahash's pandas_udf PNG lane,
+        # mm_feature_store's mapInPandas+pandas_udf composed store).
+        # The r8-advice fix: a deviation no longer falls through to
+        # the weak generic check — it fails with the rotation order.
+        assert names[0] == "s_pq_codes", (
+            "r10 rotation not applied (or deviated): the r9-parked "
+            "overflow row s_pq_codes must lead the window, found "
+            f"{names[0]!r}. Rotate _PRIORITY FIRST: s_pq_codes + the "
+            "49 remaining r6-checked rows fill all 50 slots (no "
+            "overflow). If a row went RED in r09, it re-enters the "
+            "window and these invariants must be re-derived."
+        )
+        never = {n for n in REGISTRY if n not in last}
+        assert never <= window, (
+            f"never-checked rows outside window: {never - window}"
+        )
+        fresh_in_window = {n for n in window if last.get(n) == 9}
+        assert not fresh_in_window, (
+            f"r09-green rows holding window slots: {fresh_in_window}"
+        )
+        stale_out = {n for n, r in last.items() if r <= 6} - window
+        assert not stale_out, (
+            f"r6-or-older rows left unrotated: {stale_out} — if a row "
+            "went RED in r09 these invariants must be re-derived"
+        )
+    elif latest == 8:
+        # r9 design invariants, PRE-WRITTEN during round 8. The r8
+        # advice: when the records say round 9 but the trio does NOT
+        # lead, fail with the expected order instead of silently
+        # degrading to the generic refreshed>=25 outcome check.
+        assert names[:3] == [
+            "a7_table_counts",
+            "f_url_encode",
+            "h_small_qty_revenue",
+        ], (
+            "r9 rotation not applied (or deviated): the r8-parked trio "
+            f"must lead the window, found {names[:3]!r}. Rotate "
+            "_PRIORITY FIRST (trio + mm_features + 46 of the 47 r5 "
+            "rows; one r5 row parks at slot 51). If a row went RED in "
+            "r08 these invariants must be re-derived."
+        )
+        # Projection from the first 8 records, r8 all-green:
         # stale-at-r5-or-older = 3 parked r4 rows + the 47-row r5
         # class = exactly 50; but that set holds no Arrow exerciser,
         # so the rotation must seat mm_features (r6-green, the
@@ -178,6 +218,12 @@ def test_priority_window_rotates_stale_rows():
         "f_norm_concat",
         "j2_staged_resolution",
         "p11_clean_projection",
+        # r9 additions (verified lanes): mm_pixel_ahash decodes the
+        # synth PNG through two pandas_udfs (multimodal.py:569,680);
+        # mm_feature_store composes mapInPandas feature extraction
+        # with the pandas_udf aHash — the r10 window's exercisers.
+        "mm_pixel_ahash",
+        "mm_feature_store",
     }
     assert window & arrow_exercisers, (
         "no mapInPandas/Arrow-worker exerciser in the checker window"
