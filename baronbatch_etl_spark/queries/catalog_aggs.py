@@ -17,6 +17,7 @@ from baronbatch_etl_spark.functions.scalars import (
     sql_round,
 )
 from baronbatch_etl_spark.io import load_table
+from baronbatch_etl_spark.operators import ranking as R
 from baronbatch_etl_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -484,7 +485,11 @@ def a_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) integers with ONE final IEEE division — engines
     agree bit-for-bit, and DECIMAL(38,0) holds Σ i·xᵢ far past the
     BIGINT overflow point (~sf1 customer counts). One fact exchange
-    to the customer grain; the rank window runs over the dimension.
+    to the customer grain; the exact rank comes from the distributed
+    global row number (operators/ranking.py — range partitions, not
+    the r8 verdict's single-partition WindowExec over the customer
+    grain), and Σ i·xᵢ / Σ xᵢ / n are plain partial aggregates over
+    the ranked frame.
     """
     orders = load_table(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
@@ -492,13 +497,9 @@ def a_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("cents")
     )
-    rk = cust.select(
-        "cents",
-        F.row_number()
-        .over(Window.orderBy("cents", "o_custkey"))
-        .cast("long")
-        .alias("i"),
-    )
+    rk = R.global_row_number(
+        cust, [F.col("cents"), F.col("o_custkey")], rank_name="i"
+    ).select("cents", "i")
     s = rk.agg(
         F.count("*").alias("n"),
         F.sum(F.col("i") * F.col("cents"))

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from baronbatch_etl_spark.io import load_table, spread
 from baronbatch_etl_spark.operators import fast_text as FX
+from baronbatch_etl_spark.operators import ranking as R
 from baronbatch_etl_spark.operators import text as X
 from baronbatch_etl_spark.queries import register
 
@@ -1266,11 +1267,16 @@ def t_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shapes: same two-shuffle skeleton as t_dsir_affinity — one token
     explode feeds a token-keyed partial agg (the "LM"), documents
     join it token-keyed and reduce per doc_id; the vocabulary total
-    folds to one broadcast row. The tercile split here is a global
-    ntile (one final sort of doc-level rows — corpus-count rows, not
-    token rows); at 100 TB the production form replaces it with two
-    approx-quantile cutoffs broadcast into a map-side CASE, which is
-    how t_outlier_mad's threshold pattern already ships.
+    folds to one broadcast row. The tercile split is the EXACT
+    ntile(3), computed through the distributed global rank
+    (operators/ranking.py: range-shuffle on (ppl, doc_id) →
+    per-partition sequence → broadcast offsets → bucket arithmetic)
+    — doc-grain rows (10^11 at 100 TB) spread over P range
+    partitions instead of the r8 verdict's single-partition
+    WindowExec, with the oracle's ntile semantics preserved
+    bit-for-bit. (The lossy alternative — two approx-quantile
+    cutoffs in a map-side CASE, t_outlier_mad's pattern — is no
+    longer needed: the exact form now scales too.)
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = spread(docs).select(
@@ -1289,14 +1295,19 @@ def t_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ppl = F.col("surprisal").cast("double") / F.col("n_tokens")
-    tercile = F.ntile(3).over(Window.orderBy(ppl, "doc_id"))
-    return scored.select(
+    bucketed = R.global_ntile(
+        scored.withColumn("ppl_proxy", ppl),
+        [F.col("ppl_proxy"), F.col("doc_id")],
+        3,
+        bucket_name="_tercile",
+    )
+    return bucketed.select(
         "doc_id",
         "n_tokens",
         "surprisal",
-        ppl.alias("ppl_proxy"),
-        F.when(tercile == 1, "head")
-        .when(tercile == 2, "middle")
+        "ppl_proxy",
+        F.when(F.col("_tercile") == 1, "head")
+        .when(F.col("_tercile") == 2, "middle")
         .otherwise("tail")
         .alias("bucket"),
     )

@@ -8,8 +8,10 @@ itself (subqueries especially have no direct DataFrame spelling).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from baronbatch_etl_spark.io import register_views
+from baronbatch_etl_spark.operators import ranking as R
 from baronbatch_etl_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -123,9 +125,29 @@ WINDOW w AS (ORDER BY c_acctbal, c_custkey)
 @register("w_ntile_battery", oracle=_NTILE_SQL, tags=("sql", "window"))
 def w_ntile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile/percent_rank/cume_dist over a deterministic ordering
-    (unique tiebreaker keeps ranks engine-identical)."""
+    (unique tiebreaker keeps ranks engine-identical).
+
+    The oracle stays the literal SQL battery; the Spark side computes
+    the identical exact statistics through the DISTRIBUTED global
+    rank (operators/ranking.py) — the naive ``OVER (ORDER BY ...)``
+    plan funnels the whole customer table through ONE task (the r8
+    verdict's scale-killer class). rank→(ntile, percent_rank,
+    cume_dist) is pure arithmetic; cume_dist = rank/n is exact here
+    because the (c_acctbal, c_custkey) order is unique."""
     register_views(spark, sf_dir)
-    return spark.sql(_NTILE_SQL)
+    cust = spark.table("customer").select("c_custkey", "c_acctbal")
+    ranked = R.global_row_number(
+        cust,
+        [F.col("c_acctbal"), F.col("c_custkey")],
+        rank_name="_r",
+        total_name="_n",
+    )
+    return ranked.select(
+        "c_custkey",
+        R._ntile_from_rank("_r", "_n", 4).alias("quartile"),
+        R.percent_rank_col("_r", "_n").alias("pr"),
+        R.cume_dist_col("_r", "_n").alias("cd"),
+    )
 
 
 # ---------------------------------------------------------------------------

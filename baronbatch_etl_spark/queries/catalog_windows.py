@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from baronbatch_etl_spark.functions.scalars import round_half_up
 from baronbatch_etl_spark.io import load_table
 from baronbatch_etl_spark.operators import joins as J
+from baronbatch_etl_spark.operators import ranking as R
 from baronbatch_etl_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -675,12 +676,14 @@ def w_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-table rollup to the customer grain, three ntile(5) scores
     with unique tiebreakers, a CASE lattice into six named segments,
     and a per-segment rollup. The heavy work is the single o_custkey
-    aggregation shuffle; the window passes run over the customer
-    DIMENSION (orders of magnitude smaller than the fact table — at
-    100 TB a global sort of the customer grain is a few GB; if even
-    that binds, the ntile boundaries can come from GK quantile
-    sketches as in `a_approx_quantiles`). Monetary sums ride
-    DECIMAL(18,2) so both engines agree bit-for-bit.
+    aggregation shuffle; the three exact ntile(5) scores run through
+    the DISTRIBUTED global rank (operators/ranking.py — range-shuffle
+    + per-partition sequence + broadcast offsets), replacing the r8
+    verdict's single-partition WindowExec over the customer grain
+    (~10^9-10^10 customers at 100 TB TPC-H ratios — hundreds of GB
+    through one task in the old plan, P parallel range partitions
+    now). Monetary sums ride DECIMAL(18,2) so both engines agree
+    bit-for-bit.
     """
     orders = load_table(spark, sf_dir, "orders")
     anchor = orders.agg(
@@ -703,23 +706,13 @@ def w_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    scored = cust.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(5)
-        .over(
-            Window.orderBy(F.col("recency_days").desc(), "o_custkey")
-        )
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy("frequency", "o_custkey"))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy("monetary", "o_custkey"))
-        .alias("m_score"),
-    )
+    scored = cust
+    for bucket, order in (
+        ("r_score", [F.col("recency_days").desc(), F.col("o_custkey")]),
+        ("f_score", [F.col("frequency"), F.col("o_custkey")]),
+        ("m_score", [F.col("monetary"), F.col("o_custkey")]),
+    ):
+        scored = R.global_ntile(scored, order, 5, bucket_name=bucket)
     segment = (
         F.when(
             (F.col("r_score") >= 4)
@@ -1336,22 +1329,15 @@ def w_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    r = d.select(
-        "user_id",
-        "delay_us",
-        F.row_number()
-        .over(Window.orderBy("delay_us", "user_id"))
-        .cast("long")
-        .alias("rn"),
-        F.count("*")
-        .over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .cast("long")
-        .alias("n"),
-    )
+    # distributed exact rank + total (operators/ranking.py) — the old
+    # row_number/count pair over an unpartitioned window funneled the
+    # converter grain through one task (r8 verdict borderline-fifth)
+    r = R.global_row_number(
+        d,
+        [F.col("delay_us"), F.col("user_id")],
+        rank_name="rn",
+        total_name="n",
+    ).select("user_id", "delay_us", "rn", "n")
     q = spark.range(1).select(
         F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias(
             "quantile_pct"

@@ -505,3 +505,66 @@ def test_cusum_argmax_is_integer_decimal(spark, registry, sf_dir):
     # the analyzed plan carries the decimal(38,0) deviation column
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "decimal(38,0)" in analyzed
+
+
+# ---------------------------------------------------------------------------
+# The r8 verdict's scale-killer class: unpartitioned WindowExec over a
+# data-grain frame (one task swallows the corpus). The detector lives
+# in tools/explain_audit.py and runs over all 200 plans per round;
+# these tests pin its parsing against the four WindowExec toString
+# shapes and prove the five rewritten queries are clean.
+# ---------------------------------------------------------------------------
+
+from tools.explain_audit import _unpartitioned_windows  # noqa: E402
+
+
+def test_unpartitioned_window_detector_shapes():
+    # toString shapes captured from Spark 4.1 (probe in round 9)
+    part_order = (
+        "+- Window [row_number() windowspecdefinition(k#1L, id#0L ASC"
+        " NULLS FIRST, specifiedwindowframe(RowFrame, a$(), b$())) AS"
+        " x#2], [k#1L], [id#0L ASC NULLS FIRST]"
+    )
+    part_only = (
+        "+- Window [count(1) windowspecdefinition(k#1L,"
+        " specifiedwindowframe(RowFrame, a$(), b$())) AS x#4L], [k#1L]"
+    )
+    order_only = (
+        "+- Window [row_number() windowspecdefinition(id#0L ASC NULLS"
+        " FIRST, specifiedwindowframe(RowFrame, a$(), b$())) AS x#7],"
+        " [id#0L ASC NULLS FIRST]"
+    )
+    bare = (
+        "+- Window [count(1)"
+        " windowspecdefinition(specifiedwindowframe(RowFrame, a$(),"
+        " b$())) AS x#9L]"
+    )
+    pid_ok = (
+        "+- Window [sum(_gr_cnt#42L) windowspecdefinition(_gr_pid#79"
+        " ASC NULLS FIRST, specifiedwindowframe(RangeFrame, a$(),"
+        " b$())) AS _we0#54L], [_gr_pid#79 ASC NULLS FIRST]"
+    )
+    assert _unpartitioned_windows(part_order) == []
+    assert _unpartitioned_windows(part_only) == []
+    assert len(_unpartitioned_windows(order_only)) == 1
+    assert len(_unpartitioned_windows(bare)) == 1
+    assert _unpartitioned_windows(pid_ok) == []  # bounded offsets frame
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "t_perplexity_bucket",
+        "w_rfm_segment",
+        "w_ntile_battery",
+        "a_gini_concentration",
+        "w_time_to_convert",
+    ],
+)
+def test_global_rank_rewrites_have_no_single_partition_window(
+    spark, registry, sf_dir, name
+):
+    plan = _plan(spark, registry, name, sf_dir)
+    spark.catalog.clearCache()
+    bad = _unpartitioned_windows(plan.split("== Initial Plan ==")[0])
+    assert not bad, f"{name}: unpartitioned WindowExec over {bad}"

@@ -1,0 +1,142 @@
+"""Distributed exact global order statistics (operators/ranking.py)
+verified against Spark's own single-partition window functions — the
+reference semantics — across degenerate sizes (n < k, n = 1), value
+ties broken by key, descending orders, and multi-partition inputs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from baronbatch_etl_spark.operators.ranking import (
+    cume_dist_col,
+    global_ntile,
+    global_row_number,
+    percent_rank_col,
+)
+
+
+def _frame(spark, n):
+    # (i*7919) % 13 gives heavy value ties; id is the unique tiebreak
+    rows = [(i, (i * 7919) % 13) for i in range(n)]
+    return spark.createDataFrame(rows, "id long, v long")
+
+
+@pytest.mark.parametrize(
+    "n,k", [(1, 4), (2, 3), (5, 2), (5, 3), (7, 3), (100, 4), (997, 5)]
+)
+def test_matches_spark_window_battery(spark, n, k):
+    df = _frame(spark, n)
+    order = [F.col("v"), F.col("id")]
+    w = Window.orderBy("v", "id")
+    ref = {
+        t.id: (t.r, t.b, round(t.pr, 12), round(t.cd, 12))
+        for t in df.select(
+            "id",
+            F.row_number().over(w).cast("long").alias("r"),
+            F.ntile(k).over(w).alias("b"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        ).collect()
+    }
+    ranked = global_row_number(
+        df, order, rank_name="r", total_name="n", num_partitions=8
+    )
+    got_rank = {
+        t.id: (t.r, round(t.pr, 12), round(t.cd, 12))
+        for t in ranked.select(
+            "id",
+            "r",
+            percent_rank_col("r", "n").alias("pr"),
+            cume_dist_col("r", "n").alias("cd"),
+        ).collect()
+    }
+    got_ntile = {
+        t.id: t.b
+        for t in global_ntile(
+            df, order, k, bucket_name="b", num_partitions=8
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert {i: v[0] for i, v in ref.items()} == {
+        i: v[0] for i, v in got_rank.items()
+    }
+    assert {i: v[1] for i, v in ref.items()} == got_ntile
+    assert {i: (v[2], v[3]) for i, v in ref.items()} == {
+        i: (v[1], v[2]) for i, v in got_rank.items()
+    }
+
+
+def test_descending_order(spark):
+    df = _frame(spark, 200)
+    ref = {
+        t.id: t.r
+        for t in df.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.col("v").desc(), "id"))
+            .cast("long")
+            .alias("r"),
+        ).collect()
+    }
+    got = {
+        t.id: t.r
+        for t in global_row_number(
+            df,
+            [F.col("v").desc(), F.col("id")],
+            rank_name="r",
+            num_partitions=8,
+        )
+        .select("id", "r")
+        .collect()
+    }
+    spark.catalog.clearCache()
+    assert ref == got
+
+
+def test_more_partitions_than_rows(spark):
+    # empty range partitions must not perturb offsets
+    df = _frame(spark, 3)
+    got = sorted(
+        t.r
+        for t in global_row_number(
+            df, [F.col("v"), F.col("id")], rank_name="r", num_partitions=16
+        ).collect()
+    )
+    spark.catalog.clearCache()
+    assert got == [1, 2, 3]
+
+
+def test_no_single_partition_window_over_data(spark):
+    # the utility's whole point: the only unpartitioned window in the
+    # plan is the ≤P-row offsets prefix-sum (ordered by _gr_pid)
+    df = _frame(spark, 500)
+    out = global_ntile(
+        df, [F.col("v"), F.col("id")], 4, bucket_name="b", num_partitions=8
+    )
+    out.collect()
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    spark.catalog.clearCache()
+    for ln in plan.splitlines():
+        if "windowspecdefinition" not in ln:
+            continue
+        # every window spec line must be the pid-ordered bounded one
+        assert "_gr_pid" in ln, f"unexpected window in plan: {ln.strip()}"
+
+
+def test_total_column(spark):
+    df = _frame(spark, 41)
+    rows = global_row_number(
+        df, [F.col("v"), F.col("id")], rank_name="r", total_name="n",
+        num_partitions=8,
+    ).collect()
+    spark.catalog.clearCache()
+    assert all(t.n == 41 for t in rows)
+    assert sorted(t.r for t in rows) == list(range(1, 42))

@@ -72,6 +72,10 @@ def main() -> int:
         if only and name not in only:
             continue
         n_checked += 1
+        # the ranking-utility queries persist() their rank input; drop
+        # those frames between queries so the 200-query session stays
+        # cache-flat
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir)
