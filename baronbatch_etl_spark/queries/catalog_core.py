@@ -8,6 +8,8 @@ Column mapping (FIXTURES.md §C): `customer` stands in for the
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -860,6 +862,24 @@ def _p11_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("o_orderkey")
     rn = F.regexp_replace("c_name", "#", "")
     bronze = _p11_synthesize(facts, k, rn)
+    # Pre-materialize the fixture to parquet ONCE per session (the r8
+    # verdict's recommended closure for the p11 latency target):
+    # write+read beats recomputing the 40-field struct battery per
+    # consumer (A/B at sf0.1: 2.39 vs 2.71 s warm-min), and the
+    # operator under test — silver_from_bronze — then reads bronze
+    # exactly the way a real deployment would: from storage, not
+    # from an expression forest. Falls back to the lazy plan if the
+    # scratch write fails (read-only /tmp).
+    try:
+        import tempfile
+
+        path = (
+            Path(tempfile.mkdtemp(prefix="p11_bronze_")) / "bronze"
+        ).as_posix()
+        bronze.write.mode("overwrite").parquet(path)
+        bronze = spark.read.parquet(path)
+    except Exception:  # noqa: BLE001 — scratch-space failure only
+        pass
     _P11_BRONZE[key] = bronze
     return bronze
 
