@@ -114,7 +114,10 @@ def _emit(summary: dict, timings: dict[str, float]) -> None:
     # Belt and suspenders: the stdout contract relies on the FINAL
     # line being one parseable JSON object — also persist the summary
     # (plus full per-query detail) to BENCH_LOCAL.json so a truncated
-    # stdout capture can never lose the round's numbers. Orchestrator
+    # stdout capture can never lose the round's numbers.
+    # BENCH_LOCAL.json is UNTRACKED scratch (r8 verdict hygiene item:
+    # the driver's own runs overwrite it); a reading worth keeping is
+    # copied to the committed BENCH_RECORD.json by hand. Orchestrator
     # CHILDREN skip the file: a protocol killed mid-run must leave
     # the parent's last cumulative record on disk, not a 25-query
     # slice. Gate on the internal child marker, NOT on
