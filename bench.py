@@ -20,20 +20,30 @@ is re-printed after every child run, so a truncated capture still
 ends with a complete, parseable JSON object.
 
 ``$SPARK_GRAFT_BENCH_CHUNK`` > 0 (opt-in, r8) splits each run into
-fresh-JVM chunks of that many queries — the diagnostic mode for the
-mid-session JVM-state pathology where a long single session inflates
-a few tail readings 2-6× (the same effect that moved
-tools/scale_gate.py to --isolate 25; an r8 unchunked run recorded
-untouched queries at 4× their isolated cost, surviving the cross-run
-min). Chunking is deliberately NOT the default: the frozen HEADLINE
-set reads ~18% slower from young chunk JVMs than from a
-fully-JIT-warmed 200-query session (r8 A/B at matched canary: 16.6 s
-chunked vs 13.9 s whole-session), so chunked headlines are not
-comparable round-over-round. The headline stays on the pinned
-whole-session protocol; per-query TAIL truth at both SFs lives in
-BENCH_SCALE.json, which IS measured isolated. With chunking on, each
-chunk child measures the host canary and the per-run canary is the
-median across that run's chunks.
+fresh-JVM chunks of that many queries. Chunking is deliberately NOT
+the default: the frozen HEADLINE set reads ~18% slower from young
+chunk JVMs than from a fully-JIT-warmed 200-query session (r8 A/B at
+matched canary: 16.6 s chunked vs 13.9 s whole-session), so chunked
+headlines are not comparable round-over-round. The headline stays on
+the pinned whole-session protocol; per-query TAIL truth at both SFs
+lives in BENCH_SCALE.json, which IS measured isolated. With chunking
+on, each chunk child measures the host canary and the per-run canary
+is the median across that run's chunks.
+
+ROOT CAUSE of the r7/r8 "mid-session tail inflation" (closed in r9,
+see INFLATION_PROBE.json): it was never accumulating JVM state. An
+instrumented 200-query session shows GC totals of 1.5 s/245 s, JIT
+code cache peaking at 139/252 MB, class counts FALLING late-session
+(unloading works), and early queries re-run at the END of the session
+reading 0.63x their early cost (median of 12) — the session gets
+FASTER with age. The 2-17x outliers are FIRST-INVOCATION cost
+(Catalyst compile + codegen class load + C2 JIT + Python-worker
+spin-up), uniform across positions (quartile medians 1.41/1.47/1.44/
+1.13 vs isolated warm minima). Driver records looked inflated because
+the old refine budget INCLUDED pass 1, which consumed the entire
+per-child slice — so the tail shipped as single cold readings every
+round. The budget now gates refine time only: every query gets a warm
+second invocation, and recorded tails match isolated truth.
 """
 
 from __future__ import annotations
@@ -360,7 +370,6 @@ def main() -> None:
     # the soft budget lasts — min-of-runs insulates the comparable
     # numbers from GC pauses / noisy-neighbor spikes on the host.
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "450"))
-    start = time.perf_counter()
     timings: dict[str, float] = {}
 
     def _measure(name: str) -> None:
@@ -377,10 +386,23 @@ def main() -> None:
 
     for name in measure_names:
         _measure(name)
+    # The refine budget gates REFINE time only — it starts AFTER
+    # pass 1. (r9 root-cause of the "mid-session tail inflation": a
+    # query's FIRST invocation pays codegen + classload + C2 JIT +
+    # Python-worker spin-up — measured median 1.4x, worst 17x over
+    # its warm minimum, uniformly across the session and NOT
+    # accumulating (late re-runs of early queries read 0.63x their
+    # early cost; GC/code-cache/metaspace all healthy —
+    # INFLATION_PROBE.json). Under the old semantics pass 1 (~240 s)
+    # consumed the whole per-child slice, so every driver record's
+    # tail was single COLD readings — the entire "fake regression".
+    # Starting the clock here guarantees the tail a warm second pass.)
+    start = time.perf_counter()
     # Refine order: the frozen HEADLINE set first (the comparable
     # number), then everything else slowest-first — a multi-second
-    # pass-1 reading on a sub-second query is usually a noisy-host
-    # stall, and re-measuring exactly those returns the min to truth.
+    # pass-1 reading on a sub-second query is usually cold-start
+    # cost or a noisy-host stall, and re-measuring exactly those
+    # returns the min to truth.
     refine = [n for n in HEADLINE if n in timings] + sorted(
         (n for n in measure_names if n not in HEADLINE),
         key=lambda n: timings[n],
