@@ -168,6 +168,13 @@ def _ntile_from_rank(rank: str, total: str, k: int) -> Column:
     )
 
 
+def ntile_from_rank(rank: str, total: str, k: int) -> Column:
+    """Public alias of :func:`_ntile_from_rank` for callers that
+    already hold (rank, total) columns from global_row_number and
+    want several statistics from one ranked pass."""
+    return _ntile_from_rank(rank, total, k)
+
+
 def global_ntile(
     df: DataFrame,
     order_by: list[Column | str],

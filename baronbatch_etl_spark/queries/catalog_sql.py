@@ -144,7 +144,7 @@ def w_ntile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.select(
         "c_custkey",
-        R._ntile_from_rank("_r", "_n", 4).alias("quartile"),
+        R.ntile_from_rank("_r", "_n", 4).alias("quartile"),
         R.percent_rank_col("_r", "_n").alias("pr"),
         R.cume_dist_col("_r", "_n").alias("cd"),
     )
