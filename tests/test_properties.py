@@ -905,3 +905,69 @@ def test_containment_finds_every_strict_subset(spark, sizes, data):
         ).collect()
     }
     assert expected <= got
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=120
+    ),
+    k=st.integers(min_value=1, max_value=9),
+    parts=st.sampled_from([2, 5, 16]),
+)
+def test_global_rank_matches_window_battery(spark, vals, k, parts):
+    # distributed exact rank == Spark's own single-partition window
+    # functions on ANY value multiset (ids are the unique tiebreak),
+    # any bucket count, any partitioning
+    from pyspark.sql import Window
+
+    from baronbatch_etl_spark.operators.ranking import (
+        cume_dist_col,
+        global_ntile,
+        global_row_number,
+        percent_rank_col,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    w = Window.orderBy("v", "id")
+    ref = {
+        r.id: (r.rk, r.b, round(r.pr, 12), round(r.cd, 12))
+        for r in df.select(
+            "id",
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.ntile(k).over(w).alias("b"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        ).collect()
+    }
+    ranked = global_row_number(
+        df,
+        [F.col("v"), F.col("id")],
+        rank_name="rk",
+        total_name="n",
+        num_partitions=parts,
+    )
+    got = {
+        r.id: (r.rk, round(r.pr, 12), round(r.cd, 12))
+        for r in ranked.select(
+            "id",
+            "rk",
+            percent_rank_col("rk", "n").alias("pr"),
+            cume_dist_col("rk", "n").alias("cd"),
+        ).collect()
+    }
+    buckets = {
+        r.id: r.b
+        for r in global_ntile(
+            df,
+            [F.col("v"), F.col("id")],
+            k,
+            bucket_name="b",
+            num_partitions=parts,
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == {i: (t[0], t[2], t[3]) for i, t in ref.items()}
+    assert buckets == {i: t[1] for i, t in ref.items()}
