@@ -306,6 +306,12 @@ def orchestrate(runs: int, idle_s: float, sf: float | None) -> None:
                     if chunk >= len(registry_names)
                     else "min-of-fresh-sessions/chunked-noncomparable"
                 ),
+                # r9: the refine budget gates refine time only (it
+                # used to include pass 1, starving the tail — see the
+                # module docstring). Catalog totals from before this
+                # flag carry single-cold-reading tails and are not
+                # comparable to totals after it.
+                "refine_after_pass1": True,
             },
         )
         print(
