@@ -56,6 +56,36 @@ _CNT = "_gr_cnt"
 _OFF = "_gr_off"
 _SEQ_MASK = (1 << 33) - 1
 
+#: Auto-sizing target for the range exchange: one range partition per
+#: this many estimated input bytes. Rank inputs are aggregated grains
+#: (narrow numeric rows), so 4 MiB ≈ hundreds of thousands of rows
+#: per partition — small fixtures collapse to a handful of tasks
+#: (each extra task costs fixed scheduler/shuffle overhead that
+#: dominates sub-second queries), while any at-scale input rides the
+#: shuffle-parallelism cap. Same bytes-aware philosophy as
+#: io.spread(), which the r6->r8 rounds settled on after fixed widths
+#: lost in one regime or the other.
+_BYTES_PER_RANGE_PARTITION = 4 << 20
+
+
+def _auto_partitions(df: DataFrame, cap: int) -> int:
+    """Range-partition count from Catalyst's plan-time size estimate,
+    clamped to [2, cap] (2 keeps the multi-partition path exercised
+    even on toy inputs; overestimates just ride the cap)."""
+    try:
+        est = int(
+            str(
+                df._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+    except Exception:  # noqa: BLE001 — stats unavailable: use the cap
+        return cap
+    want = -(-est // _BYTES_PER_RANGE_PARTITION)  # ceil div
+    return max(2, min(cap, want))
+
 
 def global_row_number(
     df: DataFrame,
@@ -72,11 +102,15 @@ def global_row_number(
     total row count (long), so quantile arithmetic needs no
     count-over-unbounded window.
 
-    Explicit ``num_partitions`` (default: the session's shuffle
-    parallelism) keeps AQE from re-coalescing the range exchange
-    between the two consumers of the tagged frame — the pid→offset
-    map must describe the exact partitioning the sequence numbers
-    were minted under.
+    ``num_partitions`` defaults to a bytes-aware width: one range
+    partition per :data:`_BYTES_PER_RANGE_PARTITION` of Catalyst's
+    plan-time input estimate, clamped to [2, shuffle parallelism] —
+    tiny grains stop paying 32-task scheduling overhead per stage
+    while at-scale inputs always ride the cap. The count is passed
+    EXPLICITLY to repartitionByRange either way, which keeps AQE from
+    re-coalescing the exchange between the two consumers of the
+    tagged frame — the pid→offset map must describe the exact
+    partitioning the sequence numbers were minted under.
 
     ``persist`` (default on) caches ``df`` and the tagged frame at
     MEMORY_AND_DISK. The plan has three physical consumers of the
@@ -93,9 +127,8 @@ def global_row_number(
     caching.
     """
     spark = df.sparkSession
-    parts = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parts = num_partitions or _auto_partitions(df, cap)
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     if persist:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
