@@ -55,86 +55,34 @@ def register(
 
 
 # Registry iteration order. External checkers run the catalog front to
-# back under a bounded per-run budget (~50 queries; exactly 50 in
-# rounds 3-7). Round-8 goal (the round-7 verdict's #1 item): lead with
-# the parked r3-green quartet (slots 51-54 last round — the stalest
-# rows on the board), then fill with 46 of the 49-row r4-checked class
-# — after this window runs, every registry row has been driver-checked
-# within the last four rounds except the three parked overflow rows
-# (r4-green, slots 51-53, each re-exercised by an in-window relative).
+# back under a bounded per-run budget (exactly 50 queries per round
+# since round 3). Round-10 goal (the round-9 verdict's #1 item): lead
+# with the r9-parked overflow row s_pq_codes (r5-green, the stalest
+# row on the board), then fill with the 49-row r6-checked class —
+# after this window runs, every registry row has been driver-checked
+# within the last four rounds with zero parked overflow.
 # tests/test_registry.py re-derives the invariant from the
 # CORRECTNESS_r0*.json files on disk so it can't silently rot.
+
+# Rotation marker — bumped in the SAME commit as each window rotation
+# of ``_PRIORITY`` (the r9 verdict's gate-design fix: the strict
+# invariants in tests/test_registry.py arm on this committed value, not
+# on how many CORRECTNESS records the driver has landed, so the suite
+# is never red in the window between a record landing and the next
+# round's first commit). ROTATION_ROUND == N means "the rN checker
+# window is in place".
+ROTATION_ROUND = 10
+
 _PRIORITY: tuple[str, ...] = (
-    # --- r9 window (50) ---
-    # 1-3: the parked r4-green trio leads (slots 51-53 last round;
-    # the r8 verdict's #2 item, rotation pre-written during r8)
-    "a7_table_counts",
-    "f_url_encode",
-    "h_small_qty_revenue",
-    # 4: mm_features (r6-green) seats as the stalest Arrow-worker
-    # exerciser — the 47-row r5 class holds none
-    "mm_features",
-    # 5-50: 46 of the 47-row r5-checked class (next-stalest).
-    # s_pq_codes is the one overflow row (see slot 51).
-    "a_basket_pairs",
-    "a_correlation",
-    "a_gini_concentration",
-    "a_linear_trend",
-    "a_value_histogram",
-    "d_containment",
-    "g_adamic_adar",
-    "g_degree_distribution",
-    "g_hits",
-    "g_pagerank",
-    "g_pagerank_weighted",
-    "g_triangle_count",
-    "h_dormant_customers",
-    "h_market_share",
-    "h_order_count_distribution",
-    "h_parts_supplier_count",
-    "h_profit_by_nation",
-    "h_waiting_suppliers",
-    "j_interval_overlap",
-    "mm_audio_stats",
-    "mm_resize_stats",
-    "q_snapshot_diff",
-    "s_hybrid_rrf",
-    "s_ivfpq_topk",
-    "s_mips_topk",
-    "s_pq_adc_topk",
-    "s_pq_recall",
-    "t_domain_quota",
-    "t_perplexity_bucket",
-    "t_source_entropy",
-    "t_split_leakage_safe",
-    "t_weighted_sample",
-    "w_ab_test",
-    "w_anomaly_zscore",
-    "w_attribution",
-    "w_cohort_retention",
-    "w_cusum_changepoint",
-    "w_event_transitions",
-    "w_funnel",
-    "w_m4_downsample",
-    "w_peak_concurrency",
-    "w_percent_of_total",
-    "w_rfm_segment",
-    "w_seasonal_residual",
-    "w_streak_islands",
-    "w_time_to_convert",
-    # --- 51: parked overflow (r5-green; one window slot short.
-    # s_pq_codes's machinery is re-exercised in-window by
-    # s_pq_adc_topk / s_pq_recall / s_ivfpq_topk, which share its
-    # codebook trainer and ADC scan. It leads the r10 window:
-    # r10 rotation plan, assuming r09 all-green: s_pq_codes + the
-    # 49 remaining r6-checked rows = exactly 50 slots, no overflow.
-    # The strict branch for latest==9 in tests/test_registry.py is
-    # pre-written against exactly that shape and activates when
-    # s_pq_codes leads.) ---
+    # --- r10 window (50) ---
+    # 1: the r9-parked overflow row leads (r5-green, slot 51 last
+    # round — the stalest row on the board; the r9 verdict's #1
+    # item, rotation pre-written during r9)
     "s_pq_codes",
-    # --- tail, stalest-first: r6-green, then r7, then r8 (freshest
-    # last) so a driver running past 50 still refreshes oldest rows
-    # first ---
+    # 2-50: the 49-row r6-checked class (next-stalest) fills the
+    # window exactly — no overflow, no parked rows. Arrow-worker
+    # exercisers in-window: mm_pixel_ahash (pandas_udf PNG lane),
+    # mm_feature_store (mapInPandas + pandas_udf composed store).
     "a1_dup_finder",
     "a_approx_distinct",
     "a_cms_probe",
@@ -184,6 +132,14 @@ _PRIORITY: tuple[str, ...] = (
     "w_range_frame",
     "w_resample_ffill",
     "w_sessionize",
+    # --- tail, stalest-first: r7-green, then r8, then r9 (freshest
+    # last) so a driver running past 50 still refreshes oldest rows
+    # first. The 50-row r7 class is the designed r11 window (exactly
+    # 50 slots — no overflow; it carries its own Arrow exercisers:
+    # p11_clean_projection, t_cdc_chunks). The strict branch for
+    # ROTATION_ROUND == 11 in tests/test_registry.py is pre-written
+    # against that shape and arms when round 11 commits the marker
+    # bump together with the rotation.
     "a_approx_quantiles",
     "a_cms_heavy_hitters",
     "a_hll_union",
@@ -284,6 +240,56 @@ _PRIORITY: tuple[str, ...] = (
     "st_session_window",
     "st_stream_join",
     "w_running_sum",
+    "a7_table_counts",
+    "f_url_encode",
+    "h_small_qty_revenue",
+    "mm_features",
+    "a_basket_pairs",
+    "a_correlation",
+    "a_gini_concentration",
+    "a_linear_trend",
+    "a_value_histogram",
+    "d_containment",
+    "g_adamic_adar",
+    "g_degree_distribution",
+    "g_hits",
+    "g_pagerank",
+    "g_pagerank_weighted",
+    "g_triangle_count",
+    "h_dormant_customers",
+    "h_market_share",
+    "h_order_count_distribution",
+    "h_parts_supplier_count",
+    "h_profit_by_nation",
+    "h_waiting_suppliers",
+    "j_interval_overlap",
+    "mm_audio_stats",
+    "mm_resize_stats",
+    "q_snapshot_diff",
+    "s_hybrid_rrf",
+    "s_ivfpq_topk",
+    "s_mips_topk",
+    "s_pq_adc_topk",
+    "s_pq_recall",
+    "t_domain_quota",
+    "t_perplexity_bucket",
+    "t_source_entropy",
+    "t_split_leakage_safe",
+    "t_weighted_sample",
+    "w_ab_test",
+    "w_anomaly_zscore",
+    "w_attribution",
+    "w_cohort_retention",
+    "w_cusum_changepoint",
+    "w_event_transitions",
+    "w_funnel",
+    "w_m4_downsample",
+    "w_peak_concurrency",
+    "w_percent_of_total",
+    "w_rfm_segment",
+    "w_seasonal_residual",
+    "w_streak_islands",
+    "w_time_to_convert",
 )
 # The list is exhaustive over the current registry (enforced by
 # tests/test_registry.py::test_priority_is_exhaustive); load_all()

@@ -544,11 +544,26 @@ def test_unpartitioned_window_detector_shapes():
         " ASC NULLS FIRST, specifiedwindowframe(RangeFrame, a$(),"
         " b$())) AS _we0#54L], [_gr_pid#79 ASC NULLS FIRST]"
     )
+    # r9-advice evaders: a data-grain order that merely CONTAINS the
+    # pid token, and a lookalike column name — both must still flag
+    pid_composite = (
+        "+- Window [row_number() windowspecdefinition(doc_id#3 ASC"
+        " NULLS FIRST, _gr_pid#79 ASC NULLS FIRST,"
+        " specifiedwindowframe(RowFrame, a$(), b$())) AS x#7],"
+        " [doc_id#3 ASC NULLS FIRST, _gr_pid#79 ASC NULLS FIRST]"
+    )
+    pid_lookalike = (
+        "+- Window [row_number() windowspecdefinition(_gr_pid_x#5 ASC"
+        " NULLS FIRST, specifiedwindowframe(RowFrame, a$(), b$()))"
+        " AS x#7], [_gr_pid_x#5 ASC NULLS FIRST]"
+    )
     assert _unpartitioned_windows(part_order) == []
     assert _unpartitioned_windows(part_only) == []
     assert len(_unpartitioned_windows(order_only)) == 1
     assert len(_unpartitioned_windows(bare)) == 1
     assert _unpartitioned_windows(pid_ok) == []  # bounded offsets frame
+    assert len(_unpartitioned_windows(pid_composite)) == 1
+    assert len(_unpartitioned_windows(pid_lookalike)) == 1
 
 
 @pytest.mark.parametrize(

@@ -181,8 +181,15 @@ def _unpartitioned_windows(plan: str) -> list[str]:
         ):
             continue  # [exprs], [part]
         order = groups[1] if len(groups) == 2 else "<no order>"
-        if "_gr_pid" in order:
-            continue  # the ranking utility's bounded offsets frame
+        # the ranking utility's bounded offsets frame — anchored to its
+        # exact single-key shape so an order spec that merely CONTAINS
+        # the token (e.g. `(doc_id, _gr_pid)` or a `_gr_pid_x` column)
+        # cannot evade the data-grain gate (r9 advice)
+        if re.fullmatch(
+            r"_gr_pid#\d+ (?:ASC|DESC) NULLS (?:FIRST|LAST)",
+            order.strip(),
+        ):
+            continue
         out.append(order.strip()[:120])
     return out
 
