@@ -9,7 +9,7 @@ results are deterministic across engines and partitionings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from baronbatch_etl_spark.functions.scalars import round_half_up
@@ -676,14 +676,18 @@ def w_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-table rollup to the customer grain, three ntile(5) scores
     with unique tiebreakers, a CASE lattice into six named segments,
     and a per-segment rollup. The heavy work is the single o_custkey
-    aggregation shuffle; the three exact ntile(5) scores run through
-    the DISTRIBUTED global rank (operators/ranking.py — range-shuffle
-    + per-partition sequence + broadcast offsets), replacing the r8
-    verdict's single-partition WindowExec over the customer grain
-    (~10^9-10^10 customers at 100 TB TPC-H ratios — hundreds of GB
-    through one task in the old plan, P parallel range partitions
-    now). Monetary sums ride DECIMAL(18,2) so both engines agree
-    bit-for-bit.
+    aggregation shuffle; the three exact ntile(5) scores ride ONE
+    distributed-rank pass (operators/ranking.py): the three metrics
+    stack into a narrow (custkey, metric_id, value) frame — recency
+    negated so every metric ranks ascending — and a single global
+    rank ordered by (metric_id, value, custkey) yields each metric's
+    rank as ``grank - (metric_id-1)*n`` (every metric block holds
+    exactly n rows, n = total/3). A groupBy(custkey) pivot then
+    recovers the three buckets AND the three metric values — no
+    join-back, no chained range exchanges (the r9 shape paid three
+    rank passes + six persists over the same grain; this is one range
+    shuffle of 3n narrow rows + one pivot shuffle). Monetary sums
+    ride DECIMAL(18,2) so both engines agree bit-for-bit.
     """
     orders = load_table(spark, sf_dir, "orders")
     anchor = orders.agg(
@@ -706,13 +710,54 @@ def w_rfm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    scored = cust
-    for bucket, order in (
-        ("r_score", [F.col("recency_days").desc(), F.col("o_custkey")]),
-        ("f_score", [F.col("frequency"), F.col("o_custkey")]),
-        ("m_score", [F.col("monetary"), F.col("o_custkey")]),
-    ):
-        scored = R.global_ntile(scored, order, 5, bucket_name=bucket)
+    # doubles carry every metric exactly: recency_days/frequency are
+    # small integers and monetary is already the double the oracle
+    # ranks (r_score orders recency DESC, hence the negation)
+    stacked = cust.select(
+        "o_custkey",
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("mid"),
+                    (-F.col("recency_days")).cast("double").alias("val"),
+                ),
+                F.struct(
+                    F.lit(2).alias("mid"),
+                    F.col("frequency").cast("double").alias("val"),
+                ),
+                F.struct(
+                    F.lit(3).alias("mid"),
+                    F.col("monetary").alias("val"),
+                ),
+            )
+        ),
+    )
+    ranked = R.global_row_number(
+        stacked,
+        ["mid", "val", "o_custkey"],
+        rank_name="_rk",
+        total_name="_tot",
+    ).select(
+        "o_custkey",
+        "mid",
+        "val",
+        (F.col("_rk") - (F.col("mid") - 1) * (F.col("_tot") / 3))
+        .cast("long")
+        .alias("_mrk"),
+        (F.col("_tot") / 3).cast("long").alias("_mn"),
+    ).withColumn("_score", R.ntile_from_rank("_mrk", "_mn", 5))
+
+    def _metric(mid: int, col: str) -> Column:
+        return F.max(F.when(F.col("mid") == mid, F.col(col)))
+
+    scored = ranked.groupBy("o_custkey").agg(
+        (-_metric(1, "val")).cast("int").alias("recency_days"),
+        _metric(2, "val").cast("long").alias("frequency"),
+        _metric(3, "val").alias("monetary"),
+        _metric(1, "_score").alias("r_score"),
+        _metric(2, "_score").alias("f_score"),
+        _metric(3, "_score").alias("m_score"),
+    )
     segment = (
         F.when(
             (F.col("r_score") >= 4)
