@@ -69,14 +69,25 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     weight_col: str | None = None,
+    check_dangling: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a ``(src, dst)`` edge list →
     ``(node, rank)``.
 
     Requires every node to appear as a ``src`` (guaranteed by
     :func:`undirected_edges`; for directed graphs, pre-filter or add
-    self-loops — dangling mass is NOT redistributed here). Ranks
-    start uniform at ``1/N`` and each round becomes
+    self-loops — dangling mass is NOT redistributed here), and
+    ENFORCES it by default: the node census that sizes the teleport
+    term also counts sink nodes (``dst`` never seen as ``src``,
+    including nodes that lost every edge to the positive-weight
+    filter), and any sink raises ``ValueError`` instead of silently
+    leaking that node's inbound rank mass out of the walk. The check
+    piggybacks on the census action — no extra pass over the edges —
+    costing one role-doubled aggregation where the old census counted
+    distinct ``src`` only; callers that guarantee the contract by
+    construction can pass ``check_dangling=False`` to keep the
+    cheaper census. Ranks start uniform at ``1/N`` and each round
+    becomes
     ``(1 - damping)/N + damping * Σ_in rank_src / deg_src``; with no
     dangling nodes total mass stays 1 (modulo 1e-9 quantisation),
     which the property tests assert.
@@ -132,8 +143,44 @@ def pagerank(
     # The ONLY driver state: the node count (one scalar, the k-means
     # precedent) — burning it into the plan as a literal keeps every
     # round free of the one-row normaliser subtree a cross-joined
-    # count frame would replay per iteration.
-    n = weighted.select(F.count_distinct("src")).first()[0]
+    # count frame would replay per iteration. With the default
+    # check_dangling the same action also takes the sink census over
+    # the checkpointed frame (role-doubled union → per-node max) so
+    # contract violations fail loudly here, not as missing mass.
+    if check_dangling:
+        roles = weighted.select(
+            F.col("src").alias("node"), F.lit(1).alias("has_out")
+        ).unionByName(
+            weighted.select(
+                F.col("dst").alias("node"), F.lit(0).alias("has_out")
+            )
+        )
+        census = (
+            roles.groupBy("node")
+            .agg(F.max("has_out").alias("has_out"))
+            .agg(
+                F.count("*").alias("n_nodes"),
+                F.sum(
+                    F.when(F.col("has_out") == 0, 1).otherwise(0)
+                ).alias("n_dangling"),
+            )
+            .first()
+        )
+        if census["n_dangling"]:
+            raise ValueError(
+                f"pagerank: {census['n_dangling']} dangling node(s) "
+                "(appear as dst but never as src) would silently leak "
+                "rank mass — symmetrise the graph (undirected_edges), "
+                "add self-loops, or drop sink-only edges; "
+                "check_dangling=False skips this census for graphs "
+                "that guarantee the contract by construction"
+            )
+        # no sinks ⇒ every node appears as a src, so the walk's node
+        # universe equals the census (identical to the old
+        # count_distinct(src) under the enforced contract)
+        n = census["n_nodes"]
+    else:
+        n = weighted.select(F.count_distinct("src")).first()[0]
     if n == 0:
         raise ValueError("pagerank requires a non-empty edge list")
     teleport = (1.0 - damping) / n

@@ -128,6 +128,10 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         G.undirected_edges(pairs, "a", "b", disjoint=True),
         iters=_PR_ITERS,
         damping=_PR_DAMP,
+        # the symmetric closure puts every node on both sides — the
+        # no-dangling contract holds by construction, so skip the
+        # role-doubled sink census (one fewer pass over the edges)
+        check_dangling=False,
     )
     return (
         ranks.select(
@@ -387,6 +391,11 @@ def g_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_PR_ITERS,
         damping=_PR_DAMP,
         weight_col="w",
+        # symmetric edges with w = the pair's co-occurrence count
+        # (always > 0 by construction: w counts existing rows), so the
+        # positive-weight filter drops nothing and the no-dangling
+        # contract holds — skip the sink census
+        check_dangling=False,
     )
     return (
         ranks.select(

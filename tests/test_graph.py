@@ -55,6 +55,43 @@ def test_pagerank_mass_conserved(spark):
     assert total == pytest.approx(1.0, abs=1e-6)
 
 
+def test_pagerank_rejects_dangling_sink(spark):
+    """The no-dangling contract is ENFORCED, not documented (r9
+    verdict #3): a directed graph with a sink node must raise instead
+    of silently leaking the sink's inbound rank mass."""
+    chain = _edges(spark, [(1, 2), (2, 3)])  # 3 is a sink
+    with pytest.raises(ValueError, match="dangling"):
+        G.pagerank(chain, iters=2)
+
+
+def test_pagerank_dangling_check_optout_still_runs(spark):
+    """check_dangling=False is the documented escape hatch for graphs
+    that guarantee the contract by construction — same census result
+    (and therefore identical ranks) on a contract-satisfying graph."""
+    n = 5
+    cycle = _edges(spark, [(i, (i + 1) % n) for i in range(n)])
+    checked = {
+        r.node: r.rank for r in G.pagerank(cycle, iters=2).collect()
+    }
+    unchecked = {
+        r.node: r.rank
+        for r in G.pagerank(cycle, iters=2, check_dangling=False).collect()
+    }
+    assert checked == unchecked
+
+
+def test_pagerank_weight_filter_can_create_dangling(spark):
+    """A node whose edges are ALL non-positive-weight loses them to
+    the weight filter and becomes a sink — the census runs after the
+    filter, so this must raise too."""
+    edges = spark.createDataFrame(
+        [(1, 2, 3), (2, 1, 2), (1, 3, 1), (3, 1, 0)],
+        "src long, dst long, w long",
+    )
+    with pytest.raises(ValueError, match="dangling"):
+        G.pagerank(edges, iters=2, weight_col="w")
+
+
 def test_pagerank_matches_dense_reference(spark):
     """Bit-for-bit-free sanity: the distributed ranks agree with a
     driver-side dense power iteration to float tolerance on an
@@ -154,13 +191,18 @@ def test_weighted_pagerank_heavy_edge_pulls_rank(spark):
 def test_weighted_pagerank_zero_weight_edges_dropped(spark):
     """A node whose out-edges ALL carry weight 0 must not emit null
     contributions (silently dropped rank mass) or ANSI-divide-crash:
-    the positive-weight contract filters those edges up front, the
-    node degrades to dangling (round-4 advice). Node 3's only edge is
-    zero-weight → nodes it pointed at get no mass from it, and no
-    rank in the output is null/NaN."""
+    the positive-weight contract filters those edges up front and the
+    node degrades to dangling (round-4 advice) — which the default
+    census now REJECTS loudly (r9 verdict #3). The explicit opt-out
+    preserves the old degrade-to-dangling arithmetic: no null/NaN
+    ranks, the sink still receives mass as a dst."""
     rows = [(0, 1, 2), (1, 2, 1), (2, 0, 1), (2, 3, 1), (3, 0, 0)]
     edges = spark.createDataFrame(rows, "src long, dst long, w long")
-    got = G.pagerank(edges, iters=3, weight_col="w").collect()
+    with pytest.raises(ValueError, match="dangling"):
+        G.pagerank(edges, iters=3, weight_col="w")
+    got = G.pagerank(
+        edges, iters=3, weight_col="w", check_dangling=False
+    ).collect()
     ranks = {r.node: r.rank for r in got}
     assert all(r.rank is not None and r.rank == r.rank for r in got)
     assert 3 in ranks  # still receives mass as a dst of node 2
