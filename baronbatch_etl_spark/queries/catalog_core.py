@@ -830,12 +830,14 @@ _P11_CS = (
 )
 _P11_DUR = "CASE WHEN k % 7 = 0 OR k % 19 = 0 THEN 0 ELSE 300 + (k % 3600) END"
 
-#: Per-session memo for the P11 bronze fixture plan. The struct
-#: battery PLAN is built once per (SparkSession, sf_dir); execution
-#: recomputes it per consumer — measured cheaper than checkpointing
-#: the wide struct rows (see the note in :func:`_p11_synthesize`).
+#: Per-session memo for the P11 bronze fixture. Built once per
+#: (SparkSession, sf_dir): the struct battery is synthesized, written
+#: to a session-scoped parquet scratch dir, and the memoized frame is
+#: the READ of that parquet (write+read beats recomputing the
+#: 40-field expression forest per consumer — see :func:`_p11_bronze`).
 #: A fresh JVM gets a fresh applicationId, so the memo cannot leak
-#: across sessions.
+#: across sessions; the scratch dir is atexit-removed by the process
+#: that created it.
 _P11_BRONZE: dict[tuple[str, str], "DataFrame"] = {}
 
 
@@ -871,11 +873,20 @@ def _p11_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from an expression forest. Falls back to the lazy plan if the
     # scratch write fails (read-only /tmp).
     try:
+        import atexit
+        import shutil
         import tempfile
 
-        path = (
-            Path(tempfile.mkdtemp(prefix="p11_bronze_")) / "bronze"
-        ).as_posix()
+        # one deterministic scratch root per session (not one leaked
+        # mkdtemp per (session, sf_dir) — the r9 advice), removed at
+        # interpreter exit by the process that created it
+        base = Path(tempfile.gettempdir()) / (
+            f"p11_bronze_{spark.sparkContext.applicationId}"
+        )
+        if not base.exists():
+            atexit.register(shutil.rmtree, base, ignore_errors=True)
+        sub = sf_dir.strip("/").replace("/", "_")
+        path = (base / sub / "bronze").as_posix()
         bronze.write.mode("overwrite").parquet(path)
         bronze = spark.read.parquet(path)
     except Exception:  # noqa: BLE001 — scratch-space failure only

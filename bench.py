@@ -430,7 +430,26 @@ def main() -> None:
         refined += 1
 
     _emit(
-        _summarize(timings, sf, {"refined": refined, "canary_s": canary}),
+        _summarize(
+            timings,
+            sf,
+            {
+                "refined": refined,
+                "canary_s": canary,
+                # same stamps orchestrate() writes: a direct
+                # single-session run (SPARK_GRAFT_BENCH_RUNS=1 path)
+                # must be distinguishable from pre-r9 budget-semantics
+                # records too (r9 advice). Children of orchestrate()
+                # stamp their role; the parent's final summary still
+                # carries the min-of-fresh-sessions protocol.
+                "protocol": (
+                    "orchestrated-child"
+                    if os.environ.get("SPARK_GRAFT_BENCH_CHILD")
+                    else "single-session"
+                ),
+                "refine_after_pass1": True,
+            },
+        ),
         timings,
     )
 

@@ -56,7 +56,11 @@ def _gauges(spark) -> dict:
         u = p.getUsage()
         if "CodeHeap" in name or "Code Cache" in name:
             code_used += u.getUsed()
-            code_max += u.getMax()
+            # getMax() is -1 when the pool max is undefined — adding
+            # the sentinel would corrupt the reported cap (r9 advice;
+            # mirrors the getCollectionTime() guard above)
+            if u.getMax() > 0:
+                code_max += u.getMax()
         elif name == "Metaspace":
             meta_used = u.getUsed()
     # broadcast blocks still alive on the driver block manager
