@@ -242,13 +242,55 @@ def global_ntile(
     bucket_name: str,
     num_partitions: int | None = None,
     persist: bool = True,
+    approx: bool = False,
+    approx_error: float = 1e-4,
 ) -> DataFrame:
     """All of ``df``'s columns plus ``bucket_name`` = exact SQL
     ``ntile(k)`` over the global ``order_by`` order (unique key
     required), computed as arithmetic on the distributed global rank
     — no single-partition WindowExec anywhere in the plan.
     ``persist`` passes through to :func:`global_row_number` — turn it
-    off when the caller already persists ``df``."""
+    off when the caller already persists ``df``.
+
+    ``approx=True`` is the 100 TB opt-in (r9 verdict #6): instead of
+    range-shuffling the frame to rank it, compute the k-1 bucket
+    boundaries once with Spark's Greenwald–Khanna sketch
+    (``approxQuantile`` at ``approx_error`` relative rank error — one
+    aggregation pass, driver state = k-1 scalars) and bucket map-side
+    by value comparison: ZERO data shuffles, the shape a real
+    100 TB quantile-scoring job (RFM, perplexity buckets) runs.
+    Contract differences vs the exact default, which stays the
+    oracle-checked path:
+
+    * ``order_by[0]`` must be an ascending numeric column NAME (no
+      tiebreakers — bucketing is by value, so none are needed) and
+      non-null (the sketch skips nulls);
+    * each boundary lands within ``approx_error``·n ranks of the
+      exact cut, so any row's bucket is within ±1 of exact ntile —
+      pinned by the unit tests — and bucket sizes are equal only to
+      that tolerance;
+    * PEERS (duplicate metric values) all land in one bucket, where
+      exact ntile splits a boundary-straddling run by the tiebreaker
+      — value-determinism is usually what a scoring job wants, but it
+      widens the ±1 bound for runs longer than n/k.
+    """
+    if approx:
+        if not order_by or not isinstance(order_by[0], str):
+            raise TypeError(
+                "approx ntile buckets by VALUE: pass the metric as a "
+                "single ascending column name (no Column expressions, "
+                "no tiebreakers)"
+            )
+        col = order_by[0]
+        bounds = df.stat.approxQuantile(
+            col, [i / k for i in range(1, k)], approx_error
+        )
+        bucket: Column = F.lit(1)
+        for b in bounds:
+            bucket = bucket + F.when(
+                F.col(col) > F.lit(b), 1
+            ).otherwise(0)
+        return df.withColumn(bucket_name, bucket.cast("int"))
     ranked = global_row_number(
         df,
         order_by,

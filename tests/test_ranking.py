@@ -140,3 +140,92 @@ def test_total_column(spark):
     spark.catalog.clearCache()
     assert all(t.n == 41 for t in rows)
     assert sorted(t.r for t in rows) == list(range(1, 42))
+
+
+def _distinct_frame(spark, n):
+    # a fixed permutation of distinct values: (i*7919) % n is a
+    # bijection when gcd(7919, n) == 1 — no peers, so exact ntile's
+    # tiebreaker never fires and the ±1 approx bound is clean
+    rows = [(i, float((i * 7919) % n)) for i in range(n)]
+    return spark.createDataFrame(rows, "id long, v double")
+
+
+@pytest.mark.parametrize("n,k", [(100, 4), (997, 5), (1000, 10)])
+def test_approx_ntile_within_one_bucket_of_exact(spark, n, k):
+    """The r9 verdict #6 opt-in: GK-sketch boundaries + map-side
+    value bucketing must land every row within ±1 bucket of the exact
+    distributed ntile on distinct values."""
+    df = _distinct_frame(spark, n)
+    exact = {
+        t.id: t.b
+        for t in global_ntile(
+            df, [F.col("v"), F.col("id")], k, bucket_name="b",
+            num_partitions=8,
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    approx = {
+        t.id: t.b
+        for t in global_ntile(
+            df, ["v"], k, bucket_name="b", approx=True
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    assert all(abs(approx[i] - exact[i]) <= 1 for i in approx)
+    assert set(approx.values()) <= set(range(1, k + 1))
+
+
+def test_approx_ntile_zero_error_is_exact_on_distinct(spark):
+    """approx_error=0 makes the sketch exact; with distinct values the
+    buckets then agree bit-for-bit with exact ntile."""
+    df = _distinct_frame(spark, 200)
+    exact = {
+        t.id: t.b
+        for t in global_ntile(
+            df, [F.col("v"), F.col("id")], 5, bucket_name="b",
+            num_partitions=8,
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    approx = {
+        t.id: t.b
+        for t in global_ntile(
+            df, ["v"], 5, bucket_name="b", approx=True,
+            approx_error=0.0,
+        ).collect()
+    }
+    assert approx == exact
+
+
+def test_approx_ntile_peers_share_a_bucket(spark):
+    """Value determinism: duplicate metric values land in ONE bucket
+    under approx (exact ntile would split a boundary run by the
+    tiebreaker)."""
+    rows = [(i, float(v)) for i, v in enumerate([1, 1, 1, 1, 2, 2, 2, 2])]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = global_ntile(
+        df, ["v"], 2, bucket_name="b", approx=True, approx_error=0.0
+    ).collect()
+    by_v = {}
+    for t in got:
+        by_v.setdefault(t.v, set()).add(t.b)
+    assert all(len(s) == 1 for s in by_v.values())
+
+
+def test_approx_ntile_requires_column_name(spark):
+    df = _distinct_frame(spark, 10)
+    with pytest.raises(TypeError, match="column name"):
+        global_ntile(
+            df, [F.col("v")], 4, bucket_name="b", approx=True
+        )
+
+
+def test_approx_ntile_plan_has_no_shuffle(spark):
+    """The scale contract: the bucketing plan itself is map-side —
+    no Exchange, no Window (the sketch pass is a separate job that
+    already ran by plan-build time)."""
+    df = _distinct_frame(spark, 50)
+    out = global_ntile(df, ["v"], 4, bucket_name="b", approx=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Window" not in plan
