@@ -58,6 +58,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from baronbatch_etl_spark.io import DEFAULT_SF_DIR  # noqa: E402
+from baronbatch_etl_spark.operators import ranking  # noqa: E402
 from baronbatch_etl_spark.queries import load_all  # noqa: E402
 from baronbatch_etl_spark.session import get_spark  # noqa: E402
 
@@ -380,7 +381,10 @@ def main() -> None:
 
     def _measure(name: str) -> None:
         # cached frames (dedup signature tables) plan-match across
-        # invocations — clear so each run pays full cost
+        # invocations — clear so each run pays full cost (the rank
+        # utility's tracked handles are flushed too, so the session
+        # doesn't pin every measured query's plan objects)
+        ranking.release_rank_caches()
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         _force(registry[name].fn(spark, sf_dir))

@@ -229,3 +229,24 @@ def test_approx_ntile_plan_has_no_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Window" not in plan
+
+
+def test_release_rank_caches_unpersists(spark):
+    """global_row_number tracks its persisted handles; release drops
+    them all (the r9 advice: chained callers otherwise accumulate
+    cached frames until someone clears the whole cache)."""
+    from baronbatch_etl_spark.operators import ranking as R
+
+    R.release_rank_caches()  # start clean
+    df = _frame(spark, 20)
+    out = global_row_number(
+        df, [F.col("v"), F.col("id")], rank_name="r", num_partitions=4
+    )
+    out.collect()
+    assert len(R._PERSISTED) == 2  # input + tagged frame
+    cached = list(R._PERSISTED)
+    R.release_rank_caches()
+    assert R._PERSISTED == []
+    assert all(not d.is_cached for d in cached)
+    # released frames still answer queries (lineage recompute)
+    assert out.count() == 20
