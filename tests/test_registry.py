@@ -52,29 +52,33 @@ def test_query_output_is_scalar_only(spark, sf_dir, name):
         )
 
 
-def test_priority_window_rotates_stale_rows():
-    # The external checker verifies the first 50 registry entries per
-    # round, front to back. Strict per-round invariants arm on the
-    # COMMITTED rotation marker (queries.ROTATION_ROUND) rather than on
-    # how many CORRECTNESS records exist — the r9 verdict's gate-design
-    # fix: a freshly-landed driver record alone must not redden the
-    # suite; only a wrong or missing rotation does. Each rotation
-    # commit bumps the marker AND pre-writes the next round's strict
-    # branch below (the unknown-marker branch fails loudly so the
-    # cadence can't silently decay).
-    import json
-    from pathlib import Path
+def _rotation_gate(
+    payloads: list[dict],
+    names: list[str],
+    marker: int,
+    registry: set[str],
+) -> None:
+    """Pure rotation-invariant checker — raises AssertionError on a
+    wrong or missing rotation. Extracted from the disk-reading test so
+    the forward transition states (driver record lands → next round
+    rotates and bumps the marker) can be simulated in unit tests; the
+    r9 round shipped a red suite precisely because that transition was
+    only exercised live.
 
-    from baronbatch_etl_spark import queries as Q
-
-    root = Path(__file__).resolve().parent.parent
+    ``payloads`` are the CORRECTNESS record dicts in round order,
+    ``names`` the registry iteration order, ``marker`` the committed
+    ``queries.ROTATION_ROUND``, ``registry`` all registered names.
+    Strict per-round invariants arm on the MARKER, not on how many
+    records exist — a freshly-landed driver record alone must not
+    redden the suite; only a wrong or missing rotation does. Each
+    rotation commit bumps the marker AND pre-writes the next round's
+    strict branch below (the unknown-marker branch fails loudly so the
+    cadence can't silently decay).
+    """
     last: dict[str, int] = {}
-    # derive rounds from disk so a new CORRECTNESS_r0N.json re-derives
-    # the staleness classification instead of silently aging out
-    records = sorted(root.glob("CORRECTNESS_r*.json"))
-    latest = len(records)
-    for r, f in enumerate(records, start=1):
-        for name, row in json.loads(f.read_text()).items():
+    latest = len(payloads)
+    for r, payload in enumerate(payloads, start=1):
+        for name, row in payload.items():
             # a failed check is a reason to STAY in the window, not
             # freshness: keep the prior green round (or 0 if the row
             # has never been green — capture prev BEFORE overwriting,
@@ -90,20 +94,18 @@ def test_priority_window_rotates_stale_rows():
                 last[name] = prev if prev else 0
     if not last:  # fresh clone without driver records — nothing to pin
         return
-    names = list(REGISTRY)
     window = set(names[:50])
-    marker = Q.ROTATION_ROUND
 
     def _outcome_check() -> None:
         # the marker round's record has landed on this window; until
         # the next rotation commits, the gate is the outcome: the
         # newest record must actually cover the window it was cut for.
-        newest = set(json.loads(records[-1].read_text()))
+        newest = set(payloads[-1])
         refreshed = len(window & newest)
         assert refreshed >= 45, (
             f"rotation outcome failed: only {refreshed} of the 50-slot "
-            f"window appear in {records[-1].name} — the window the "
-            "marker claims was rotated is not the one the driver "
+            f"window appear in the r{latest:02d} record — the window "
+            "the marker claims was rotated is not the one the driver "
             "checked"
         )
 
@@ -131,7 +133,7 @@ def test_priority_window_rotates_stale_rows():
                 f"{names[0]!r}. If a row went RED in r09, it re-enters "
                 "the window and these invariants must be re-derived."
             )
-            never = {n for n in REGISTRY if n not in last}
+            never = {n for n in registry if n not in last}
             assert never <= window, (
                 f"never-checked rows outside window: {never - window}"
             )
@@ -164,7 +166,7 @@ def test_priority_window_rotates_stale_rows():
                 "r10 it re-enters the window and these invariants must "
                 "be re-derived."
             )
-            never = {n for n in REGISTRY if n not in last}
+            never = {n for n in registry if n not in last}
             assert never <= window, (
                 f"never-checked rows outside window: {never - window}"
             )
@@ -184,6 +186,29 @@ def test_priority_window_rotates_stale_rows():
             "commit as the rotation (see the marker == 11 branch "
             "for the shape)"
         )
+
+
+def _disk_payloads() -> list[dict]:
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    return [
+        json.loads(f.read_text())
+        for f in sorted(root.glob("CORRECTNESS_r*.json"))
+    ]
+
+
+def test_priority_window_rotates_stale_rows():
+    # The external checker verifies the first 50 registry entries per
+    # round, front to back — check the LIVE state: disk records, the
+    # real registry order, the committed marker.
+    from baronbatch_etl_spark import queries as Q
+
+    _rotation_gate(
+        _disk_payloads(), list(REGISTRY), Q.ROTATION_ROUND, set(REGISTRY)
+    )
+    window = set(list(REGISTRY)[:50])
     # the round-3 advice: keep the mapInPandas/Arrow-worker path
     # driver-checked every round. mm_features was its only catalog
     # exerciser through r6; t_cdc_chunks (flat-row mapInPandas),
@@ -205,6 +230,45 @@ def test_priority_window_rotates_stale_rows():
     assert window & arrow_exercisers, (
         "no mapInPandas/Arrow-worker exerciser in the checker window"
     )
+
+
+def test_rotation_gate_transitions():
+    """Simulate the judge-phase and round-start transitions the marker
+    design exists for — every state the repo will actually pass
+    through between now and the r11 rotation, plus the failure modes
+    the gate must keep catching."""
+    names = list(REGISTRY)
+    payloads = _disk_payloads()
+    if len(payloads) != 9:
+        pytest.skip(
+            "transition simulation is pinned to the 9-record r10 "
+            "state; once CORRECTNESS_r10.json lands the LIVE test "
+            "covers the new state"
+        )
+    green = {"rows_match": True, "schema_match": True, "hash_match": True}
+    r10 = {n: dict(green) for n in names[:50]}
+    # judge phase: the r10 record lands, marker still 10 → GREEN (the
+    # exact state that reddened the r9 suite under the old design)
+    _rotation_gate(payloads + [r10], names, 10, set(REGISTRY))
+    # a full round completes without rotating → loud
+    r11 = {n: dict(green) for n in names[:50]}
+    with pytest.raises(AssertionError, match="without rotating"):
+        _rotation_gate(payloads + [r10, r11], names, 10, set(REGISTRY))
+    # round 11 rotates correctly (r7 class to the front, the r10
+    # window to the tail) and bumps the marker → GREEN
+    rotated = names[50:] + names[:50]
+    _rotation_gate(payloads + [r10], rotated, 11, set(REGISTRY))
+    # marker bumped but the order untouched → loud
+    with pytest.raises(AssertionError, match="r11 rotation deviated"):
+        _rotation_gate(payloads + [r10], names, 11, set(REGISTRY))
+    # r11 record lands on the rotated window, marker still 11 → GREEN
+    r11_rotated = {n: dict(green) for n in rotated[:50]}
+    _rotation_gate(
+        payloads + [r10, r11_rotated], rotated, 11, set(REGISTRY)
+    )
+    # a marker without its pre-written strict branch → loud
+    with pytest.raises(AssertionError, match="no strict branch"):
+        _rotation_gate(payloads + [r10], rotated, 12, set(REGISTRY))
 
 
 def test_checker_window_names_resolve():
