@@ -285,12 +285,14 @@ def global_ntile(
         bounds = df.stat.approxQuantile(
             col, [i / k for i in range(1, k)], approx_error
         )
-        bucket: Column = F.lit(1)
-        for b in bounds:
-            bucket = bucket + F.when(
-                F.col(col) > F.lit(b), 1
-            ).otherwise(0)
-        return df.withColumn(bucket_name, bucket.cast("int"))
+        # bucket = 1 + |{boundaries strictly below the value}| — one
+        # array expression however large k is (a chained-CASE build
+        # would nest k-1 deep and stress codegen at large k)
+        arr = F.array(*[F.lit(b) for b in bounds])
+        bucket = (
+            F.size(F.filter(arr, lambda b: F.col(col) > b)) + 1
+        ).cast("int")
+        return df.withColumn(bucket_name, bucket)
     ranked = global_row_number(
         df,
         order_by,
