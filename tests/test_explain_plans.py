@@ -583,3 +583,29 @@ def test_global_rank_rewrites_have_no_single_partition_window(
     spark.catalog.clearCache()
     bad = _unpartitioned_windows(plan.split("== Initial Plan ==")[0])
     assert not bad, f"{name}: unpartitioned WindowExec over {bad}"
+
+
+def test_rfm_is_a_single_rank_pass(spark, registry, sf_dir):
+    """The r10 rework's structural invariant: the three ntile(5)
+    scores stack into ONE distributed-rank pass, so the whole plan
+    carries exactly one WindowExec (the rank's ≤P-row offsets
+    prefix-sum) — the r9 shape chained three."""
+    import re
+
+    # pre-execution plan: after collect() the persisted rank subtree
+    # (where the offsets Window lives) collapses into an
+    # InMemoryTableScan and the count would read 0
+    df = registry["w_rfm_segment"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    spark.catalog.clearCache()
+    windows = {
+        m.group(0)
+        for m in re.finditer(
+            r"\bWindow(?:InPandas)? \[[^\n]*", plan
+        )
+    }
+    assert len(windows) == 1, (
+        f"w_rfm_segment grew to {len(windows)} distinct window passes "
+        f"({sorted(windows)}) — the stacked single-rank design "
+        "regressed"
+    )
