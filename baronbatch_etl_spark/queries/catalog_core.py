@@ -577,7 +577,12 @@ def f_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-ins (F.median / percentile) are always preferred when they
     exist; this demonstrates the escape hatch for aggregations Spark
     lacks. Median of integers is exact (integer or half-integer) in
-    both engines, so even this UDAF is hash-checkable."""
+    both engines, so even this UDAF is hash-checkable. For
+    fact-grain groups, where even the built-ins buffer a whole group
+    per task, the scale path is
+    :func:`baronbatch_etl_spark.operators.stats.grouped_median_exact`
+    (two-pass band-narrowed exact median, parity-tested in
+    tests/test_stats.py)."""
     import numpy as np
     import pandas as pd  # noqa: F401 — resolves the UDF annotation
     from pyspark.sql.functions import pandas_udf
