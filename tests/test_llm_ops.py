@@ -873,3 +873,30 @@ def test_containment_tie_prefers_doc_a(spark):
     rows = D.containment_pairs(docs, threshold_pct=90).collect()
     assert len(rows) == 1
     assert rows[0].inner_doc == rows[0].doc_a
+
+
+def test_pq_trained_state_reuse_is_value_identical(spark, sf_dir):
+    """The train-once path (pq_train_state + trained=) must be
+    bit-identical to inline retraining for every PQ consumer — the
+    contract that lets the catalog share one codebook set per session
+    (FAISS's train()/search() separation)."""
+    from baronbatch_etl_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    state = S.pq_train_state(emb, m=4, k=4, iters=2)
+    cents, dim = state
+    assert set(cents) == {0, 1, 2, 3}
+    assert dim % 4 == 0
+
+    fresh_enc = S.pq_encode(emb, m=4, k=4, iters=2).collect()
+    reuse_enc = S.pq_encode(emb, m=4, k=4, iters=2, trained=state).collect()
+    key = lambda r: r.vec_id  # noqa: E731
+    assert sorted(fresh_enc, key=key) == sorted(reuse_enc, key=key)
+
+    fresh_adc = S.pq_adc_topk(emb, 0, topk=7).collect()
+    reuse_adc = S.pq_adc_topk(emb, 0, topk=7, trained=state).collect()
+    assert fresh_adc == reuse_adc
+
+    fresh_rec = S.pq_recall_at_k(emb, 0, k=5).first()
+    reuse_rec = S.pq_recall_at_k(emb, 0, k=5, trained=state).first()
+    assert fresh_rec == reuse_rec
