@@ -175,24 +175,49 @@ def session_fixture(
         return cached
     df = build()
     try:
-        import atexit
-        import shutil
-        import tempfile
-        from pathlib import Path
+        import hashlib
 
-        base = Path(tempfile.gettempdir()) / (
-            f"bb_fixtures_{spark.sparkContext.applicationId}"
-        )
-        if not base.exists():
-            atexit.register(shutil.rmtree, base, ignore_errors=True)
-        sub = sf_dir.strip("/").replace("/", "_")
-        path = (base / sub / name).as_posix()
+        # distinct sf_dir strings must stage to distinct paths even
+        # when a lossy sanitization would collide ('/a/b' vs '/a_b'):
+        # an overwrite would delete the part files under an earlier
+        # fixture's still-live scan. Hash the raw string instead.
+        sub = hashlib.sha256(sf_dir.encode()).hexdigest()[:16]
+        path = (_session_scratch(spark) / sub / name).as_posix()
         df.write.mode("overwrite").parquet(path)
         df = spark.read.parquet(path)
     except Exception:  # noqa: BLE001 — scratch-space failure only
-        pass
+        # degraded mode (read-only tmp): a lazy localCheckpoint keeps
+        # the one-derivation-per-session semantics — the first action
+        # materializes the frame into block storage and every later
+        # consumer (including multi-branch plans like the degree
+        # distribution's union legs) reuses it instead of re-running
+        # the derivation.
+        df = df.localCheckpoint(eager=False)
     _FIXTURES[key] = df
     return df
+
+
+#: Session-scoped scratch roots created by :func:`_session_scratch`.
+_SCRATCH: dict[str, "object"] = {}
+
+
+def _session_scratch(spark: SparkSession):
+    """One private scratch root per session, created with ``mkdtemp``
+    (mode 0700, unguessable — a predictable /tmp name could be
+    pre-created or symlinked by another local user on a shared host)
+    and removed at interpreter exit by the process that created it."""
+    import atexit
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    app_id = spark.sparkContext.applicationId
+    base = _SCRATCH.get(app_id)
+    if base is None:
+        base = Path(tempfile.mkdtemp(prefix="bb_fixtures_"))
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        _SCRATCH[app_id] = base
+    return base
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -264,7 +264,8 @@ def global_ntile(
 
     * ``order_by[0]`` must be an ascending numeric column NAME (no
       tiebreakers — bucketing is by value, so none are needed) and
-      non-null (the sketch skips nulls);
+      non-null — the sketch skips nulls, so a null metric row has no
+      defined bucket and the expression raises on the first one;
     * each boundary lands within ``approx_error``·n ranks of the
       exact cut, so any row's bucket is within ±1 of exact ntile —
       pinned by the unit tests — and bucket sizes are equal only to
@@ -292,6 +293,21 @@ def global_ntile(
         bucket = (
             F.size(F.filter(arr, lambda b: F.col(col) > b)) + 1
         ).cast("int")
+        # enforce the documented non-null contract map-side: the
+        # sketch skipped nulls when estimating the boundaries, and
+        # NULL > boundary is NULL, so a null metric would otherwise
+        # silently land in bucket 1 — fail loudly on the first one
+        # instead (raise_error keeps the zero-extra-pass shape).
+        bucket = F.when(F.col(col).isNotNull(), bucket).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"global_ntile(approx=True): NULL in metric column "
+                    f"{col!r} — the approx path buckets by value and "
+                    "requires a non-null metric (filter or impute "
+                    "first, or use the exact path)"
+                )
+            )
+        )
         return df.withColumn(bucket_name, bucket)
     ranked = global_row_number(
         df,

@@ -668,6 +668,32 @@ def augment_mips(embeddings: DataFrame, col: str = "embedding") -> DataFrame:
     )
 
 
+def _check_trained(
+    trained: tuple[dict[int, list[tuple[int, list[float]]]], int],
+    m: int,
+) -> tuple[dict[int, list[tuple[int, list[float]]]], int]:
+    """Validate a reused PQ state against the caller's ``m`` — a
+    codebook set trained for a different subspace split would
+    otherwise SILENTLY drop subspaces in the assignment join and emit
+    truncated codes/distances (wrong compression, no exception)."""
+    cents, dim = trained
+    if sorted(cents) != list(range(m)):
+        raise ValueError(
+            f"trained PQ state has subspaces {sorted(cents)} but the "
+            f"caller requested m={m} — retrain with pq_train_state("
+            f"..., m={m}) or pass the matching m"
+        )
+    w = dim // m
+    for s, book in cents.items():
+        for cid, c in book:
+            if len(c) != w:
+                raise ValueError(
+                    f"trained PQ centroid (sub={s}, cid={cid}) has "
+                    f"width {len(c)}, expected dim/m = {w}"
+                )
+    return cents, dim
+
+
 def _pq_subframe(
     embeddings: DataFrame, m: int, dim: int | None = None
 ) -> tuple[DataFrame, int, int]:
@@ -825,8 +851,10 @@ def pq_encode(
     — the train-once path every additional consumer of one codebook
     set rides.
     """
-    cents, dim = trained or _pq_train_with_dim(
-        embeddings, m=m, k=k, iters=iters
+    cents, dim = (
+        _check_trained(trained, m)
+        if trained
+        else _pq_train_with_dim(embeddings, m=m, k=k, iters=iters)
     )
     sub, _, _ = _pq_subframe(embeddings, m, dim=dim)
     assigned = _pq_assign(sub, cents, m)
@@ -882,8 +910,10 @@ def pq_adc_topk(
     ``trained`` (from :func:`pq_train_state`) skips retraining — the
     every-search path of a deployed index.
     """
-    cents, dim = trained or _pq_train_with_dim(
-        embeddings, m=m, k=k, iters=iters
+    cents, dim = (
+        _check_trained(trained, m)
+        if trained
+        else _pq_train_with_dim(embeddings, m=m, k=k, iters=iters)
     )
     q_cols = ["embedding"] + ([cell_col] if cell_col else [])
     q_row = (

@@ -221,3 +221,22 @@ def test_session_fixture_keys_by_sf_dir(spark, sf_dir, tmp_path):
     b = bio.session_fixture(spark, "/fake/sf_b", "test_fixture_range", build_b)
     assert a.count() == 3
     assert b.count() == 5
+
+
+def test_session_fixture_colliding_sf_dir_spellings_stay_distinct(spark):
+    """Distinct sf_dir strings that a lossy path sanitization would
+    merge ('/fake/sf_x' vs '/fake_sf_x') must stage to distinct
+    scratch paths — an overwrite would delete part files under the
+    earlier fixture's still-live scan."""
+    from baronbatch_etl_spark import io as bio
+
+    a = bio.session_fixture(
+        spark, "/fake/sf_x", "test_fixture_collide",
+        lambda: spark.range(2).withColumnRenamed("id", "k"),
+    )
+    b = bio.session_fixture(
+        spark, "/fake_sf_x", "test_fixture_collide",
+        lambda: spark.range(7).withColumnRenamed("id", "k"),
+    )
+    assert b.count() == 7
+    assert a.count() == 2  # the earlier handle must still resolve

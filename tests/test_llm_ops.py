@@ -900,3 +900,17 @@ def test_pq_trained_state_reuse_is_value_identical(spark, sf_dir):
     fresh_rec = S.pq_recall_at_k(emb, 0, k=5).first()
     reuse_rec = S.pq_recall_at_k(emb, 0, k=5, trained=state).first()
     assert fresh_rec == reuse_rec
+
+
+def test_pq_trained_state_rejects_mismatched_m(spark, sf_dir):
+    """Reusing codebooks trained for a different subspace split must
+    raise — the assignment join would otherwise silently drop
+    subspaces and emit truncated codes."""
+    from baronbatch_etl_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    state = S.pq_train_state(emb, m=4, k=4, iters=2)
+    with pytest.raises(ValueError, match="requested m=8"):
+        S.pq_encode(emb, m=8, k=4, iters=2, trained=state)
+    with pytest.raises(ValueError, match="requested m=2"):
+        S.pq_adc_topk(emb, 0, topk=5, m=2, trained=state)

@@ -250,3 +250,26 @@ def test_release_rank_caches_unpersists(spark):
     assert all(not d.is_cached for d in cached)
     # released frames still answer queries (lineage recompute)
     assert out.count() == 20
+
+
+def test_approx_ntile_raises_on_null_metric(spark):
+    """The approx path buckets by value; the sketch skips nulls, so a
+    null metric row has no defined bucket — it must fail loudly, not
+    silently land in bucket 1."""
+    import pytest
+    from pyspark.sql import Row
+
+    from baronbatch_etl_spark.operators.ranking import global_ntile
+
+    df = spark.createDataFrame(
+        [Row(k=1, v=1.0), Row(k=2, v=None), Row(k=3, v=3.0)],
+        "k int, v double",
+    )
+    out = global_ntile(df, ["v"], 2, bucket_name="b", approx=True)
+    with pytest.raises(Exception, match="NULL in metric column"):
+        out.collect()
+    # and the clean frame still buckets
+    clean = global_ntile(
+        df.filter("v is not null"), ["v"], 2, bucket_name="b", approx=True
+    )
+    assert {r.b for r in clean.collect()} <= {1, 2}
