@@ -213,7 +213,7 @@ def pagerank(
     return ranks
 
 
-def triangle_stats(edges: DataFrame) -> DataFrame:
+def triangle_stats(edges: DataFrame, *, stage: bool = True) -> DataFrame:
     """Exact triangle census of an undirected graph → one row
     ``(n_nodes, n_edges, n_wedges, n_triangles)``.
 
@@ -240,8 +240,15 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     # Stage the canonical edge list ONCE: degree counting, the
     # orientation joins, the closing-edge probe and the edge count
     # all fan out from it — without this the (possibly expensive)
-    # upstream edge derivation replays once per consumer.
-    edges = edges.select("a", "b").localCheckpoint()
+    # upstream edge derivation replays once per consumer. Callers
+    # whose edge list is ALREADY materialized storage (a session
+    # fixture / staging-table parquet scan) pass ``stage=False``:
+    # re-checkpointing a stored table into block storage is a
+    # redundant extra pass, and the pushdown-capable scan is the
+    # cheaper thing to fan out from.
+    edges = edges.select("a", "b")
+    if stage:
+        edges = edges.localCheckpoint()
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionByName(edges.select(F.col("b").alias("node")))
@@ -308,7 +315,9 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     )
 
 
-def adamic_adar(edges: DataFrame, max_degree: int = 10_000) -> DataFrame:
+def adamic_adar(
+    edges: DataFrame, max_degree: int = 10_000, *, stage: bool = True
+) -> DataFrame:
     """Adamic–Adar link prediction over a canonical ``(a, b)`` edge
     list (``a < b``, distinct) → scored NON-adjacent candidate pairs
     ``(x, y, score)`` with ``x < y``.
@@ -331,7 +340,11 @@ def adamic_adar(edges: DataFrame, max_degree: int = 10_000) -> DataFrame:
     partition-order-proof — and ``1/ln(d)`` is one IEEE op per center
     from an exact integer degree.
     """
-    edges = edges.select("a", "b").localCheckpoint()
+    # stage=False for callers feeding an already-materialized staging
+    # table (see triangle_stats)
+    edges = edges.select("a", "b")
+    if stage:
+        edges = edges.localCheckpoint()
     adj = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).withColumnRenamed("a", "w").withColumnRenamed("b", "nbr")
@@ -360,7 +373,9 @@ def adamic_adar(edges: DataFrame, max_degree: int = 10_000) -> DataFrame:
     return scored.join(existing, ["x", "y"], "left_anti")
 
 
-def hits(pairs: DataFrame, iters: int = 2) -> tuple[DataFrame, DataFrame]:
+def hits(
+    pairs: DataFrame, iters: int = 2, *, stage: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """HITS hubs & authorities over a bipartite ``(c, s)`` pair frame
     → ``(authorities (s, score), hubs (c, score))``.
 
@@ -380,7 +395,11 @@ def hits(pairs: DataFrame, iters: int = 2) -> tuple[DataFrame, DataFrame]:
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    pairs = pairs.select("c", "s").localCheckpoint()
+    # stage=False for callers feeding an already-materialized staging
+    # table (see triangle_stats)
+    pairs = pairs.select("c", "s")
+    if stage:
+        pairs = pairs.localCheckpoint()
     # round 1 from unit hubs: authority = in-degree (exact count)
     auth = pairs.groupBy("s").agg(
         F.count("*").cast("long").alias("score")

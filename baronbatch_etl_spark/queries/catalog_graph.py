@@ -264,7 +264,10 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the two must agree exactly.
     """
     pairs = _frequent_copurchase_edges(spark, sf_dir)
-    stats = G.triangle_stats(pairs)
+    # stage=False: the fixture is already materialized (session-staged
+    # parquet, or the fallback's own lazy checkpoint) — the operator
+    # re-checkpointing it would pay one more full pass for nothing
+    stats = G.triangle_stats(pairs, stage=False)
     return stats.select(
         "n_nodes",
         "n_edges",
@@ -325,7 +328,8 @@ def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     `g_pagerank`'s single blended rank.
     """
     pairs = _order_pair_counts(spark, sf_dir).select("c", "s")
-    auth, hub = G.hits(pairs, iters=_HITS_ITERS)
+    # stage=False: fixture already materialized (see g_triangle_count)
+    auth, hub = G.hits(pairs, iters=_HITS_ITERS, stage=False)
     top_a = (
         auth.select(
             F.lit("authority").alias("role"),
@@ -485,7 +489,9 @@ def g_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = _frequent_copurchase_edges(spark, sf_dir)
     return (
-        G.adamic_adar(pairs, max_degree=64)
+        # stage=False: fixture already materialized (see
+        # g_triangle_count)
+        G.adamic_adar(pairs, max_degree=64, stage=False)
         .orderBy(F.col("score").desc(), "x", "y")
         .limit(20)
     )
