@@ -144,9 +144,29 @@ def lsh_candidate_pairs(base: DataFrame) -> DataFrame:
     )
 
 
+#: Columns a caller-staged signature frame must carry (see the
+#: ``base=`` parameter of :func:`minhash_lsh_pairs` /
+#: :func:`containment_pairs`).
+_SIG_BASE_COLS = ("doc_id", "sig", "sh")
+
+
+def _require_sig_base(base: DataFrame, cols: tuple[str, ...]) -> None:
+    """Loud misuse guard for caller-staged signature frames: a base
+    missing a required column would otherwise fail deep inside the
+    plan with an unresolved-attribute error (or worse, resolve against
+    an unrelated column of the same name)."""
+    missing = [c for c in cols if c not in base.columns]
+    if missing:
+        raise ValueError(
+            f"signature base is missing column(s) {missing}; expected "
+            f"at least {list(cols)} (doc_id + the sig_and_shingles_fast "
+            "outputs)"
+        )
+
+
 def minhash_lsh_pairs(
-    docs: DataFrame, threshold: float = 0.8, n: int = 3,
-    ephemeral: bool = True,
+    docs: DataFrame | None, threshold: float = 0.8, n: int = 3,
+    ephemeral: bool = True, base: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding, verified by exact
     shingle Jaccard ≥ threshold.
@@ -171,18 +191,37 @@ def minhash_lsh_pairs(
     run where executor loss is routine (dynamic allocation, spot
     nodes) should pass ``ephemeral=False`` and ``unpersist()`` the
     result when done — cache keeps lineage, so a lost block recomputes
-    — or use a reliable ``checkpoint()`` to durable storage."""
-    # Signatures + shingle hashes in one Arrow pass (shared tokenize/
-    # shingle/hash work); the frame is materialized because three plan
-    # branches (banding + both verification sides) reuse it — at
-    # 100 TB you'd materialize the signature table the same way.
-    base = (
-        spread(docs).select(
-            "doc_id", sig_and_shingles_fast(F.col("text")).alias("x")
+    — or use a reliable ``checkpoint()`` to durable storage.
+
+    ``base=`` hands in an already-staged ``(doc_id, sig, sh)``
+    signature frame (e.g. the once-per-session
+    ``catalog_llm._doc_signatures`` parquet fixture) instead of
+    re-running the Arrow signature pass per call — the "materialize
+    the signature table" deployment shape the paragraph above
+    describes, actually stored. A staged base is NOT re-checkpointed
+    (the stage=False precedent from operators/graph.py): it is
+    already storage-backed, so the three consuming branches fan out
+    from the pushdown-capable scan directly, and column pruning gives
+    the banding branch (doc_id, sig) and the verify branches
+    (doc_id, sh) without either reading the other's array column."""
+    if base is not None:
+        _require_sig_base(base, _SIG_BASE_COLS)
+        base = base.select("doc_id", "sig", "sh")
+    else:
+        # Signatures + shingle hashes in one Arrow pass (shared
+        # tokenize/shingle/hash work); the frame is materialized
+        # because three plan branches (banding + both verification
+        # sides) reuse it — at 100 TB you'd materialize the signature
+        # table the same way (that is exactly what ``base=`` feeds in).
+        base = (
+            spread(docs).select(
+                "doc_id", sig_and_shingles_fast(F.col("text")).alias("x")
+            )
+            .select(
+                "doc_id", F.col("x.sig").alias("sig"), F.col("x.sh").alias("sh")
+            )
         )
-        .select("doc_id", F.col("x.sig").alias("sig"), F.col("x.sh").alias("sh"))
-    )
-    base = base.localCheckpoint(eager=False) if ephemeral else base.cache()
+        base = base.localCheckpoint(eager=False) if ephemeral else base.cache()
     cand = lsh_candidate_pairs(base)
     a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -200,11 +239,12 @@ def minhash_lsh_pairs(
 
 
 def containment_pairs(
-    docs: DataFrame,
+    docs: DataFrame | None,
     threshold_pct: int = 90,
     rare_per_doc: int = 2,
     df_cap: int = 1000,
     ephemeral: bool = True,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric containment near-dup pairs: rare-shingle blocking,
     verified by exact shingle containment ``|A∩B| / min(|A|, |B|)``
@@ -233,21 +273,32 @@ def containment_pairs(
     set, the drop candidate (ties → doc_a, mirrored in the oracle).
     Threshold test is pure integer arithmetic; the score is one IEEE
     division.
+
+    ``base=`` accepts the staged ``(doc_id, …, sh)`` signature frame
+    (``sh`` is already sorted+deduped by the Arrow UDF contract —
+    see make_sig_and_shingles_udf) so a catalog session computes the
+    shingle sets once; a staged base is storage-backed and is not
+    re-checkpointed (the minhash_lsh_pairs ``base=`` contract).
     """
-    base = (
-        spread(docs).select(
-            "doc_id", sig_and_shingles_fast(F.col("text")).alias("x")
+    if base is not None:
+        _require_sig_base(base, ("doc_id", "sh"))
+        base = base.select("doc_id", "sh")
+    else:
+        base = (
+            spread(docs).select(
+                "doc_id", sig_and_shingles_fast(F.col("text")).alias("x")
+            )
+            .select(
+                "doc_id", F.array_distinct(F.col("x.sh")).alias("sh")
+            )
         )
-        .select(
-            "doc_id", F.array_distinct(F.col("x.sh")).alias("sh")
-        )
-    )
-    # inverted index + both verification sides reuse it; the default
-    # collectable checkpoint frees with the frame — opt in to cache()
-    # only from a caller that unpersists (the minhash_lsh_pairs
-    # pattern — see operators/multimodal.py:412 for the leak story;
-    # fault-tolerance trade documented on minhash_lsh_pairs)
-    base = base.localCheckpoint(eager=False) if ephemeral else base.cache()
+        # inverted index + both verification sides reuse it; the
+        # default collectable checkpoint frees with the frame — opt in
+        # to cache() only from a caller that unpersists (the
+        # minhash_lsh_pairs pattern — see operators/multimodal.py:412
+        # for the leak story; fault-tolerance trade documented on
+        # minhash_lsh_pairs)
+        base = base.localCheckpoint(eager=False) if ephemeral else base.cache()
     index = base.select("doc_id", F.explode("sh").alias("h"))
     dfc = index.groupBy("h").agg(F.count("*").cast("long").alias("df"))
     w_rare = Window.partitionBy("doc_id").orderBy("df", "h")

@@ -174,17 +174,17 @@ def d_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Estimates divide small ints once (matches/16); exact Jaccard
     divides BIGINTs once — both bit-stable across engines.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # Arrow-vectorized shingle hasher (same arithmetic as the
-    # expression version — parity-tested in test_fast_parity.py):
-    # the char-level Horner fold is the hot loop here, and numpy does
-    # it ~10× faster than nested SQL transforms.
-    from baronbatch_etl_spark.operators.fast_text import shingle_hashes_fast
+    # per-doc shingle sets come from the staged corpus signature table
+    # (catalog_llm._doc_signatures — its `sh` column is exactly
+    # shingle_hashes_fast's sorted/deduped output, parity-tested in
+    # test_fast_parity.py): the char-level Horner fold was this
+    # query's hot loop, and the staged scan replaces it with a
+    # column-pruned parquet read shared across the session
+    from baronbatch_etl_spark.queries.catalog_llm import _doc_signatures
 
     sh = (
-        docs.select(
-            "source", F.explode(shingle_hashes_fast(F.col("text"))).alias("h")
-        )
+        _doc_signatures(spark, sf_dir)
+        .select("source", F.explode("sh").alias("h"))
         .distinct()
         # six consumers (sizes ×2 via the grid, signatures ×2, both
         # self-join sides) would each replay the Arrow hash + explode

@@ -730,16 +730,30 @@ def t_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     final rollup is a few-row aggregate. The corpus is never shuffled
     whole.
     """
+    from baronbatch_etl_spark.queries.catalog_llm import _doc_signatures
+
     docs = load_table(spark, sf_dir, "documents")
-    return curate_stats(docs, curate_survivors(docs))
+    return curate_stats(
+        docs, curate_survivors(docs, signatures=_doc_signatures(spark, sf_dir))
+    )
 
 
-def curate_survivors(docs: DataFrame) -> DataFrame:
+def curate_survivors(
+    docs: DataFrame, signatures: DataFrame | None = None
+) -> DataFrame:
     """Stages 1–3 of the training-set pipeline: quality filter → exact
     dedup keep-min → MinHash-LSH connected-component keep-one. The
     streaming twin (streaming/ops.curate_ingest) builds this same
     survivor set incrementally; tests/test_streaming_multibatch.py
-    asserts the two sets coincide."""
+    asserts the two sets coincide.
+
+    ``signatures=`` hands in the staged corpus signature table
+    (catalog_llm._doc_signatures): the LSH stage then reads the
+    survivor pool's (sig, sh) rows from storage (one doc_id join)
+    instead of re-running the Arrow signature pass over the survivor
+    text — value-identical because signatures are row-local functions
+    of (doc_id, text). The streaming twin keeps the inline pass (its
+    micro-batches are not corpus-keyed)."""
     from baronbatch_etl_spark.operators import dedup as D
 
     qual = docs.filter(X.quality_score("text", "n_chars") >= 0.35)
@@ -751,8 +765,15 @@ def curate_survivors(docs: DataFrame) -> DataFrame:
     sdocs = qual.join(keep.select("doc_id"), "doc_id").localCheckpoint(
         eager=False  # freed with the frame, not pinned for the session
     )
+    base = (
+        signatures.join(sdocs.select("doc_id"), "doc_id")
+        if signatures is not None
+        else None
+    )
     comp = D.connected_components(
-        D.minhash_lsh_pairs(sdocs, threshold=0.8)
+        D.minhash_lsh_pairs(
+            sdocs if base is None else None, threshold=0.8, base=base
+        )
     )
     removed = comp.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("doc_id")
@@ -782,8 +803,12 @@ def t_curate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the corpus is never shuffled whole — exact dedup moves
     (md5, doc_id) digests, LSH moves banded signatures, and the final
     keep is a doc_id anti-join."""
+    from baronbatch_etl_spark.queries.catalog_llm import _doc_signatures
+
     docs = load_table(spark, sf_dir, "documents")
-    return curate_survivors(docs).select("doc_id", "lang", "n_chars")
+    return curate_survivors(
+        docs, signatures=_doc_signatures(spark, sf_dir)
+    ).select("doc_id", "lang", "n_chars")
 
 
 @register(
@@ -1193,9 +1218,12 @@ def t_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     a fresh coin.
     """
     from baronbatch_etl_spark.operators import dedup as D
+    from baronbatch_etl_spark.queries.catalog_llm import _doc_signatures
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, threshold=0.8)
+    pairs = D.minhash_lsh_pairs(
+        None, threshold=0.8, base=_doc_signatures(spark, sf_dir)
+    )
     comp = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
     rooted = docs.join(comp, "doc_id", "left").select(
         "doc_id", F.coalesce("comp", "doc_id").alias("root")

@@ -914,3 +914,54 @@ def test_pq_trained_state_rejects_mismatched_m(spark, sf_dir):
         S.pq_encode(emb, m=8, k=4, iters=2, trained=state)
     with pytest.raises(ValueError, match="requested m=2"):
         S.pq_adc_topk(emb, 0, topk=5, m=2, trained=state)
+
+
+def test_signature_base_reuse_is_value_identical(spark, sf_dir):
+    """The staged-signature path (base=) must be value-identical to
+    the inline Arrow signature pass for both consumers — the contract
+    that lets the catalog share one signature table per session
+    (catalog_llm._doc_signatures)."""
+    from baronbatch_etl_spark.io import load_table
+    from baronbatch_etl_spark.operators.dedup import sig_and_shingles_fast
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    base = docs.select(
+        "doc_id", sig_and_shingles_fast(F.col("text")).alias("x")
+    ).select(
+        "doc_id", F.col("x.sig").alias("sig"), F.col("x.sh").alias("sh")
+    )
+
+    key = lambda r: (r.doc_a, r.doc_b)  # noqa: E731
+    fresh_lsh = D.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    reuse_lsh = D.minhash_lsh_pairs(None, threshold=0.8, base=base).collect()
+    assert sorted(fresh_lsh, key=key) == sorted(reuse_lsh, key=key)
+
+    fresh_ct = D.containment_pairs(docs, threshold_pct=90).collect()
+    reuse_ct = D.containment_pairs(None, threshold_pct=90, base=base).collect()
+    assert sorted(fresh_ct, key=key) == sorted(reuse_ct, key=key)
+
+
+def test_signature_base_rejects_missing_columns(spark):
+    """A base missing a required column must raise up front instead of
+    resolving against an unrelated same-named column deep in the plan."""
+    bad = spark.createDataFrame([Row(doc_id=1, sig=[1, 2])])
+    with pytest.raises(ValueError, match="missing column"):
+        D.minhash_lsh_pairs(None, threshold=0.8, base=bad)
+    with pytest.raises(ValueError, match="missing column"):
+        D.containment_pairs(None, threshold_pct=90, base=bad.select("sig"))
+
+
+def test_kmeans_mstep_centroids_exact(spark):
+    """The M-step aggregate battery (per-dim fixed-point sums over the
+    array columns — no posexplode) must recenter to exactly the
+    hand-computed quantized means: round-2 distances pin the round-1
+    centroids bit-for-bit."""
+    emb = _vecs(spark, [[0.0, 0.0], [4.0, 0.0], [1.0, 1.0], [3.0, 1.0]])
+    rows = {
+        r.vec_id: r for r in S.kmeans_assign(emb, k=2, iters=2).collect()
+    }
+    # round-1 centroids are exactly [0.5, 0.5] and [3.5, 0.5]
+    assert rows[0].cluster == 0 and rows[0].dist == 0.5
+    assert rows[2].cluster == 0 and rows[2].dist == 0.5
+    assert rows[1].cluster == 1 and rows[1].dist == 0.5
+    assert rows[3].cluster == 1 and rows[3].dist == 0.5
