@@ -353,7 +353,10 @@ def containment_pairs(
 
 
 def edit_distance_pairs(
-    docs: DataFrame, prefix_len: int = 64, max_dist: int = 8
+    docs: DataFrame | None,
+    prefix_len: int = 64,
+    max_dist: int = 8,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Character-level near-dup pairs: LSH band-collision candidates
     verified by bounded-prefix Levenshtein ≤ ``max_dist``.
@@ -371,22 +374,33 @@ def edit_distance_pairs(
     Output: (doc_a, doc_b, prefix_dist, prefix_sim) where prefix_sim
     = 1 − dist/max(|pfx_a|, |pfx_b|) (one IEEE division — oracle
     bit-stable).
+
+    ``base=`` accepts a staged ``(doc_id, pfx, sig, sh)`` frame (the
+    minhash_lsh_pairs contract, plus ``pfx`` which MUST be
+    ``substring(text, 1, prefix_len)`` — the caller staging the table
+    owns that agreement; catalog_llm._doc_signatures stores the
+    64-char default). A staged base is storage-backed and not
+    re-checkpointed.
     """
-    base = (
-        spread(docs)
-        .select(
-            "doc_id",
-            F.substring(F.col("text"), 1, prefix_len).alias("pfx"),
-            sig_and_shingles_fast(F.col("text")).alias("x"),
+    if base is not None:
+        _require_sig_base(base, ("doc_id", "pfx", "sig", "sh"))
+        base = base.select("doc_id", "pfx", "sig", "sh")
+    else:
+        base = (
+            spread(docs)
+            .select(
+                "doc_id",
+                F.substring(F.col("text"), 1, prefix_len).alias("pfx"),
+                sig_and_shingles_fast(F.col("text")).alias("x"),
+            )
+            .select(
+                "doc_id", "pfx",
+                F.col("x.sig").alias("sig"), F.col("x.sh").alias("sh"),
+            )
+            # ephemeral checkpoint: banding + both verification sides
+            # reuse the materialized blocks, which free with the frame
+            .localCheckpoint(eager=False)
         )
-        .select(
-            "doc_id", "pfx",
-            F.col("x.sig").alias("sig"), F.col("x.sh").alias("sh"),
-        )
-        # ephemeral checkpoint: banding + both verification sides
-        # reuse the materialized blocks, which free with the frame
-        .localCheckpoint(eager=False)
-    )
     cand = lsh_candidate_pairs(base)
     a = base.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pfx_a"))
     b = base.select(F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pfx_b"))
@@ -601,7 +615,11 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float, n: int = 3, max_char_delta: int = 10
+    docs: DataFrame | None,
+    threshold: float,
+    n: int = 3,
+    max_char_delta: int = 10,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over blocked candidate pairs: only
     same-language docs within max_char_delta chars are compared, and a
@@ -618,15 +636,24 @@ def ngram_jaccard_pairs(
     exact-verify stage (and the oracle) are unchanged. At 100 TB this
     is the difference between O(pairs-in-stratum) and
     O(pairs-sharing-a-rare-prefix-token).
+
+    ``base=`` accepts a staged ``(doc_id, lang, n_chars, sh)`` frame
+    (``sh`` is shingle_hashes_fast's sorted/deduped hashes — the
+    minhash_lsh_pairs contract); a staged base is storage-backed and
+    not re-checkpointed.
     """
     if threshold <= 0:
         raise ValueError("prefix filter requires threshold > 0")
-    hashed = spread(docs).select(
-        "doc_id", "lang", "n_chars",
-        shingle_hashes_fast(F.col("text")).alias("sh"),
-    ).localCheckpoint(  # one Arrow hashing pass feeds prefixes AND
-        eager=False  # verification; blocks free with the frame
-    )
+    if base is not None:
+        _require_sig_base(base, ("doc_id", "lang", "n_chars", "sh"))
+        hashed = base.select("doc_id", "lang", "n_chars", "sh")
+    else:
+        hashed = spread(docs).select(
+            "doc_id", "lang", "n_chars",
+            shingle_hashes_fast(F.col("text")).alias("sh"),
+        ).localCheckpoint(  # one Arrow hashing pass feeds prefixes AND
+            eager=False  # verification; blocks free with the frame
+        )
     # first (len − ⌈τ·len⌉ + 1) of the ascending-sorted distinct hashes
     pref_len = F.size("sh") - F.ceil(
         F.lit(float(threshold)) * F.size("sh")

@@ -399,11 +399,21 @@ def _doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "doc_id",
                 "source",
+                "lang",
+                "n_chars",
+                # the 64-char verification prefix of
+                # dedup.edit_distance_pairs — substring is row-local
+                # and the stored copy saves its consumers the text
+                # column entirely
+                F.substring(F.col("text"), 1, 64).alias("pfx"),
                 D.sig_and_shingles_fast(F.col("text")).alias("x"),
             )
             .select(
                 "doc_id",
                 "source",
+                "lang",
+                "n_chars",
+                "pfx",
                 F.col("x.sig").alias("sig"),
                 F.col("x.sh").alias("sh"),
             )
@@ -782,9 +792,10 @@ WHERE len(list_intersect(a.hs, b.hs)) * 1.0
     tags=("llm", "dedup"),
 )
 def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard ≥ 0.5 over language+length-blocked pairs."""
+    """Exact n-gram Jaccard ≥ 0.5 over language+length-blocked pairs
+    (shingle sets from the staged `_doc_signatures` table)."""
     return D.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.5
+        None, threshold=0.5, base=_doc_signatures(spark, sf_dir)
     )
 
 
@@ -813,7 +824,10 @@ def d_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(len²)). The strongest exact verifier in the dedup family, never
     run all-pairs (operators/dedup.py edit_distance_pairs)."""
     return D.edit_distance_pairs(
-        load_table(spark, sf_dir, "documents"), prefix_len=64, max_dist=8
+        None,
+        prefix_len=64,  # matches the fixture's stored 64-char pfx
+        max_dist=8,
+        base=_doc_signatures(spark, sf_dir),
     )
 
 
@@ -1885,24 +1899,18 @@ def d_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     so LSH ⊆ exact and recall = n_lsh / n_exact (the fixtures seed
     near-dup pairs inside the stratum at every sf).
     """
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 3 == 0
-    )
+    sub = _doc_signatures(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
     exact = D.ngram_jaccard_pairs(
-        docs.withColumn("lang", F.lit("_")),
-        threshold=0.8,
-        max_char_delta=1 << 40,
-    )
-    # the fixture filter is the same row-local predicate as the docs
-    # filter above (doc_id is in the fixture), so the staged scan
-    # replaces the per-query signature pass here too
-    lsh = D.minhash_lsh_pairs(
         None,
         threshold=0.8,
-        base=_doc_signatures(spark, sf_dir).filter(
-            F.col("doc_id") % 3 == 0
-        ),
+        max_char_delta=1 << 40,
+        # one synthetic language block, as before — row-local on the
+        # staged scan
+        base=sub.withColumn("lang", F.lit("_")),
     )
+    # the stratum filter is row-local in the fixture's columns, so
+    # both the exact and the LSH side read the same staged scan
+    lsh = D.minhash_lsh_pairs(None, threshold=0.8, base=sub)
     n_exact = exact.agg(F.count("*").alias("n_exact"))
     n_lsh = lsh.agg(F.count("*").alias("n_lsh"))
     return (

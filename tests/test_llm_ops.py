@@ -926,9 +926,18 @@ def test_signature_base_reuse_is_value_identical(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").limit(200)
     base = docs.select(
-        "doc_id", sig_and_shingles_fast(F.col("text")).alias("x")
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.substring(F.col("text"), 1, 64).alias("pfx"),
+        sig_and_shingles_fast(F.col("text")).alias("x"),
     ).select(
-        "doc_id", F.col("x.sig").alias("sig"), F.col("x.sh").alias("sh")
+        "doc_id",
+        "lang",
+        "n_chars",
+        "pfx",
+        F.col("x.sig").alias("sig"),
+        F.col("x.sh").alias("sh"),
     )
 
     key = lambda r: (r.doc_a, r.doc_b)  # noqa: E731
@@ -939,6 +948,18 @@ def test_signature_base_reuse_is_value_identical(spark, sf_dir):
     fresh_ct = D.containment_pairs(docs, threshold_pct=90).collect()
     reuse_ct = D.containment_pairs(None, threshold_pct=90, base=base).collect()
     assert sorted(fresh_ct, key=key) == sorted(reuse_ct, key=key)
+
+    fresh_ng = D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    reuse_ng = D.ngram_jaccard_pairs(
+        None, threshold=0.5, base=base
+    ).collect()
+    assert sorted(fresh_ng, key=key) == sorted(reuse_ng, key=key)
+
+    fresh_ed = D.edit_distance_pairs(docs, prefix_len=64).collect()
+    reuse_ed = D.edit_distance_pairs(
+        None, prefix_len=64, base=base
+    ).collect()
+    assert sorted(fresh_ed, key=key) == sorted(reuse_ed, key=key)
 
 
 def test_signature_base_rejects_missing_columns(spark):
