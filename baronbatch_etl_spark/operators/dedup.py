@@ -532,20 +532,34 @@ def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
     return acc
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame | None,
+    max_hamming: int = 3,
+    base: DataFrame | None = None,
+) -> DataFrame:
     """Near-dup pairs by SimHash: block on the four 15-bit slices of
     the 60-bit fingerprint (pigeonhole: any pair within hamming ≤ 3
     has at least one untouched slice, so it collides in ≥1 block),
-    then verify candidates with popcount(xor) ≤ max_hamming."""
+    then verify candidates with popcount(xor) ≤ max_hamming.
+
+    ``base=`` accepts a staged ``(doc_id, simhash)`` fingerprint frame
+    (the column is named ``simhash`` to avoid colliding with the
+    signature table's shingle-set ``sh``); staged bases are
+    storage-backed and not re-checkpointed (the minhash_lsh_pairs
+    contract)."""
     if max_hamming > 3:
         raise ValueError(
             "4-block blocking is only complete for max_hamming <= 3; "
             f"got {max_hamming} — pairs differing in every block would be "
             "silently missed (use more/smaller blocks for larger radii)"
         )
-    base = spread(docs).select(
-        "doc_id", simhash_fast(F.col("text")).alias("sh")
-    ).localCheckpoint(eager=False)  # freed with the frame
+    if base is not None:
+        _require_sig_base(base, ("doc_id", "simhash"))
+        base = base.select("doc_id", F.col("simhash").alias("sh"))
+    else:
+        base = spread(docs).select(
+            "doc_id", simhash_fast(F.col("text")).alias("sh")
+        ).localCheckpoint(eager=False)  # freed with the frame
     # SimHash bits are CORRELATED across similar-vocabulary docs, so
     # block buckets skew beyond what uniform hashing suggests; 15-bit
     # keys (32k buckets/block) keep the candidate multiset small where

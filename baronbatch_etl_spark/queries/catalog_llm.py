@@ -407,6 +407,10 @@ def _doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # column entirely
                 F.substring(F.col("text"), 1, 64).alias("pfx"),
                 D.sig_and_shingles_fast(F.col("text")).alias("x"),
+                # both pandas UDFs evaluate in the ONE ArrowEvalPython
+                # pass of this projection — text crosses the Python
+                # boundary once for the whole fixture
+                D.simhash_fast(F.col("text")).alias("simhash"),
             )
             .select(
                 "doc_id",
@@ -416,6 +420,7 @@ def _doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pfx",
                 F.col("x.sig").alias("sig"),
                 F.col("x.sh").alias("sh"),
+                "simhash",
             )
         )
 
@@ -770,8 +775,14 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
 )
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 15-bit-block candidates (pigeonhole
-    for hamming ≤ 3) verified by popcount(xor)."""
-    return D.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+    for hamming ≤ 3) verified by popcount(xor); fingerprints come
+    from the staged `_doc_signatures` table. (`d_simhash` itself
+    deliberately stays inline: its declared RESULT is the fingerprint
+    frame, and serving a query's own output from session staging
+    would be result caching, not derivation sharing.)"""
+    return D.simhash_near_pairs(
+        None, base=_doc_signatures(spark, sf_dir)
+    )
 
 
 @register(

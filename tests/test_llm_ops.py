@@ -961,6 +961,13 @@ def test_signature_base_reuse_is_value_identical(spark, sf_dir):
     ).collect()
     assert sorted(fresh_ed, key=key) == sorted(reuse_ed, key=key)
 
+    sim_base = docs.select(
+        "doc_id", D.simhash_fast(F.col("text")).alias("simhash")
+    )
+    fresh_sp = D.simhash_near_pairs(docs).collect()
+    reuse_sp = D.simhash_near_pairs(None, base=sim_base).collect()
+    assert sorted(fresh_sp, key=key) == sorted(reuse_sp, key=key)
+
 
 def test_signature_base_rejects_missing_columns(spark):
     """A base missing a required column must raise up front instead of
