@@ -106,6 +106,21 @@ def main() -> None:
             F.explode(shingle_hashes_fast(F.col("text"))).alias("h"),
         ).distinct()
 
+    def ngram(staged: bool):
+        if staged:
+            return D.ngram_jaccard_pairs(None, threshold=0.5, base=base)
+        return D.ngram_jaccard_pairs(docs, threshold=0.5)
+
+    def editdist(staged: bool):
+        if staged:
+            return D.edit_distance_pairs(None, prefix_len=64, base=base)
+        return D.edit_distance_pairs(docs, prefix_len=64)
+
+    def simhash(staged: bool):
+        if staged:
+            return D.simhash_near_pairs(None, base=base)
+        return D.simhash_near_pairs(docs)
+
     cases = {
         "minhash_pairs": lsh,
         "dup_clusters": clusters,
@@ -113,6 +128,9 @@ def main() -> None:
         "lsh_filtered": lsh_recall_side,
         "survivor_subset": survivor_subset,
         "source_vocab": source_vocab,
+        "ngram_jaccard": ngram,
+        "edit_distance": editdist,
+        "simhash_pairs": simhash,
     }
     best: dict[tuple[str, bool], float] = {}
     for p in range(passes):
