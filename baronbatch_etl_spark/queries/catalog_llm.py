@@ -368,12 +368,15 @@ pairs AS (
 
 
 def _doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus MinHash signature table ``(doc_id, sig, sh)``, staged
-    once per (session, sf_dir) via :func:`io.session_fixture` — the
-    ONE ``sig_and_shingles_fast`` Arrow pass the whole-corpus dedup
-    family shares (`d_minhash_lsh`, `d_dup_clusters`,
+    """The corpus signature table ``(doc_id, source, lang, n_chars,
+    pfx, sig, sh, simhash)``, staged once per (session, sf_dir) via
+    :func:`io.session_fixture` — ONE Arrow pass (both pandas UDFs
+    evaluate in the same ArrowEvalPython projection) feeding the
+    whole-corpus dedup family (`d_minhash_lsh`, `d_dup_clusters`,
     `d_cluster_canonical`, `d_lsh_recall`, `t_split_leakage_safe`,
-    `d_containment` via its ``sh`` column). A production dedup
+    `d_containment`, `d_ngram_jaccard`, `d_edit_distance`,
+    `d_simhash_pairs`, `d_source_overlap`, and the survivor-pool
+    callers listed below). A production dedup
     deployment materializes exactly this table in the staging layer
     (the signature index is per-document derived state, like the graph
     family's edge list — NOT a query result: every consumer still runs
