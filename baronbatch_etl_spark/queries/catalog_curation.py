@@ -77,11 +77,15 @@ def t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shingle hashing runs through the Arrow twin (one vectorized numpy
     fold per batch instead of a per-char expression fold per gram —
-    same hash values, parity-tested in tests/test_fast_parity.py).
+    same hash values, parity-tested in tests/test_fast_parity.py);
+    since session 5 the hashes come from the staged signature table's
+    ``sh4`` column (same maker/width — bit-identical values), so both
+    the bench and train branches read the column-pruned staged scan.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = spread(docs).select(
-        "doc_id", F.explode(_contam_shingles_fast(F.col("text"))).alias("h")
+    from baronbatch_etl_spark.queries.catalog_llm import _doc_signatures
+
+    sh = _doc_signatures(spark, sf_dir).select(
+        "doc_id", F.explode("sh4").alias("h")
     )
     bench = sh.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
     train = sh.filter(F.col("doc_id") % 97 != 0)
@@ -649,18 +653,29 @@ FROM tagged GROUP BY split, lang
 """
 
 
-def curate_stats(docs: DataFrame, deduped: DataFrame) -> DataFrame:
+def curate_stats(
+    docs: DataFrame, deduped: DataFrame, signatures: DataFrame | None = None
+) -> DataFrame:
     """Stages 4–7 of the training-set pipeline — benchmark holdout +
     decontamination → target-mixture sampling → train/val/test split →
     per-(split, lang) dataset-card stats — over an already quality-
     filtered and deduplicated survivor frame (needs doc_id, lang,
     text). Shared by the batch capstone ``t_training_set`` and the
     streaming corpus build (examples/streaming_training_set.py), so
-    the two twins differ ONLY in how the survivor set is produced."""
-    sh = spread(docs).select(
-        "doc_id",
-        F.explode(_contam_shingles_fast(F.col("text"))).alias("h"),
-    )
+    the two twins differ ONLY in how the survivor set is produced.
+
+    ``signatures=`` hands in the staged signature table: the
+    contamination shingles then come from its ``sh4`` column (the
+    same maker/width as ``_contam_shingles_fast`` — bit-identical
+    values) instead of a per-call Arrow pass over text. The streaming
+    twin keeps the inline pass (micro-batches are not corpus-keyed)."""
+    if signatures is not None:
+        sh = signatures.select("doc_id", F.explode("sh4").alias("h"))
+    else:
+        sh = spread(docs).select(
+            "doc_id",
+            F.explode(_contam_shingles_fast(F.col("text"))).alias("h"),
+        )
     bench = sh.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
     contam = (
         sh.filter(F.col("doc_id") % 97 != 0)
@@ -733,8 +748,9 @@ def t_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     from baronbatch_etl_spark.queries.catalog_llm import _doc_signatures
 
     docs = load_table(spark, sf_dir, "documents")
+    sigs = _doc_signatures(spark, sf_dir)
     return curate_stats(
-        docs, curate_survivors(docs, signatures=_doc_signatures(spark, sf_dir))
+        docs, curate_survivors(docs, signatures=sigs), signatures=sigs
     )
 
 

@@ -18,8 +18,14 @@ from baronbatch_etl_spark.operators.fast_text import (
     char_entropy_fast,
     make_cdc_chunk_rows_mapper,
     make_cdc_chunks_udf,
+    make_shingle_hashes_udf,
     word_bigrams_fast,
 )
+
+#: Width-4 shingle hasher for the staged contamination column (the
+#: same maker/width as catalog_curation._contam_shingles_fast, so the
+#: staged ``sh4`` values are bit-identical to the inline pass).
+_sh4_fast = make_shingle_hashes_udf(4)
 from baronbatch_etl_spark.operators import multimodal as M
 from baronbatch_etl_spark.operators import similarity as S
 from baronbatch_etl_spark.operators import text as X
@@ -410,10 +416,15 @@ def _doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # column entirely
                 F.substring(F.col("text"), 1, 64).alias("pfx"),
                 D.sig_and_shingles_fast(F.col("text")).alias("x"),
-                # both pandas UDFs evaluate in the ONE ArrowEvalPython
-                # pass of this projection — text crosses the Python
-                # boundary once for the whole fixture
+                # all three pandas UDFs evaluate in the ONE
+                # ArrowEvalPython pass of this projection — text
+                # crosses the Python boundary once for the whole
+                # fixture
                 D.simhash_fast(F.col("text")).alias("simhash"),
+                # the 4-gram contamination shingles (same maker and
+                # width as catalog_curation._contam_shingles_fast —
+                # identical hash values)
+                _sh4_fast(F.col("text")).alias("sh4"),
             )
             .select(
                 "doc_id",
@@ -424,6 +435,7 @@ def _doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("x.sig").alias("sig"),
                 F.col("x.sh").alias("sh"),
                 "simhash",
+                "sh4",
             )
         )
 

@@ -121,7 +121,30 @@ def main() -> None:
             return D.simhash_near_pairs(None, base=base)
         return D.simhash_near_pairs(docs)
 
+    def contamination(staged: bool):
+        # t_contamination's shape: 4-gram shingles, benchmark slice
+        # broadcast, per-doc shared-shingle count
+        from baronbatch_etl_spark.queries.catalog_curation import (
+            _contam_shingles_fast,
+        )
+
+        if staged:
+            sh = base.select("doc_id", F.explode("sh4").alias("h"))
+        else:
+            sh = docs.select(
+                "doc_id",
+                F.explode(_contam_shingles_fast(F.col("text"))).alias("h"),
+            )
+        bench = sh.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
+        return (
+            sh.filter(F.col("doc_id") % 97 != 0)
+            .join(F.broadcast(bench), "h")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shared"))
+        )
+
     cases = {
+        "contamination": contamination,
         "minhash_pairs": lsh,
         "dup_clusters": clusters,
         "containment": containment,
