@@ -56,11 +56,10 @@ def register(
 
 # Registry iteration order. External checkers run the catalog front to
 # back under a bounded per-run budget (exactly 50 queries per round
-# since round 3). Round-10 goal (the round-9 verdict's #1 item): lead
-# with the r9-parked overflow row s_pq_codes (r5-green, the stalest
-# row on the board), then fill with the 49-row r6-checked class —
-# after this window runs, every registry row has been driver-checked
-# within the last four rounds with zero parked overflow.
+# since round 3). Round-11 goal (the round-10 verdict's #2 item): land
+# the driver's oracle on the queries round 10 rewrote but whose
+# driver check predates the rewrite, while still refreshing the
+# stalest (r7-checked) class — see the window comment below.
 # tests/test_registry.py re-derives the invariant from the
 # CORRECTNESS_r0*.json files on disk so it can't silently rot.
 
@@ -71,75 +70,23 @@ def register(
 # is never red in the window between a record landing and the next
 # round's first commit). ROTATION_ROUND == N means "the rN checker
 # window is in place".
-ROTATION_ROUND = 10
+ROTATION_ROUND = 11
 
 _PRIORITY: tuple[str, ...] = (
-    # --- r10 window (50) ---
-    # 1: the r9-parked overflow row leads (r5-green, slot 51 last
-    # round — the stalest row on the board; the r9 verdict's #1
-    # item, rotation pre-written during r9)
-    "s_pq_codes",
-    # 2-50: the 49-row r6-checked class (next-stalest) fills the
-    # window exactly — no overflow, no parked rows. Arrow-worker
-    # exercisers in-window: mm_pixel_ahash (pandas_udf PNG lane),
-    # mm_feature_store (mapInPandas + pandas_udf composed store).
-    "a1_dup_finder",
-    "a_approx_distinct",
-    "a_cms_probe",
-    "a_kmv_overlap",
-    "d_cluster_canonical",
-    "d_dup_clusters",
-    "d_embedding_neardup",
-    "d_ngram_jaccard",
-    "d_simhash_pairs",
-    "d_span_dedup",
-    "g_kcore",
-    "h_shipmode_priority",
-    "mm_feature_store",
-    "mm_pixel_ahash",
-    "p1_projection",
-    "p2_filter_eq",
-    "q_sql_exists",
-    "q_sql_grouping_sets",
-    "q_sql_lateral",
-    "q_sql_scalar_subquery",
-    "s_batch_topk",
-    "s_ivf_recall",
-    "s_knn_graph",
-    "s_label_centroids",
-    "s_maxsim_topk",
-    "s_quantize_int8",
-    "s_srp_topk",
-    "st_ttl_dedup",
-    "t_bigram_lm_ppl",
-    "t_bpe_tokens",
-    "t_char_entropy",
-    "t_contamination",
-    "t_corpus_dedup",
-    "t_curate_survivors",
-    "t_fingerprint",
-    "t_lang_id",
-    "t_length_filter",
-    "t_mixture_plan",
-    "t_mixture_sample",
-    "t_pack_sequences",
-    "t_pii_redact",
-    "t_quality_score",
-    "t_repetition",
-    "t_tfidf",
-    "t_token_topk",
-    "w1_retention_trim",
-    "w_range_frame",
-    "w_resample_ffill",
-    "w_sessionize",
-    # --- tail, stalest-first: r7-green, then r8, then r9 (freshest
-    # last) so a driver running past 50 still refreshes oldest rows
-    # first. The 50-row r7 class is the designed r11 window (exactly
-    # 50 slots — no overflow; it carries its own Arrow exercisers:
-    # p11_clean_projection, t_cdc_chunks). The strict branch for
-    # ROTATION_ROUND == 11 in tests/test_registry.py is pre-written
-    # against that shape and arms when round 11 commits the marker
-    # bump together with the rotation.
+    # --- r11 window (50) ---
+    # The armed gate's pre-written design (the 50-row r7-stale class)
+    # was RE-DERIVED per the r10 verdict's #2 item: the window must
+    # land the driver's oracle on round 10's driver-unverified
+    # rewrites. 42 slots keep the stalest (r7-checked) rows; 8 slots
+    # go to the r9-checked rows whose plans were rewritten in r10
+    # (w_rfm_segment's single-pass rank stack, the staged-fixture
+    # graph family's g_pagerank/g_pagerank_weighted, the PQ
+    # train-once family s_pq_adc_topk/s_ivfpq_topk/s_pq_recall, the
+    # staged-signature consumer d_containment) plus a_basket_pairs
+    # (an r11 optimization target). The 8 displaced r7 rows lead the
+    # tail (slots 51-58) — untouched since their r7 check, zero
+    # operator churn. Arrow-worker exercisers in-window:
+    # p11_clean_projection, t_cdc_chunks.
     "a_approx_quantiles",
     "a_cms_heavy_hitters",
     "a_hll_union",
@@ -152,17 +99,13 @@ _PRIORITY: tuple[str, ...] = (
     "d_semantic_dedup",
     "d_simhash",
     "d_source_overlap",
-    "f_udaf_median",
     "f_udtf_chunks",
     "flagship_player_stats",
     "j_range_join",
     "j_scd2_history",
-    "mm_frame_sample",
     "mm_phash_dedup",
-    "o1_topk_orders",
     "p11_clean_projection",
     "q_profile_table",
-    "q_sql_recursive",
     "q_validate_expectations",
     "q_zorder_layout",
     "s1_paginated_scan",
@@ -171,7 +114,6 @@ _PRIORITY: tuple[str, ...] = (
     "s_ivf_topk",
     "s_kmeans_assign",
     "s_srp_codes",
-    "set_ops",
     "st_sliding_agg",
     "st_tumbling_agg",
     "t_bigram_novelty",
@@ -180,16 +122,32 @@ _PRIORITY: tuple[str, ...] = (
     "t_cdc_chunks",
     "t_corpus_drift",
     "t_dsir_affinity",
-    "t_eval_sample",
-    "t_hash_sample",
     "t_outlier_mad",
     "t_shard_plan",
     "t_split_assign",
     "t_token_stats",
     "t_training_set",
-    "w2_recent_slice",
     "w_ntile_battery",
     "w_rank_lag_lead",
+    "w_rfm_segment",
+    "g_pagerank",
+    "g_pagerank_weighted",
+    "s_pq_adc_topk",
+    "s_ivfpq_topk",
+    "s_pq_recall",
+    "d_containment",
+    "a_basket_pairs",
+    # --- tail, stalest-first: the 8 parked r7 rows, then r8, r9,
+    # r10 (freshest last) so a driver running past 50 still
+    # refreshes oldest rows first.
+    "f_udaf_median",
+    "o1_topk_orders",
+    "set_ops",
+    "w2_recent_slice",
+    "t_hash_sample",
+    "t_eval_sample",
+    "q_sql_recursive",
+    "mm_frame_sample",
     "a2_grouped_rollup",
     "a3_champion_rollup",
     "a5_scalar_aggs",
@@ -244,17 +202,13 @@ _PRIORITY: tuple[str, ...] = (
     "f_url_encode",
     "h_small_qty_revenue",
     "mm_features",
-    "a_basket_pairs",
     "a_correlation",
     "a_gini_concentration",
     "a_linear_trend",
     "a_value_histogram",
-    "d_containment",
     "g_adamic_adar",
     "g_degree_distribution",
     "g_hits",
-    "g_pagerank",
-    "g_pagerank_weighted",
     "g_triangle_count",
     "h_dormant_customers",
     "h_market_share",
@@ -267,10 +221,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_resize_stats",
     "q_snapshot_diff",
     "s_hybrid_rrf",
-    "s_ivfpq_topk",
     "s_mips_topk",
-    "s_pq_adc_topk",
-    "s_pq_recall",
     "t_domain_quota",
     "t_perplexity_bucket",
     "t_source_entropy",
@@ -286,10 +237,59 @@ _PRIORITY: tuple[str, ...] = (
     "w_m4_downsample",
     "w_peak_concurrency",
     "w_percent_of_total",
-    "w_rfm_segment",
     "w_seasonal_residual",
     "w_streak_islands",
     "w_time_to_convert",
+    "s_pq_codes",
+    "a1_dup_finder",
+    "a_approx_distinct",
+    "a_cms_probe",
+    "a_kmv_overlap",
+    "d_cluster_canonical",
+    "d_dup_clusters",
+    "d_embedding_neardup",
+    "d_ngram_jaccard",
+    "d_simhash_pairs",
+    "d_span_dedup",
+    "g_kcore",
+    "h_shipmode_priority",
+    "mm_feature_store",
+    "mm_pixel_ahash",
+    "p1_projection",
+    "p2_filter_eq",
+    "q_sql_exists",
+    "q_sql_grouping_sets",
+    "q_sql_lateral",
+    "q_sql_scalar_subquery",
+    "s_batch_topk",
+    "s_ivf_recall",
+    "s_knn_graph",
+    "s_label_centroids",
+    "s_maxsim_topk",
+    "s_quantize_int8",
+    "s_srp_topk",
+    "st_ttl_dedup",
+    "t_bigram_lm_ppl",
+    "t_bpe_tokens",
+    "t_char_entropy",
+    "t_contamination",
+    "t_corpus_dedup",
+    "t_curate_survivors",
+    "t_fingerprint",
+    "t_lang_id",
+    "t_length_filter",
+    "t_mixture_plan",
+    "t_mixture_sample",
+    "t_pack_sequences",
+    "t_pii_redact",
+    "t_quality_score",
+    "t_repetition",
+    "t_tfidf",
+    "t_token_topk",
+    "w1_retention_trim",
+    "w_range_frame",
+    "w_resample_ffill",
+    "w_sessionize",
 )
 # The list is exhaustive over the current registry (enforced by
 # tests/test_registry.py::test_priority_is_exhaustive); load_all()

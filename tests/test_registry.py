@@ -150,21 +150,55 @@ def _rotation_gate(
         else:
             _outcome_check()
     elif marker == 11:
-        # r11 design invariants, PRE-WRITTEN during round 10 — they arm
-        # only when round 11 commits this marker value together with
-        # its rotation. Projection from the first 10 records, assuming
-        # r10 all-green: the stalest class is the 50-row r7-checked
-        # segment — it fills the window exactly (no overflow, no parked
-        # rows) and carries its own Arrow exercisers
+        # r11 design invariants. The pre-written r10 projection (the
+        # ≤r7-stale class fills the window exactly) was RE-DERIVED in
+        # the rotation commit per the r10 verdict's #2 item: the
+        # driver's oracle must land on round 10's driver-unverified
+        # rewrites (w_rfm_segment's single-pass rank stack, the staged
+        # graph family's pagerank pair, the PQ train-once trio,
+        # d_containment) plus the r11 optimization target
+        # a_basket_pairs — 8 r9-checked entrants displace the 8
+        # PARKED r7 rows (zero operator churn since their r7 check),
+        # which lead the tail so any driver overrun refreshes them
+        # first. Arrow exercisers stay in-window
         # (p11_clean_projection, t_cdc_chunks).
+        entrants = {
+            "w_rfm_segment",
+            "g_pagerank",
+            "g_pagerank_weighted",
+            "s_pq_adc_topk",
+            "s_ivfpq_topk",
+            "s_pq_recall",
+            "d_containment",
+            "a_basket_pairs",
+        }
+        parked = {
+            "f_udaf_median",
+            "o1_topk_orders",
+            "set_ops",
+            "w2_recent_slice",
+            "t_hash_sample",
+            "t_eval_sample",
+            "q_sql_recursive",
+            "mm_frame_sample",
+        }
         if latest == 10:
             stale = {n for n, r in last.items() if r <= 7}
-            assert stale == window, (
-                "r11 rotation deviated: the ≤r7-stale class must fill "
-                f"the window exactly; missing={sorted(stale - window)}, "
-                f"extra={sorted(window - stale)}. If a row went RED in "
-                "r10 it re-enters the window and these invariants must "
-                "be re-derived."
+            assert parked <= stale and not (entrants & stale), (
+                "r11 rotation premise broken: parked rows must be "
+                "≤r7-stale and entrants must not be — if a row went "
+                "RED in r10 these invariants must be re-derived"
+            )
+            expected = (stale - parked) | entrants
+            assert window == expected, (
+                "r11 rotation deviated: window must be the ≤r7-stale "
+                "class minus the 8 parked rows plus the 8 rewritten "
+                f"entrants; missing={sorted(expected - window)}, "
+                f"extra={sorted(window - expected)}."
+            )
+            assert set(names[50:58]) == parked, (
+                "the 8 parked r7 rows must lead the tail (slots "
+                f"51-58), found {names[50:58]}"
             )
             never = {n for n in registry if n not in last}
             assert never <= window, (
@@ -235,40 +269,52 @@ def test_priority_window_rotates_stale_rows():
 def test_rotation_gate_transitions():
     """Simulate the judge-phase and round-start transitions the marker
     design exists for — every state the repo will actually pass
-    through between now and the r11 rotation, plus the failure modes
-    the gate must keep catching."""
+    through from the r11 rotation onward, plus the failure modes the
+    gate must keep catching."""
     names = list(REGISTRY)
     payloads = _disk_payloads()
-    if len(payloads) != 9:
+    if len(payloads) != 10:
         pytest.skip(
-            "transition simulation is pinned to the 9-record r10 "
-            "state; once CORRECTNESS_r10.json lands the LIVE test "
+            "transition simulation is pinned to the 10-record r11 "
+            "state; once CORRECTNESS_r11.json lands the LIVE test "
             "covers the new state"
         )
     green = {"rows_match": True, "schema_match": True, "hash_match": True}
-    r10 = {n: dict(green) for n in names[:50]}
-    # judge phase: the r10 record lands, marker still 10 → GREEN (the
-    # exact state that reddened the r9 suite under the old design)
-    _rotation_gate(payloads + [r10], names, 10, set(REGISTRY))
-    # a full round completes without rotating → loud
+    # the live state: 10 records, marker 11, rotated order → GREEN
+    # (also covered by the LIVE test; pinned here so the simulated
+    # variants below diff against a known-green base)
+    _rotation_gate(payloads, names, 11, set(REGISTRY))
+    # judge phase: the r11 record lands on the rotated window, marker
+    # still 11 → GREEN (the state that reddened the r9 suite under
+    # the old design)
     r11 = {n: dict(green) for n in names[:50]}
+    _rotation_gate(payloads + [r11], names, 11, set(REGISTRY))
+    # a full round completes without rotating → loud
+    r12 = {n: dict(green) for n in names[:50]}
     with pytest.raises(AssertionError, match="without rotating"):
-        _rotation_gate(payloads + [r10, r11], names, 10, set(REGISTRY))
-    # round 11 rotates correctly (r7 class to the front, the r10
-    # window to the tail) and bumps the marker → GREEN
-    rotated = names[50:] + names[:50]
-    _rotation_gate(payloads + [r10], rotated, 11, set(REGISTRY))
-    # marker bumped but the order untouched → loud
-    with pytest.raises(AssertionError, match="r11 rotation deviated"):
-        _rotation_gate(payloads + [r10], names, 11, set(REGISTRY))
-    # r11 record lands on the rotated window, marker still 11 → GREEN
-    r11_rotated = {n: dict(green) for n in rotated[:50]}
-    _rotation_gate(
-        payloads + [r10, r11_rotated], rotated, 11, set(REGISTRY)
-    )
-    # a marker without its pre-written strict branch → loud
+        _rotation_gate(payloads + [r11, r12], names, 11, set(REGISTRY))
+    # marker bumped past the last strict branch → loud (every rotation
+    # must land with its own invariants)
     with pytest.raises(AssertionError, match="no strict branch"):
-        _rotation_gate(payloads + [r10], rotated, 12, set(REGISTRY))
+        _rotation_gate(payloads + [r11], names[50:] + names[:50], 12,
+                       set(REGISTRY))
+    # a deviated r11 rotation: an entrant swapped out of the window
+    # for a parked row → loud
+    bad = list(names)
+    i_entrant = bad.index("w_rfm_segment")
+    assert i_entrant < 50 and bad[50] in {
+        "f_udaf_median", "o1_topk_orders", "set_ops", "w2_recent_slice",
+        "t_hash_sample", "t_eval_sample", "q_sql_recursive",
+        "mm_frame_sample",
+    }
+    bad[i_entrant], bad[50] = bad[50], bad[i_entrant]
+    with pytest.raises(AssertionError, match="r11 rotation deviated"):
+        _rotation_gate(payloads, bad, 11, set(REGISTRY))
+    # an order still led by the r10 window with the bumped marker →
+    # loud (marker bumped but rotation forgotten)
+    unrotated = names[150:] + names[:150]
+    with pytest.raises(AssertionError, match="r11 rotation deviated"):
+        _rotation_gate(payloads, unrotated, 11, set(REGISTRY))
 
 
 def test_checker_window_names_resolve():
