@@ -142,6 +142,14 @@ def spread_width(
 #: that created them.
 _FIXTURES: dict[tuple[str, str, str], DataFrame] = {}
 
+#: Seconds each staged fixture took to DERIVE AND WRITE in this
+#: process, keyed by fixture name (r10 verdict #1: the staging build
+#: cost must be visible in every recorded bench number — bench.py
+#: stamps this dict into its summary as ``fixtures``). Cumulative per
+#: name across sf_dirs; a fixture that was never built this session
+#: is simply absent.
+FIXTURE_BUILD_SECONDS: dict[str, float] = {}
+
 
 def session_fixture(
     spark: SparkSession,
@@ -169,10 +177,13 @@ def session_fixture(
     keyed aggregate/distinct), so consumers see identical results with
     or without the staging hop.
     """
+    import time
+
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _FIXTURES.get(key)
     if cached is not None:
         return cached
+    t0 = time.perf_counter()
     df = build()
     try:
         import hashlib
@@ -182,41 +193,104 @@ def session_fixture(
         # an overwrite would delete the part files under an earlier
         # fixture's still-live scan. Hash the raw string instead.
         sub = hashlib.sha256(sf_dir.encode()).hexdigest()[:16]
-        path = (_session_scratch(spark) / sub / name).as_posix()
+        root = _session_scratch(spark)
+        if root is None:
+            raise OSError("no usable staging root for this master")
+        path = f"{root}/{sub}/{name}"
         df.write.mode("overwrite").parquet(path)
         df = spark.read.parquet(path)
     except Exception:  # noqa: BLE001 — scratch-space failure only
-        # degraded mode (read-only tmp): a lazy localCheckpoint keeps
-        # the one-derivation-per-session semantics — the first action
+        # degraded mode (read-only tmp, or a non-local master with no
+        # configured staging root): a lazy localCheckpoint keeps the
+        # one-derivation-per-session semantics — the first action
         # materializes the frame into block storage and every later
         # consumer (including multi-branch plans like the degree
         # distribution's union legs) reuses it instead of re-running
         # the derivation.
         df = df.localCheckpoint(eager=False)
+    FIXTURE_BUILD_SECONDS[name] = round(
+        FIXTURE_BUILD_SECONDS.get(name, 0.0)
+        + (time.perf_counter() - t0),
+        3,
+    )
     _FIXTURES[key] = df
     return df
 
 
 #: Session-scoped scratch roots created by :func:`_session_scratch`.
-_SCRATCH: dict[str, "object"] = {}
+_SCRATCH: dict[str, str | None] = {}
 
 
-def _session_scratch(spark: SparkSession):
-    """One private scratch root per session, created with ``mkdtemp``
-    (mode 0700, unguessable — a predictable /tmp name could be
-    pre-created or symlinked by another local user on a shared host)
-    and removed at interpreter exit by the process that created it."""
+def select_scratch_mode(
+    master: str | None, env_root: str | None, conf_root: str | None
+) -> tuple[str, str | None]:
+    """Staging-root policy as a pure, unit-testable function
+    (r10 verdict #3: ``mkdtemp`` on the driver's local filesystem is
+    only valid when driver and executors SHARE that filesystem — true
+    on ``local[N]``, false on any real cluster, where it would
+    silently write per-executor fragments).
+
+    Returns ``("root", uri)`` when an explicit staging root is
+    configured (env beats conf — same precedence as the other
+    SPARK_GRAFT knobs), ``("mkdtemp", None)`` on a local master with
+    no override, and ``("degraded", None)`` on a non-local master
+    with no override — the caller must then fall back to
+    ``localCheckpoint`` (cluster-correct: blocks live on executors),
+    never to a driver-local path.
+    """
+    root = env_root or conf_root
+    if root:
+        return ("root", root.rstrip("/"))
+    if master is not None and master.startswith("local"):
+        return ("mkdtemp", None)
+    return ("degraded", None)
+
+
+def _session_scratch(spark: SparkSession) -> str | None:
+    """One staging root per session, or ``None`` when no root is
+    usable for this master (degraded mode — see
+    :func:`select_scratch_mode`).
+
+    * Explicit root (``$SPARK_GRAFT_SCRATCH`` or the
+      ``spark.baronbatch.scratch`` conf): any filesystem every
+      executor can reach — a DFS/object-store URI on a cluster. A
+      session-private ``bb_fixtures_<applicationId>`` subdir keeps
+      concurrent sessions apart; local roots are atexit-removed,
+      scheme'd URIs are left to the store's lifecycle policy (the
+      driver may be gone before a remote delete completes).
+    * Local master, no override: a private ``mkdtemp`` dir (mode
+      0700, unguessable — a predictable /tmp name could be
+      pre-created or symlinked by another local user on a shared
+      host), removed at interpreter exit by the process that created
+      it.
+    """
     import atexit
     import shutil
     import tempfile
-    from pathlib import Path
 
     app_id = spark.sparkContext.applicationId
-    base = _SCRATCH.get(app_id)
-    if base is None:
-        base = Path(tempfile.mkdtemp(prefix="bb_fixtures_"))
+    if app_id in _SCRATCH:
+        return _SCRATCH[app_id]
+    try:
+        conf_root = spark.conf.get("spark.baronbatch.scratch", None)
+    except Exception:  # noqa: BLE001 — conf surface differences
+        conf_root = None
+    mode, root = select_scratch_mode(
+        spark.sparkContext.master,
+        os.environ.get("SPARK_GRAFT_SCRATCH"),
+        conf_root,
+    )
+    if mode == "root":
+        base = f"{root}/bb_fixtures_{app_id}"
+        if "://" not in base:
+            os.makedirs(base, mode=0o700, exist_ok=True)
+            atexit.register(shutil.rmtree, base, ignore_errors=True)
+    elif mode == "mkdtemp":
+        base = tempfile.mkdtemp(prefix="bb_fixtures_")
         atexit.register(shutil.rmtree, base, ignore_errors=True)
-        _SCRATCH[app_id] = base
+    else:
+        base = None
+    _SCRATCH[app_id] = base
     return base
 
 

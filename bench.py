@@ -57,6 +57,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from baronbatch_etl_spark import io as bio  # noqa: E402
 from baronbatch_etl_spark.io import DEFAULT_SF_DIR  # noqa: E402
 from baronbatch_etl_spark.operators import ranking  # noqa: E402
 from baronbatch_etl_spark.queries import load_all  # noqa: E402
@@ -112,9 +113,14 @@ def _summarize(timings: dict[str, float], sf: float | None, extra: dict) -> dict
         ),
         **({"headline_missing": missing} if missing else {}),
         "n_queries": len(timings),
+        # the FULL per-query map, slowest first (r11, the r10
+        # verdict's #1b item): the external PERF comparison reads the
+        # final summary line, and the former 10-slowest slice left it
+        # only 6 comparable data points per round. Additions only —
+        # every key the old slice carried is still here.
         "queries": {
             n: timings[n]
-            for n in sorted(timings, key=timings.get, reverse=True)[:10]
+            for n in sorted(timings, key=timings.get, reverse=True)
         },
         "sf": sf,
         **extra,
@@ -154,12 +160,17 @@ def _emit(summary: dict, timings: dict[str, float]) -> None:
 
 def parse_child_stdout(
     stdout: str,
-) -> tuple[dict[str, float], float | None, float | None]:
-    """Extract (queries_detail, headline_runtime, canary_s) from a
-    child's stdout. Tolerates JVM/log noise (including brace-prefixed
-    unparseable lines) and partial children (null headline)."""
+) -> tuple[dict[str, float], float | None, float | None, dict]:
+    """Extract (queries_detail, headline_runtime, canary_s, meta) from
+    a child's stdout. Tolerates JVM/log noise (including
+    brace-prefixed unparseable lines) and partial children (null
+    headline). ``meta`` carries the child's self-evidencing stamps —
+    per-fixture staging build seconds, the effective master and
+    ``sc.defaultParallelism`` (r10 verdict #1: the orchestrator's
+    summary must surface both)."""
     detail: dict[str, float] = {}
     headline = canary = None
+    meta: dict = {}
     for line in stdout.splitlines():
         line = line.strip()
         if not line.startswith("{"):
@@ -173,7 +184,12 @@ def parse_child_stdout(
         elif "metric" in obj:
             headline = obj.get("headline_runtime")
             canary = obj.get("canary_s")
-    return detail, headline, canary
+            meta = {
+                k: obj[k]
+                for k in ("fixtures", "master", "default_parallelism")
+                if k in obj
+            }
+    return detail, headline, canary, meta
 
 
 def run_headline(detail: dict[str, float]) -> float | None:
@@ -208,6 +224,13 @@ def orchestrate(runs: int, idle_s: float, sf: float | None) -> None:
     merged: dict[str, float] = {}
     per_run_headline: list[float] = []
     per_run_canary: list[float] = []
+    # per-fixture staging cost: per run, SUM across chunk children
+    # (each fresh-JVM chunk rebuilds the fixtures it touches); across
+    # runs, MIN — the same protocol as the query timings. Stamped into
+    # the summary so the staging build cost is visible next to the
+    # per-query numbers it is amortized over (r10 verdict #1a).
+    merged_fixtures: dict[str, float] = {}
+    env_meta: dict = {}
     # opportunistic mode: when a run lands in a slow host phase
     # (median chunk canary above threshold), run up to this many
     # extra full runs. Default 0 — the driver's pinned protocol stays
@@ -226,6 +249,7 @@ def orchestrate(runs: int, idle_s: float, sf: float | None) -> None:
         time.sleep(idle_s)
         run_detail: dict[str, float] = {}
         run_canaries: list[float] = []
+        run_fixtures: dict[str, float] = {}
         rc = 0
         for batch in chunks:
             env = dict(
@@ -250,10 +274,17 @@ def orchestrate(runs: int, idle_s: float, sf: float | None) -> None:
             )
             rc = rc or res.returncode
             sys.stderr.write(res.stderr[-2000:])
-            detail, _, canary = parse_child_stdout(res.stdout)
+            detail, _, canary, meta = parse_child_stdout(res.stdout)
             run_detail.update(detail)  # chunks are disjoint
             if canary is not None:
                 run_canaries.append(canary)
+            for fname, fsec in (meta.get("fixtures") or {}).items():
+                run_fixtures[fname] = round(
+                    run_fixtures.get(fname, 0.0) + fsec, 3
+                )
+            for k in ("master", "default_parallelism"):
+                if k in meta:
+                    env_meta[k] = meta[k]
         i += 1
         headline = run_headline(run_detail)
         if headline is not None:
@@ -287,6 +318,10 @@ def orchestrate(runs: int, idle_s: float, sf: float | None) -> None:
             continue
         for name, sec in run_detail.items():
             merged[name] = min(merged.get(name, float("inf")), sec)
+        for fname, fsec in run_fixtures.items():
+            merged_fixtures[fname] = min(
+                merged_fixtures.get(fname, float("inf")), fsec
+            )
         summary = _summarize(
             merged,
             sf,
@@ -313,6 +348,16 @@ def orchestrate(runs: int, idle_s: float, sf: float | None) -> None:
                 # flag carry single-cold-reading tails and are not
                 # comparable to totals after it.
                 "refine_after_pass1": True,
+                # r11 (r10 verdict #1): the per-session staging build
+                # cost, visible next to the query minima it is
+                # amortized over, plus the effective master /
+                # parallelism so the scaling heuristics never have to
+                # guess whether $SPARK_GRAFT_CPUS was honored.
+                "fixtures": merged_fixtures,
+                "fixtures_total_s": round(
+                    sum(merged_fixtures.values()), 3
+                ),
+                **env_meta,
             },
         )
         print(
@@ -452,6 +497,19 @@ def main() -> None:
                     else "single-session"
                 ),
                 "refine_after_pass1": True,
+                # self-evidencing stamps (r10 verdict #1): staging
+                # build cost per fixture this session, and the
+                # session's effective master + parallelism (the
+                # driver's c8 run proved $SPARK_GRAFT_CPUS is honored,
+                # but nothing in the JSON showed it — now it does).
+                "fixtures": dict(bio.FIXTURE_BUILD_SECONDS),
+                "fixtures_total_s": round(
+                    sum(bio.FIXTURE_BUILD_SECONDS.values()), 3
+                ),
+                "master": spark.sparkContext.master,
+                "default_parallelism": (
+                    spark.sparkContext.defaultParallelism
+                ),
             },
         ),
         timings,

@@ -240,3 +240,71 @@ def test_session_fixture_colliding_sf_dir_spellings_stay_distinct(spark):
     )
     assert b.count() == 7
     assert a.count() == 2  # the earlier handle must still resolve
+
+
+def test_select_scratch_mode_branches():
+    """The staging-root policy (r10 verdict #3): explicit root wins
+    everywhere (env beats conf), driver-local mkdtemp is offered ONLY
+    under a local master, and a cluster master with no configured
+    root degrades to localCheckpoint — never to a driver-local path
+    that executors cannot read."""
+    from baronbatch_etl_spark.io import select_scratch_mode as sel
+
+    # explicit roots win on any master; env beats conf; trailing /
+    # normalized
+    assert sel("local[32]", "/scr", None) == ("root", "/scr")
+    assert sel("spark://host:7077", None, "hdfs://nn/stage/") == (
+        "root",
+        "hdfs://nn/stage",
+    )
+    assert sel("k8s://https://api", "/env", "/conf") == ("root", "/env")
+    # local master, no override → private mkdtemp
+    assert sel("local[8]", None, None) == ("mkdtemp", None)
+    assert sel("local-cluster[2,1,1024]", None, None) == ("mkdtemp", None)
+    # cluster master (or unknown), no override → degraded
+    assert sel("yarn", None, None) == ("degraded", None)
+    assert sel("spark://host:7077", None, None) == ("degraded", None)
+    assert sel(None, None, None) == ("degraded", None)
+
+
+def test_session_fixture_honors_scratch_env(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_SCRATCH must redirect staging into the configured
+    root (the cluster deployment's DFS path), under a
+    session-private subdir."""
+    from baronbatch_etl_spark import io as bio
+
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path))
+    # the root is memoized per applicationId — drop any earlier
+    # mkdtemp decision so the env override is exercised
+    app_id = spark.sparkContext.applicationId
+    saved = bio._SCRATCH.pop(app_id, None)
+    try:
+        df = bio.session_fixture(
+            spark, "/fake/sf_env", "test_fixture_env_root",
+            lambda: spark.range(4).withColumnRenamed("id", "k"),
+        )
+        assert df.count() == 4
+        staged = list(
+            (tmp_path / f"bb_fixtures_{app_id}").rglob(
+                "test_fixture_env_root/*.parquet"
+            )
+        )
+        assert staged, "fixture was not staged under SPARK_GRAFT_SCRATCH"
+    finally:
+        bio._SCRATCH.pop(app_id, None)
+        if saved is not None:
+            bio._SCRATCH[app_id] = saved
+
+
+def test_session_fixture_records_build_seconds(spark):
+    """Every staged fixture must leave its build cost in
+    FIXTURE_BUILD_SECONDS so bench.py can stamp it (r10 verdict #1:
+    staging cost was invisible in every recorded number)."""
+    from baronbatch_etl_spark import io as bio
+
+    bio.FIXTURE_BUILD_SECONDS.pop("test_fixture_timed", None)
+    bio.session_fixture(
+        spark, "/fake/sf_t", "test_fixture_timed",
+        lambda: spark.range(10).withColumnRenamed("id", "k"),
+    )
+    assert bio.FIXTURE_BUILD_SECONDS.get("test_fixture_timed", 0) > 0

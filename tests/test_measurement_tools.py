@@ -30,10 +30,11 @@ def test_parse_child_happy_path():
             ),
         ]
     )
-    detail, headline, canary = parse_child_stdout(out)
+    detail, headline, canary, meta = parse_child_stdout(out)
     assert detail == {"q1": 1.5, "q2": 0.3}
     assert headline == 12.3
     assert canary == 0.87
+    assert meta == {}
 
 
 def test_parse_child_tolerates_brace_noise():
@@ -49,7 +50,7 @@ def test_parse_child_tolerates_brace_noise():
                         "canary_s": 1.2}),
         ]
     )
-    detail, headline, canary = parse_child_stdout(out)
+    detail, headline, canary, _ = parse_child_stdout(out)
     assert detail == {"q1": 2.0}
     assert headline == 5.0
     assert canary == 1.2
@@ -62,14 +63,31 @@ def test_parse_child_partial_child_yields_none_headline():
         {"metric": "x", "headline_runtime": None,
          "headline_missing": ["q9"]}
     )
-    detail, headline, canary = parse_child_stdout(out)
+    detail, headline, canary, _ = parse_child_stdout(out)
     assert detail == {}
     assert headline is None
     assert canary is None
 
 
 def test_parse_child_empty_stdout():
-    assert parse_child_stdout("") == ({}, None, None)
+    assert parse_child_stdout("") == ({}, None, None, {})
+
+
+def test_parse_child_meta_stamps():
+    # r11 (r10 verdict #1): the child's self-evidencing stamps —
+    # fixture staging cost, effective master, defaultParallelism —
+    # must survive into the orchestrator's merge
+    out = json.dumps(
+        {"metric": "x", "headline_runtime": 3.0, "canary_s": 0.9,
+         "fixtures": {"doc_signatures": 6.8},
+         "master": "local[32]", "default_parallelism": 32}
+    )
+    _, _, _, meta = parse_child_stdout(out)
+    assert meta == {
+        "fixtures": {"doc_signatures": 6.8},
+        "master": "local[32]",
+        "default_parallelism": 32,
+    }
 
 
 # ---------------------------------------------------------------------------
