@@ -50,6 +50,12 @@ MINHASH_B = (
 LSH_BANDS = 4  # 4 bands × 4 rows ⇒ P(candidate) = 1-(1-s⁴)⁴
 LSH_ROWS = MINHASH_K // LSH_BANDS
 
+#: Prefix width the staged signature table stores in its ``pfx``
+#: column (catalog_llm._doc_signatures and its DuckDB oracle twin
+#: both read this). edit_distance_pairs(base=...) accepts any
+#: prefix_len <= this width exactly, and raises beyond it.
+STAGED_PREFIX_LEN = 64
+
 # 60-bit fingerprint assembled from TWO independent token-hash
 # families (base-31 → bits 0..29, base-131 → bits 30..59): POLY_P is
 # ~2^30, so one family alone yields ≤30 informative bits, and a wider
@@ -150,6 +156,20 @@ def lsh_candidate_pairs(base: DataFrame) -> DataFrame:
 _SIG_BASE_COLS = ("doc_id", "sig", "sh")
 
 
+def _require_docs_or_base(
+    docs: DataFrame | None, base: DataFrame | None
+) -> None:
+    """Loud misuse guard: every pair operator needs either the raw
+    ``docs`` frame or a staged ``base`` — with neither, the failure
+    used to surface as an opaque AttributeError deep inside
+    ``spread(None)`` (the r10 advice item)."""
+    if docs is None and base is None:
+        raise ValueError(
+            "pass either docs= (raw documents) or base= (a staged "
+            "signature frame); both were None"
+        )
+
+
 def _require_sig_base(base: DataFrame, cols: tuple[str, ...]) -> None:
     """Loud misuse guard for caller-staged signature frames: a base
     missing a required column would otherwise fail deep inside the
@@ -204,6 +224,7 @@ def minhash_lsh_pairs(
     from the pushdown-capable scan directly, and column pruning gives
     the banding branch (doc_id, sig) and the verify branches
     (doc_id, sh) without either reading the other's array column."""
+    _require_docs_or_base(docs, base)
     if base is not None:
         _require_sig_base(base, _SIG_BASE_COLS)
         base = base.select("doc_id", "sig", "sh")
@@ -280,6 +301,7 @@ def containment_pairs(
     shingle sets once; a staged base is storage-backed and is not
     re-checkpointed (the minhash_lsh_pairs ``base=`` contract).
     """
+    _require_docs_or_base(docs, base)
     if base is not None:
         _require_sig_base(base, ("doc_id", "sh"))
         base = base.select("doc_id", "sh")
@@ -376,15 +398,39 @@ def edit_distance_pairs(
     bit-stable).
 
     ``base=`` accepts a staged ``(doc_id, pfx, sig, sh)`` frame (the
-    minhash_lsh_pairs contract, plus ``pfx`` which MUST be
-    ``substring(text, 1, prefix_len)`` — the caller staging the table
-    owns that agreement; catalog_llm._doc_signatures stores the
-    64-char default). A staged base is storage-backed and not
+    minhash_lsh_pairs contract, plus ``pfx`` which must hold AT LEAST
+    ``prefix_len`` chars of each document's text; catalog_llm.
+    _doc_signatures stores the 64-char default). The staged column is
+    re-trimmed to ``prefix_len`` here — exact whenever the stored
+    width ≥ ``prefix_len`` (substring of a longer stored prefix IS
+    the requested prefix); a caller asking for MORE than the stored
+    width would get stored-width distances silently, so that case
+    raises (the stored width is not introspectable from the frame,
+    but any doc with a full-width ``pfx`` proves the stage width —
+    cheaper to verify at plan level: we require prefix_len <= the
+    documented stage width). A staged base is storage-backed and not
     re-checkpointed.
     """
+    _require_docs_or_base(docs, base)
     if base is not None:
         _require_sig_base(base, ("doc_id", "pfx", "sig", "sh"))
-        base = base.select("doc_id", "pfx", "sig", "sh")
+        if prefix_len > STAGED_PREFIX_LEN:
+            raise ValueError(
+                f"prefix_len={prefix_len} exceeds the staged prefix "
+                f"width ({STAGED_PREFIX_LEN}); rebuild the signature "
+                "base with a wider pfx or pass docs= for an inline "
+                "pass"
+            )
+        base = base.select(
+            "doc_id",
+            # exact: stored pfx is substring(text, 1, STAGED_PREFIX_LEN)
+            # and prefix_len <= STAGED_PREFIX_LEN, so this equals
+            # substring(text, 1, prefix_len) (the r10 advice item:
+            # the parameter used to be silently ignored)
+            F.substring(F.col("pfx"), 1, prefix_len).alias("pfx"),
+            "sig",
+            "sh",
+        )
     else:
         base = (
             spread(docs)
@@ -553,6 +599,7 @@ def simhash_near_pairs(
             f"got {max_hamming} — pairs differing in every block would be "
             "silently missed (use more/smaller blocks for larger radii)"
         )
+    _require_docs_or_base(docs, base)
     if base is not None:
         _require_sig_base(base, ("doc_id", "simhash"))
         base = base.select("doc_id", F.col("simhash").alias("sh"))
@@ -658,6 +705,7 @@ def ngram_jaccard_pairs(
     """
     if threshold <= 0:
         raise ValueError("prefix filter requires threshold > 0")
+    _require_docs_or_base(docs, base)
     if base is not None:
         _require_sig_base(base, ("doc_id", "lang", "n_chars", "sh"))
         hashed = base.select("doc_id", "lang", "n_chars", "sh")

@@ -17,6 +17,15 @@ from pyspark.sql import functions as F
 #: Modulus for the portable polynomial hash (fits 31·P in int64).
 POLY_P = 1_000_000_007
 
+#: Shingle width for benchmark-contamination checks — THE single
+#: source of truth: catalog_curation's inline pass/oracle fragments
+#: and catalog_llm's staged ``sh4`` signature column both read it
+#: (a width drift between them would silently corrupt
+#: t_contamination/t_training_set — the r10 advice item). 4-grams are
+#: the sweet spot for this fixture vocabulary (3-grams over-fire,
+#: 5-grams under-fire); production corpora typically use 8-13.
+CONTAM_SHINGLE_N = 4
+
 
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization (single-space convention)."""

@@ -33,10 +33,10 @@ _SQL_TOKEN_COUNT = (
 # Benchmark decontamination
 # ---------------------------------------------------------------------------
 
-#: Shingle width for contamination checks. 4-grams are the sweet spot
-#: for this fixture vocabulary (3-grams over-fire, 5-grams under-fire);
-#: production corpora typically use 8-13.
-_CONTAM_N = 4
+#: Shingle width for contamination checks — read from the shared
+#: constant so the staged ``sh4`` column (catalog_llm._sh4_fast) can
+#: never silently diverge in width (the r10 advice item).
+_CONTAM_N = X.CONTAM_SHINGLE_N
 
 _CONTAM_SHINGLES = (
     f"list_transform({X.sql_word_ngrams(_SQL_TOKENS, _CONTAM_N)}, "

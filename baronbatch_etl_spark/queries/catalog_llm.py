@@ -22,13 +22,18 @@ from baronbatch_etl_spark.operators.fast_text import (
     word_bigrams_fast,
 )
 
-#: Width-4 shingle hasher for the staged contamination column (the
-#: same maker/width as catalog_curation._contam_shingles_fast, so the
-#: staged ``sh4`` values are bit-identical to the inline pass).
-_sh4_fast = make_shingle_hashes_udf(4)
+#: Contamination-width shingle hasher for the staged ``sh4`` column —
+#: the same maker AND width as catalog_curation._contam_shingles_fast
+#: (both read the one shared constant: a width change must never
+#: silently diverge the staged column from the oracle and the
+#: streaming twin — the r10 advice item; a direct import from
+#: catalog_curation would cycle, since its oracles evaluate this
+#: module's SQL fragments at import time).
 from baronbatch_etl_spark.operators import multimodal as M
 from baronbatch_etl_spark.operators import similarity as S
 from baronbatch_etl_spark.operators import text as X
+
+_sh4_fast = make_shingle_hashes_udf(X.CONTAM_SHINGLE_N)
 from baronbatch_etl_spark.queries import register
 
 # --- shared SQL fragments (DuckDB twins of the text operators) -------------
@@ -414,7 +419,9 @@ def _doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # dedup.edit_distance_pairs — substring is row-local
                 # and the stored copy saves its consumers the text
                 # column entirely
-                F.substring(F.col("text"), 1, 64).alias("pfx"),
+                F.substring(
+                    F.col("text"), 1, D.STAGED_PREFIX_LEN
+                ).alias("pfx"),
                 D.sig_and_shingles_fast(F.col("text")).alias("x"),
                 # all three pandas UDFs evaluate in the ONE
                 # ArrowEvalPython pass of this projection — text
@@ -851,7 +858,7 @@ def d_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     run all-pairs (operators/dedup.py edit_distance_pairs)."""
     return D.edit_distance_pairs(
         None,
-        prefix_len=64,  # matches the fixture's stored 64-char pfx
+        prefix_len=D.STAGED_PREFIX_LEN,  # the fixture's stored width
         max_dist=8,
         base=_doc_signatures(spark, sf_dir),
     )

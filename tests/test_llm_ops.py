@@ -980,10 +980,11 @@ def test_signature_base_rejects_missing_columns(spark):
 
 
 def test_kmeans_mstep_centroids_exact(spark):
-    """The M-step aggregate battery (per-dim fixed-point sums over the
-    array columns — no posexplode) must recenter to exactly the
-    hand-computed quantized means: round-2 distances pin the round-1
-    centroids bit-for-bit."""
+    """The k-means M-step must recenter to exactly the hand-computed
+    quantized means, whatever its implementation shape (the aggregate
+    battery tried in r10 was reverted to the posexplode partial-agg —
+    this pins the BEHAVIOR, not the shape): round-2 distances pin the
+    round-1 centroids bit-for-bit."""
     emb = _vecs(spark, [[0.0, 0.0], [4.0, 0.0], [1.0, 1.0], [3.0, 1.0]])
     rows = {
         r.vec_id: r for r in S.kmeans_assign(emb, k=2, iters=2).collect()
@@ -993,3 +994,47 @@ def test_kmeans_mstep_centroids_exact(spark):
     assert rows[2].cluster == 0 and rows[2].dist == 0.5
     assert rows[1].cluster == 1 and rows[1].dist == 0.5
     assert rows[3].cluster == 1 and rows[3].dist == 0.5
+
+
+def test_pair_operators_reject_double_none():
+    """Every pair operator must raise a clear misuse error when both
+    docs= and base= are None (the r10 advice item: the failure used to
+    be an opaque AttributeError inside spread(None))."""
+    for call in (
+        lambda: D.minhash_lsh_pairs(None),
+        lambda: D.containment_pairs(None),
+        lambda: D.edit_distance_pairs(None),
+        lambda: D.simhash_near_pairs(None),
+        lambda: D.ngram_jaccard_pairs(None, 0.5),
+    ):
+        with pytest.raises(ValueError, match="docs= .* or base="):
+            call()
+
+
+def test_edit_distance_base_honors_prefix_len(spark, sf_dir):
+    """edit_distance_pairs(base=...) used to silently ignore
+    prefix_len (the r10 advice item); now the staged pfx is re-trimmed
+    — a narrower prefix_len over the staged base must agree exactly
+    with the inline pass at that prefix_len, and a prefix_len wider
+    than the staged column must raise instead of silently using
+    stored-width distances."""
+    from baronbatch_etl_spark.queries.catalog_llm import _doc_signatures
+
+    docs = __import__(
+        "baronbatch_etl_spark.io", fromlist=["load_table"]
+    ).load_table(spark, sf_dir, "documents")
+    base = _doc_signatures(spark, sf_dir)
+
+    def key(df):
+        return sorted(
+            (r.doc_a, r.doc_b, r.prefix_dist, round(r.prefix_sim, 12))
+            for r in df.collect()
+        )
+
+    staged = key(D.edit_distance_pairs(None, prefix_len=16, base=base))
+    inline = key(D.edit_distance_pairs(docs, prefix_len=16))
+    assert staged == inline and staged  # non-vacuous at sf0.001
+    with pytest.raises(ValueError, match="exceeds the staged prefix"):
+        D.edit_distance_pairs(
+            None, prefix_len=D.STAGED_PREFIX_LEN + 1, base=base
+        )
