@@ -142,6 +142,18 @@ def spread_width(
 #: that created them.
 _FIXTURES: dict[tuple[str, str, str], DataFrame] = {}
 
+#: Target bytes per staged-fixture output file (guide §6: sensible
+#: output file sizing — aim for large files; readers re-split big
+#: parquet files at row-group granularity, so large files never cost
+#: scan parallelism, while many small files cost one task per file
+#: in EVERY consumer stage). At sf0.1 the signature fixture written
+#: at build width was 10 sub-MB files → 10-task stages in every one
+#: of its ~15 consumers' row-local branches (measured +0.3-0.4 s per
+#: composite query); one file reads as 1-2 splits.
+FIXTURE_TARGET_FILE_BYTES = int(
+    os.environ.get("SPARK_GRAFT_FIXTURE_FILE_BYTES", 128 * 1024 * 1024)
+)
+
 #: Seconds each staged fixture took to DERIVE AND WRITE in this
 #: process, keyed by fixture name (r10 verdict #1: the staging build
 #: cost must be visible in every recorded bench number — bench.py
@@ -197,7 +209,29 @@ def session_fixture(
         if root is None:
             raise OSError("no usable staging root for this master")
         path = f"{root}/{sub}/{name}"
-        df.write.mode("overwrite").parquet(path)
+        # size the OUTPUT files, not the build: a repartition (not
+        # coalesce — coalesce would collapse the Arrow build pass's
+        # compute width too) shrinks the write to
+        # ceil(est / FIXTURE_TARGET_FILE_BYTES) files. The shuffle
+        # moves only the fixture itself, and values are row-local /
+        # keyed-aggregate (partition-order independent), so the
+        # staged values are unaffected.
+        out = df
+        try:
+            est = int(
+                str(
+                    df._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            )
+            nfiles = max(1, -(-est // FIXTURE_TARGET_FILE_BYTES))
+            if nfiles < out.rdd.getNumPartitions():
+                out = out.repartition(nfiles)
+        except Exception:  # noqa: BLE001 — stats are best-effort
+            pass
+        out.write.mode("overwrite").parquet(path)
         df = spark.read.parquet(path)
     except Exception:  # noqa: BLE001 — scratch-space failure only
         # degraded mode (read-only tmp, or a non-local master with no

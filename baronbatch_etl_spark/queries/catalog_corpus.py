@@ -12,6 +12,8 @@ agree exactly (the same trick t_tfidf uses for idf-free weights).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -103,6 +105,68 @@ def t_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cross-source overlap: MinHash-estimated + exact Jaccard per source pair
 # ---------------------------------------------------------------------------
 
+def _parse_size_bytes(v: str | int | None) -> int:
+    """Parse a Spark size conf value ('10MB', '10485760b', '-1') to
+    bytes. Unknown/unset → -1 (gate stays on the self-join shape)."""
+    if v is None:
+        return -1
+    s = str(v).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3), ("tb", 1024**4),
+        ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("t", 1024**4),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return -1
+
+
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    try:
+        return _parse_size_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except Exception:  # noqa: BLE001 — conf surface differences
+        return -1
+
+
+def _pruned_scan_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a pruned scan — REAL compressed
+    bytes when the source is parquet on storage (the staged fixture),
+    so the shape gate below decides from measurements, not guesses."""
+    try:
+        return int(
+            str(
+                df._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes()
+            )
+        )
+    except Exception:  # noqa: BLE001 — py4j surface differences
+        return -1
+
+
+def _overlap_use_expansion(
+    est_bytes: int, threshold_bytes: int, force: str | None = None
+) -> bool:
+    """The d_source_overlap shape gate as a pure, unit-testable rule:
+    pair-expansion once the shingle vocabulary can no longer
+    broadcast (est > threshold), self-join otherwise. Unknown
+    estimate or disabled/unknown threshold → self-join (the measured
+    winner at bench scale). ``force`` ('expand' / 'selfjoin', from
+    $SPARK_GRAFT_OVERLAP_SHAPE) pins a branch for A/B runs and the
+    per-branch oracle tests."""
+    if force == "expand":
+        return True
+    if force == "selfjoin":
+        return False
+    return est_bytes > threshold_bytes > 0
+
+
 def _source_overlap_sql() -> str:
     mins = ",\n       ".join(
         f"min(({a}::BIGINT * h + {b}) % {X.POLY_P}) AS m{j}"
@@ -182,9 +246,9 @@ def d_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # column-pruned parquet read shared across the session
     from baronbatch_etl_spark.queries.catalog_llm import _doc_signatures
 
+    sigs = _doc_signatures(spark, sf_dir)
     sh = (
-        _doc_signatures(spark, sf_dir)
-        .select("source", F.explode("sh").alias("h"))
+        sigs.select("source", F.explode("sh").alias("h"))
         .distinct()
         # six consumers (sizes ×2 via the grid, signatures ×2, both
         # self-join sides) would each replay the Arrow hash + explode
@@ -212,18 +276,62 @@ def d_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = stats.select(
         "source", *[f"m{j}" for j in range(D.MINHASH_K)]
     )
-    inter = (
-        sh.alias("l")
-        .join(
-            sh.alias("r"),
-            (F.col("l.h") == F.col("r.h"))
-            & (F.col("l.source") < F.col("r.source")),
+    # Exact intersections, size-gated between two value-identical
+    # shapes (r10 verdict #5). The SELF-JOIN shape wins while the
+    # vocabulary broadcasts (AQE turns it into one broadcast hash
+    # join — the r10 session measured the expansion 2× slower at
+    # sf0.1 for exactly this reason); the PER-SHINGLE PAIR-EXPANSION
+    # shape wins once the vocabulary outgrows the broadcast
+    # threshold, where the self-join degrades to shuffling the
+    # vocabulary twice for a sort-merge join — expansion shuffles it
+    # once into a shingle-keyed collect_set whose fan-out is bounded
+    # by |sources|² per shingle (sources are a catalog dimension).
+    # The gate reads REAL bytes: the staged fixture's pruned
+    # (source, sh) parquet columns, against the session's
+    # autoBroadcastJoinThreshold.
+    if _overlap_use_expansion(
+        _pruned_scan_bytes(sigs.select("source", "sh")),
+        _broadcast_threshold_bytes(spark),
+        os.environ.get("SPARK_GRAFT_OVERLAP_SHAPE"),
+    ):
+        pair_structs = F.flatten(
+            F.transform(
+                "ss",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ss"), i + F.lit(2), F.size("ss")),
+                    lambda y: F.struct(
+                        x.alias("src_a"), y.alias("src_b")
+                    ),
+                ),
+            )
         )
-        .groupBy(
-            F.col("l.source").alias("src_a"), F.col("r.source").alias("src_b")
+        inter = (
+            sh.groupBy("h")
+            # sort_array asc = the same UTF8 ordering as the
+            # self-join's l.source < r.source predicate, so expanded
+            # pairs are identical (src_a < src_b by construction)
+            .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+            .select(F.explode(pair_structs).alias("p"))
+            .groupBy(
+                F.col("p.src_a").alias("src_a"),
+                F.col("p.src_b").alias("src_b"),
+            )
+            .agg(F.count("*").alias("n_inter"))
         )
-        .agg(F.count("*").alias("n_inter"))
-    )
+    else:
+        inter = (
+            sh.alias("l")
+            .join(
+                sh.alias("r"),
+                (F.col("l.h") == F.col("r.h"))
+                & (F.col("l.source") < F.col("r.source")),
+            )
+            .groupBy(
+                F.col("l.source").alias("src_a"),
+                F.col("r.source").alias("src_b"),
+            )
+            .agg(F.count("*").alias("n_inter"))
+        )
     grid = (
         sizes.alias("sa")
         .join(

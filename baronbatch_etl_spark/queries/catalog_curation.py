@@ -667,8 +667,12 @@ def curate_stats(
     ``signatures=`` hands in the staged signature table: the
     contamination shingles then come from its ``sh4`` column (the
     same maker/width as ``_contam_shingles_fast`` — bit-identical
-    values) instead of a per-call Arrow pass over text. The streaming
-    twin keeps the inline pass (micro-batches are not corpus-keyed)."""
+    values) instead of a per-call Arrow pass over text. When
+    ``deduped`` carries a staged ``n_tok`` column (the signatures
+    path of :func:`curate_survivors`), the dataset-card token sums
+    read it instead of re-tokenizing text — the same row-local
+    value, so the rollup is bit-identical. The streaming twin keeps
+    the inline pass (micro-batches are not corpus-keyed)."""
     if signatures is not None:
         sh = signatures.select("doc_id", F.explode("sh4").alias("h"))
     else:
@@ -706,13 +710,18 @@ def curate_stats(
         )
         % 1000
     )
+    n_tok = (
+        F.col("n_tok")
+        if "n_tok" in mixed.columns
+        else X.token_count("text").cast("long")
+    )
     tagged = mixed.select(
         "lang",
         F.when(split_bucket < _SPLIT_TRAIN, "train")
         .when(split_bucket < _SPLIT_VAL, "val")
         .otherwise("test")
         .alias("split"),
-        X.token_count("text").cast("long").alias("n_tok"),
+        n_tok.alias("n_tok"),
     )
     return tagged.groupBy("split", "lang").agg(
         F.count("*").alias("n_docs"),
@@ -764,33 +773,56 @@ def curate_survivors(
     asserts the two sets coincide.
 
     ``signatures=`` hands in the staged corpus signature table
-    (catalog_llm._doc_signatures): the LSH stage then reads the
-    survivor pool's (sig, sh) rows from storage (one doc_id join)
-    instead of re-running the Arrow signature pass over the survivor
-    text — value-identical because signatures are row-local functions
-    of (doc_id, text). The streaming twin keeps the inline pass (its
-    micro-batches are not corpus-keyed)."""
+    (catalog_llm._doc_signatures): the quality gate, the exact-dedup
+    digest AND the LSH stage then read row-local per-document columns
+    (qscore, md5, sig, sh) from storage instead of re-scanning and
+    re-hashing the full text per query — value-identical because all
+    of them are row-local functions of (doc_id, text), and the
+    survivor DERIVATION (digest group-min, banding join, verification,
+    component propagation, anti-join) still runs in-plan here, per
+    query. In this path the returned frame carries
+    (doc_id, lang, n_chars, n_tok) — no text column at all, so
+    nothing downstream ever moves document bodies. The streaming twin
+    keeps the inline pass (its micro-batches are not corpus-keyed)."""
     from baronbatch_etl_spark.operators import dedup as D
 
-    qual = docs.filter(X.quality_score("text", "n_chars") >= 0.35)
-    keep = (
-        qual.select("doc_id", F.md5("text").alias("text_md5"))
-        .groupBy("text_md5")
-        .agg(F.min("doc_id").alias("doc_id"))
-    )
-    sdocs = qual.join(keep.select("doc_id"), "doc_id").localCheckpoint(
-        eager=False  # freed with the frame, not pinned for the session
-    )
-    base = (
-        signatures.join(sdocs.select("doc_id"), "doc_id")
-        if signatures is not None
-        else None
-    )
-    comp = D.connected_components(
-        D.minhash_lsh_pairs(
-            sdocs if base is None else None, threshold=0.8, base=base
+    if signatures is not None:
+        # pruned fixture scan: (doc_id, lang, n_chars, n_tok, qscore,
+        # md5) — narrow columns, but the digest group-min is still a
+        # shuffle with several consumer branches (LSH base, the
+        # anti-join side, the caller's stats chain), so the survivor
+        # frame keeps the lazy-checkpoint barrier; materializing it
+        # is cheap now that it carries no text
+        qual = signatures.select(
+            "doc_id", "lang", "n_chars", "n_tok", "qscore", "md5"
+        ).filter(F.col("qscore") >= 0.35)
+        keep = (
+            qual.select("doc_id", F.col("md5").alias("text_md5"))
+            .groupBy("text_md5")
+            .agg(F.min("doc_id").alias("doc_id"))
         )
-    )
+        sdocs = (
+            qual.select("doc_id", "lang", "n_chars", "n_tok")
+            .join(keep.select("doc_id"), "doc_id")
+            .localCheckpoint(eager=False)
+        )
+        base = signatures.join(sdocs.select("doc_id"), "doc_id")
+        comp = D.connected_components(
+            D.minhash_lsh_pairs(None, threshold=0.8, base=base)
+        )
+    else:
+        qual = docs.filter(X.quality_score("text", "n_chars") >= 0.35)
+        keep = (
+            qual.select("doc_id", F.md5("text").alias("text_md5"))
+            .groupBy("text_md5")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        sdocs = qual.join(keep.select("doc_id"), "doc_id").localCheckpoint(
+            eager=False  # freed with the frame, not pinned for the session
+        )
+        comp = D.connected_components(
+            D.minhash_lsh_pairs(sdocs, threshold=0.8)
+        )
     removed = comp.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("doc_id")
     )
@@ -1236,12 +1268,14 @@ def t_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from baronbatch_etl_spark.operators import dedup as D
     from baronbatch_etl_spark.queries.catalog_llm import _doc_signatures
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(
-        None, threshold=0.8, base=_doc_signatures(spark, sf_dir)
-    )
+    sigs = _doc_signatures(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(None, threshold=0.8, base=sigs)
     comp = D.connected_components(pairs).withColumnRenamed("node", "doc_id")
-    rooted = docs.join(comp, "doc_id", "left").select(
+    # the universe of doc_ids comes from the fixture's pruned id
+    # column — one row per document by construction, so the left
+    # join + coalesce is value-identical to the former raw-table
+    # scan (r11: drops a second documents.parquet pass)
+    rooted = sigs.select("doc_id").join(comp, "doc_id", "left").select(
         "doc_id", F.coalesce("comp", "doc_id").alias("root")
     )
     bucket = (

@@ -1038,3 +1038,107 @@ def test_edit_distance_base_honors_prefix_len(spark, sf_dir):
         D.edit_distance_pairs(
             None, prefix_len=D.STAGED_PREFIX_LEN + 1, base=base
         )
+
+
+def test_staged_scalar_columns_match_inline(spark, sf_dir):
+    """The r11 fixture columns (md5, qscore, n_tok) must be
+    bit-identical to the inline expressions they replace in the
+    survivor composites — md5 string equality, qscore exact double
+    equality (fixed IEEE expression, parquet round-trips doubles
+    exactly), n_tok integer equality."""
+    from baronbatch_etl_spark.io import load_table
+    from baronbatch_etl_spark.queries.catalog_llm import _doc_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    inline = {
+        r.doc_id: (r.md5, r.qscore, r.n_tok)
+        for r in docs.select(
+            "doc_id",
+            F.md5("text").alias("md5"),
+            X.quality_score("text", "n_chars").alias("qscore"),
+            X.token_count("text").cast("long").alias("n_tok"),
+        ).collect()
+    }
+    staged = {
+        r.doc_id: (r.md5, r.qscore, r.n_tok)
+        for r in _doc_signatures(spark, sf_dir)
+        .select("doc_id", "md5", "qscore", "n_tok")
+        .collect()
+    }
+    assert staged == inline and len(staged) > 0
+
+
+def test_curate_survivors_staged_matches_inline(spark, sf_dir):
+    """curate_survivors must produce the SAME survivor set through the
+    staged-fixture path as through the inline full-text path (the
+    streaming twin's shape) — the survivor derivation itself always
+    runs in-plan; only row-local inputs are staged."""
+    from baronbatch_etl_spark.io import load_table
+    from baronbatch_etl_spark.queries.catalog_curation import (
+        curate_survivors,
+    )
+    from baronbatch_etl_spark.queries.catalog_llm import _doc_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    inline = sorted(
+        (r.doc_id, r.lang, r.n_chars)
+        for r in curate_survivors(docs)
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    )
+    staged = sorted(
+        (r.doc_id, r.lang, r.n_chars)
+        for r in curate_survivors(
+            docs, signatures=_doc_signatures(spark, sf_dir)
+        )
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    )
+    assert staged == inline and len(staged) > 0
+
+
+def test_overlap_shape_gate_rules():
+    """d_source_overlap's size gate (r10 verdict #5): expansion only
+    when the vocabulary provably cannot broadcast; unknown sizes and
+    disabled thresholds stay on the measured bench-scale winner."""
+    from baronbatch_etl_spark.queries.catalog_corpus import (
+        _overlap_use_expansion as gate,
+        _parse_size_bytes as psize,
+    )
+
+    assert psize("10MB") == 10 * 1024**2
+    assert psize("10485760b") == 10485760
+    assert psize("-1") == -1 and psize(None) == -1
+    assert gate(20 * 1024**2, 10 * 1024**2)
+    assert not gate(5 * 1024**2, 10 * 1024**2)
+    assert not gate(99, -1)  # broadcast disabled → self-join shape
+    assert not gate(-1, 10 * 1024**2)  # unknown estimate → self-join
+    assert gate(1, 10**9, force="expand")
+    assert not gate(10**12, 1, force="selfjoin")
+
+
+def test_source_overlap_branches_agree(spark, sf_dir):
+    """Both d_source_overlap shapes must produce identical rows —
+    the gate may only ever change the plan, never the answer."""
+    import os as _os
+
+    from baronbatch_etl_spark.queries import load_all
+
+    fn = load_all()["d_source_overlap"].fn
+
+    def rows(shape):
+        _os.environ["SPARK_GRAFT_OVERLAP_SHAPE"] = shape
+        try:
+            return sorted(
+                (
+                    r.src_a, r.src_b, r.n_a, r.n_b, r.n_inter,
+                    r.exact_jaccard, r.sig_matches, r.est_jaccard,
+                )
+                for r in fn(spark, sf_dir).collect()
+            )
+        finally:
+            del _os.environ["SPARK_GRAFT_OVERLAP_SHAPE"]
+
+    a = rows("selfjoin")
+    b = rows("expand")
+    assert a == b and len(a) > 0
