@@ -214,7 +214,9 @@ def hourly_zscores(
     )
 
 
-def kmv_source_overlap(docs: DataFrame, k: int = 64) -> DataFrame:
+def kmv_source_overlap(
+    docs: DataFrame | None, k: int = 64, tokset: DataFrame | None = None
+) -> DataFrame:
     """Pairwise source overlap from k-minimum-values sketches (Beyer
     et al. 2007): per source keep the ``k`` smallest distinct token
     hashes; any sketch pair yields a distinct-union estimate
@@ -230,16 +232,31 @@ def kmv_source_overlap(docs: DataFrame, k: int = 64) -> DataFrame:
     distinct; the per-source k-smallest compiles to WindowGroupLimit;
     everything downstream is |sources|·k rows. Sketches are
     mergeable state: per-shard sketches fold by merge-and-recut.
+
+    ``tokset=`` hands in an already-derived DISTINCT ``(source, hv)``
+    frame (e.g. the staged token-count table) instead of tokenizing
+    and hashing ``docs`` inline — same values by construction (the
+    staged hash is the same portable polynomial per distinct token).
     """
     from pyspark.sql import Window
 
     from baronbatch_etl_spark.operators import text as X
 
-    tokset = (
-        docs.select("source", F.explode(X.tokens("text")).alias("tok"))
-        .select("source", X.char_poly_hash(F.col("tok")).alias("hv"))
-        .distinct()
-    )
+    if docs is None and tokset is None:
+        raise ValueError(
+            "pass either docs= (raw documents) or tokset= (a distinct "
+            "(source, hv) frame); both were None"
+        )
+    if tokset is None:
+        tokset = (
+            docs.select(
+                "source", F.explode(X.tokens("text")).alias("tok")
+            )
+            .select(
+                "source", X.char_poly_hash(F.col("tok")).alias("hv")
+            )
+            .distinct()
+        )
     w_src = Window.partitionBy("source").orderBy("hv")
     sk = (
         tokset.withColumn("rn", F.row_number().over(w_src))

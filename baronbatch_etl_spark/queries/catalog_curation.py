@@ -1445,11 +1445,15 @@ def t_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reduction is entirely over the vocabulary, which is orders of
     magnitude smaller than the corpus at 100 TB.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    tok = spread(docs).select(
-        "source", F.explode(X.tokens("text")).alias("tok")
+    # the (source, token) counts are the staged token-count table;
+    # the MDL fold below still runs in-plan here
+    from baronbatch_etl_spark.queries.catalog_corpus import (
+        _token_source_counts,
     )
-    vocab = tok.groupBy("source", "tok").agg(F.count("*").alias("c_tok"))
+
+    vocab = _token_source_counts(spark, sf_dir).select(
+        "source", "tok", F.col("c").alias("c_tok")
+    )
     totals = vocab.groupBy("source").agg(
         F.sum("c_tok").alias("n_src"),
         F.count("*").alias("vocab_size"),

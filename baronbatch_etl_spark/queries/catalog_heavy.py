@@ -1048,18 +1048,24 @@ def a_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dashboard/app.py:114 aggregate counters) with bounded-memory
     approximate state; not in the reference.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    cnt = (
-        docs.select(F.explode(X.tokens("text")).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("c"))
+    # corpus-grain exact counts re-aggregated from the staged
+    # (source, token) count table — a vocab-sized agg instead of the
+    # full-data token shuffle; hv is functionally dependent on tok so
+    # grouping by both preserves the staged hash. The grid fold,
+    # top-k candidates and probe all still run in-plan here.
+    from baronbatch_etl_spark.queries.catalog_corpus import (
+        _token_source_counts,
     )
-    # two consumers (grid fold + candidate top-k) would each replay
-    # the full-data token shuffle — materialize the vocab-sized
-    # aggregate once (same pattern as d_source_overlap)
-    h = cnt.select(
-        "tok", "c", X.char_poly_hash(F.col("tok")).alias("hv")
-    ).localCheckpoint(eager=False)
+
+    h = (
+        _token_source_counts(spark, sf_dir)
+        .groupBy("tok", "hv")
+        .agg(F.sum("c").alias("c"))
+        # two consumers (grid fold + candidate top-k) — materialize
+        # the vocab-sized aggregate once (same pattern as
+        # d_source_overlap)
+        .localCheckpoint(eager=False)
+    )
 
     cms = CP.cms_grid_from_hashes(h, weight="c")
     cand = h.orderBy(F.desc("c"), F.asc("tok")).limit(CMS_TOPK)
@@ -1650,13 +1656,15 @@ def a_cms_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus size, the whole point of holding a sketch
     instead of the token table.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    hashed = (
-        docs.select(F.explode(X.tokens("text")).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("c"))
-        .select(X.char_poly_hash(F.col("tok")).alias("hv"), "c")
+    # (hv, c) rows from the staged token-count table — the grid fold
+    # below sums cells over them, so (source, token)-grain rows fold
+    # to the identical cells the corpus-grain counts did (cells are
+    # plain sums); the sketch itself is still built in-plan here
+    from baronbatch_etl_spark.queries.catalog_corpus import (
+        _token_source_counts,
     )
+
+    hashed = _token_source_counts(spark, sf_dir).select("hv", "c")
     cms = CP.cms_grid_from_hashes(hashed, weight="c")
     probes = (
         spark.createDataFrame(

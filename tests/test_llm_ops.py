@@ -1142,3 +1142,54 @@ def test_source_overlap_branches_agree(spark, sf_dir):
     a = rows("selfjoin")
     b = rows("expand")
     assert a == b and len(a) > 0
+
+
+def test_token_count_fixture_matches_inline(spark, sf_dir):
+    """The staged token-count table must carry exactly the inline
+    explode → (source, token) counts and the per-distinct-token
+    polynomial hash (the r11 token-grain fixture: consumers fold it
+    into their own sketches, so the counts must be bit-exact)."""
+    from baronbatch_etl_spark.io import load_table
+    from baronbatch_etl_spark.queries.catalog_corpus import (
+        _token_source_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    inline = {
+        (r.source, r.tok): (r.c, r.hv)
+        for r in docs.select(
+            "source", F.explode(X.tokens("text")).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+        .withColumn("hv", X.char_poly_hash(F.col("tok")))
+        .collect()
+    }
+    staged = {
+        (r.source, r.tok): (r.c, r.hv)
+        for r in _token_source_counts(spark, sf_dir).collect()
+    }
+    assert staged == inline and len(staged) > 0
+
+
+def test_kmv_tokset_path_matches_docs_path(spark, sf_dir):
+    """kmv_source_overlap(tokset=) must equal the inline docs path —
+    and reject the double-None misuse."""
+    from baronbatch_etl_spark.io import load_table
+    from baronbatch_etl_spark.operators import corpus as CP
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokset = (
+        docs.select("source", F.explode(X.tokens("text")).alias("tok"))
+        .select("source", X.char_poly_hash(F.col("tok")).alias("hv"))
+        .distinct()
+    )
+    key = lambda r: (r.source_a, r.source_b)  # noqa: E731
+    a = sorted(CP.kmv_source_overlap(docs, k=16).collect(), key=key)
+    b = sorted(
+        CP.kmv_source_overlap(None, k=16, tokset=tokset).collect(),
+        key=key,
+    )
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError, match="docs= .* or tokset="):
+        CP.kmv_source_overlap(None)
