@@ -1022,9 +1022,23 @@ def t_dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = spread(docs).select(
         "doc_id", "source", F.explode(X.tokens("text")).alias("tok")
     )
-    vocab = tok.groupBy("tok").agg(
-        F.count("*").alias("c_all"),
-        F.count(F.when(F.col("source") == "src0", 1)).alias("c_t"),
+    # both count columns fold from the staged (source, tok) count
+    # table — exact: c_all = Σ_sources c, c_t = the src0 slice
+    from baronbatch_etl_spark.queries.catalog_corpus import (
+        _token_source_counts,
+    )
+
+    vocab = (
+        _token_source_counts(spark, sf_dir)
+        .groupBy("tok")
+        .agg(
+            F.sum("c").alias("c_all"),
+            F.sum(
+                F.when(F.col("source") == "src0", F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("c_t"),
+        )
     )
     totals = vocab.agg(
         F.sum("c_all").alias("n_all"), F.sum("c_t").alias("n_t")
@@ -1360,7 +1374,19 @@ def t_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = spread(docs).select(
         "doc_id", F.explode(X.tokens("text")).alias("tok")
     )
-    vocab = tok.groupBy("tok").agg(F.count("*").alias("c_tok"))
+    # the "LM" (corpus token counts) folds from the staged token-count
+    # table — a vocab-sized re-agg instead of replaying the full token
+    # explode+shuffle a second time; the doc-grain explode, the
+    # token-keyed join and the per-doc reduction all stay in-plan
+    from baronbatch_etl_spark.queries.catalog_corpus import (
+        _token_source_counts,
+    )
+
+    vocab = (
+        _token_source_counts(spark, sf_dir)
+        .groupBy("tok")
+        .agg(F.sum("c").alias("c_tok"))
+    )
     totals = vocab.agg(F.sum("c_tok").alias("n_all"))
     surp = F.length(F.bin(F.expr("n_all div c_tok")))
     scored = (
