@@ -359,20 +359,34 @@ def a_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds — the at-scale quantile path (one pass, bounded memory, no
     full sort), oracle-checked via the sketch's rank-error guarantee.
 
-    The exact bounds use a per-group window only to VERIFY; the
+    The exact bounds use rank selection only to VERIFY; the
     production operator is the sketch aggregation alone, which is a
-    partial-aggregable one-shuffle plan at any scale."""
+    partial-aggregable one-shuffle plan at any scale.
+
+    Rank selection runs over the per-group VALUE HISTOGRAM, not the
+    rows (r11): the value at rank r is the value whose cumulative
+    count window [cum − cnt + 1, cum] contains r — identical to
+    row_number selection (ties share a value, so the tiebreak never
+    mattered), but the ordered window now moves |distinct values|
+    rows per group instead of every fact row. The former per-group
+    row sort was also the one 100 TB hazard here (a 3-partition
+    WindowExec sorting the whole fact)."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_quantity"
     )
-    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    ranked = li.select(
+    hist = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("cnt")
+    )
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wall = Window.partitionBy("l_returnflag")
+    cum = hist.select(
         "l_returnflag",
         "l_quantity",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("l_returnflag")).alias("n"),
+        "cnt",
+        F.sum("cnt").over(wq).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
     )
     slack = 2 * F.greatest(
         F.lit(1).cast("long"), F.ceil(F.col("n") / 1000.0)
@@ -384,10 +398,19 @@ def a_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi_rn = F.least(
         F.col("n"), F.ceil(0.5 * F.col("n")).cast("long") + slack
     )
-    bounds = ranked.groupBy("l_returnflag").agg(
+
+    def at_rank(r):
+        return F.max(
+            F.when(
+                (F.col("cum") >= r) & (F.col("cum") - F.col("cnt") < r),
+                F.col("l_quantity"),
+            )
+        )
+
+    bounds = cum.groupBy("l_returnflag").agg(
         F.max("n").alias("n"),
-        F.max(F.when(F.col("rn") == lo_rn, F.col("l_quantity"))).alias("lo"),
-        F.max(F.when(F.col("rn") == hi_rn, F.col("l_quantity"))).alias("hi"),
+        at_rank(lo_rn).alias("lo"),
+        at_rank(hi_rn).alias("hi"),
     )
     approx = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_quantity", F.lit(0.5), F.lit(1000)).alias(
