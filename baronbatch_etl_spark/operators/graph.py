@@ -70,7 +70,6 @@ def pagerank(
     damping: float = 0.85,
     weight_col: str | None = None,
     check_dangling: bool = True,
-    staged: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a ``(src, dst)`` edge list →
     ``(node, rank)``.
@@ -111,49 +110,30 @@ def pagerank(
     BIGINT fixed-point before the ``dst`` aggregation, and the
     teleport term is written ``(1.0 - damping)/N`` so an oracle
     spelling the same IEEE subtraction matches bit-for-bit.
-
-    ``staged=True`` declares that ``edges`` is already the staged
-    degree-weighted frame: it carries a ``deg`` column (the per-src
-    out-degree for the unweighted walk, or Σ_out w for the weighted
-    one — the caller staging the table owns that agreement, like the
-    dedup operators' ``base=``), is storage-backed (a
-    ``session_fixture`` parquet scan), and honors the positive-weight
-    contract by construction. The per-query repartition + window +
-    checkpoint is then skipped — the production staged-edge-list
-    shape, where every analytic scans the materialized graph table.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    if staged:
-        if "deg" not in edges.columns:
-            raise ValueError(
-                "staged=True requires edges to carry a 'deg' column "
-                "(the staged per-src out-degree / out-weight)"
-            )
-        weighted = edges
+    # Stage the degree-weighted edge list ONCE: a single src hash
+    # partitioning, out-degree (or total out-weight) as a window
+    # aggregate over the partition key (no join, no second shuffle),
+    # then an ephemeral localCheckpoint (the operators/dedup.py
+    # pattern — LogicalRDD keeps the partitioning). Every round then
+    # joins the small rank frame onto the stationary edge partitions
+    # — the 100 TB shape: one partitioned materialize, after which
+    # each iteration moves ranks (≈ node count) instead of edges.
+    w_src = Window.partitionBy("src")
+    if weight_col is None:
+        out_share = F.count("*").over(w_src)
     else:
-        # Stage the degree-weighted edge list ONCE: a single src hash
-        # partitioning, out-degree (or total out-weight) as a window
-        # aggregate over the partition key (no join, no second
-        # shuffle), then an ephemeral localCheckpoint (the
-        # operators/dedup.py pattern — LogicalRDD keeps the
-        # partitioning). Every round then joins the small rank frame
-        # onto the stationary edge partitions — the 100 TB shape: one
-        # partitioned materialize, after which each iteration moves
-        # ranks (≈ node count) instead of edges.
-        w_src = Window.partitionBy("src")
-        if weight_col is None:
-            out_share = F.count("*").over(w_src)
-        else:
-            # positive-weight contract (see docstring): guards the
-            # Σ_out w = 0 division for all-zero-weight nodes
-            edges = edges.filter(F.col(weight_col) > 0)
-            out_share = F.sum(weight_col).over(w_src)
-        weighted = (
-            edges.repartition("src")
-            .withColumn("deg", out_share)
-            .localCheckpoint()
-        )
+        # positive-weight contract (see docstring): guards the
+        # Σ_out w = 0 division for all-zero-weight nodes
+        edges = edges.filter(F.col(weight_col) > 0)
+        out_share = F.sum(weight_col).over(w_src)
+    weighted = (
+        edges.repartition("src")
+        .withColumn("deg", out_share)
+        .localCheckpoint()
+    )
 
     def contrib(rank_expr):
         if weight_col is None:

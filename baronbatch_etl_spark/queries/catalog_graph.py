@@ -109,20 +109,20 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     so supplier nodes concentrate incoming mass — the same authority
     asymmetry host-level link graphs show.
     """
+    pairs = _order_pair_counts(spark, sf_dir).select(
+        (F.col("c") * 2).alias("a"),
+        (F.col("s") * 2 + 1).alias("b"),
+    )
     ranks = G.pagerank(
-        # the staged degree-weighted edge table (symmetric closure of
-        # the distinct pair set; deg_cnt = out-degree) — the walk's
-        # three unrolled rounds still run in-plan here
-        _pagerank_edge_frame(spark, sf_dir).select(
-            "src", "dst", F.col("deg_cnt").alias("deg")
-        ),
+        # even/odd key encoding → the two union legs are disjoint and
+        # pairs is already distinct: no second distinct needed
+        G.undirected_edges(pairs, "a", "b", disjoint=True),
         iters=_PR_ITERS,
         damping=_PR_DAMP,
         # the symmetric closure puts every node on both sides — the
         # no-dangling contract holds by construction, so skip the
         # role-doubled sink census (one fewer pass over the edges)
         check_dangling=False,
-        staged=True,
     )
     return (
         ranks.select(
@@ -135,45 +135,6 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "node")
         .limit(20)
     )
-
-
-def _pagerank_edge_frame(spark, sf_dir: str) -> DataFrame:
-    """The degree-weighted order-graph edge table
-    ``(src, dst, w, deg_cnt, deg_w)`` — the symmetric closure of the
-    staged customer↔supplier pair counts with BOTH per-src degree
-    flavors (out-degree for the unweighted walk, Σ_out w for the
-    weighted one) — staged once per (session, sf_dir). Both PageRank
-    queries were re-deriving this identical frame per query
-    (repartition + window + eager checkpoint ≈ 0.57 s at sf0.1); a
-    production graph pipeline materializes the degree-annotated edge
-    list exactly once. Degrees are keyed aggregates (partition-order
-    independent), w comes from the staged pair counts — consumers are
-    value-identical with or without the staging hop, and each still
-    runs its own walk iterations in-plan."""
-
-    def build() -> DataFrame:
-        pw = _order_pair_counts(spark, sf_dir).select(
-            (F.col("c") * 2).alias("a"),
-            (F.col("s") * 2 + 1).alias("b"),
-            "w",
-        )
-        fwd = pw.select(
-            F.col("a").alias("src"), F.col("b").alias("dst"), "w"
-        )
-        rev = pw.select(
-            F.col("b").alias("src"), F.col("a").alias("dst"), "w"
-        )
-        both = fwd.unionByName(rev)
-        # degrees via partial-agg + join (measured cheaper than
-        # repartition + window: the groupBy moves ~nodes rows where
-        # the repartition moved every edge); AQE broadcasts the
-        # node-sized degree frame while it fits
-        deg = both.groupBy("src").agg(
-            F.count("*").alias("deg_cnt"), F.sum("w").alias("deg_w")
-        )
-        return both.join(deg, "src")
-
-    return session_fixture(spark, sf_dir, "pagerank_edges", build)
 
 
 def _frequent_copurchase_edges(spark, sf_dir: str) -> DataFrame:
@@ -429,19 +390,27 @@ def g_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration machinery as `g_pagerank`, contribution
     ``rank · w / Σ_out w`` (operators/graph.py `weight_col`).
     """
+    pw = _order_pair_counts(spark, sf_dir).select(
+        (F.col("c") * 2).alias("a"),
+        (F.col("s") * 2 + 1).alias("b"),
+        "w",
+    )
+    fwd = pw.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    )
+    rev = pw.select(
+        F.col("b").alias("src"), F.col("a").alias("dst"), "w"
+    )
     ranks = G.pagerank(
-        # the staged degree-weighted edge table (deg_w = Σ_out w; w =
-        # the pair's co-occurrence count, > 0 by construction so the
-        # positive-weight contract holds) — the weighted walk's
-        # rounds still run in-plan here
-        _pagerank_edge_frame(spark, sf_dir).select(
-            "src", "dst", "w", F.col("deg_w").alias("deg")
-        ),
+        fwd.unionByName(rev),
         iters=_PR_ITERS,
         damping=_PR_DAMP,
         weight_col="w",
+        # symmetric edges with w = the pair's co-occurrence count
+        # (always > 0 by construction: w counts existing rows), so the
+        # positive-weight filter drops nothing and the no-dangling
+        # contract holds — skip the sink census
         check_dangling=False,
-        staged=True,
     )
     return (
         ranks.select(

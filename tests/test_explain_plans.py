@@ -450,18 +450,18 @@ def test_leakage_split_bucket_is_row_local(spark, registry, sf_dir):
 
 
 def test_pagerank_iterations_reuse_staged_edges(spark, registry, sf_dir):
-    # the degree-weighted edge list is a SESSION FIXTURE (r11): every
-    # unrolled round scans the staged parquet table — no cartesian,
-    # no per-round re-shuffle of an edge-list-sized side; rank frames
+    # the edge list is staged once (partitioned localCheckpoint →
+    # "Scan ExistingRDD" in the final plan) and every unrolled round
+    # joins ranks onto those stationary partitions: no cartesian, no
+    # per-round re-shuffle of an edge-list-sized side — rank frames
     # are node-sized, so AQE turns the contribution joins into
-    # broadcasts over the pushdown-capable fixture scan
+    # broadcasts over the checkpointed scan
     plan = _plan(spark, registry, "g_pagerank", sf_dir)
     assert "CartesianProduct" not in plan
-    assert "pagerank_edges" in plan
-    # the iterations never touch the SOURCE tables: the only parquet
-    # scans are the staged edge table itself
-    for src_table in ("orders.parquet", "lineitem.parquet"):
-        assert src_table not in plan
+    assert "ExistingRDD" in plan
+    # the iterations never touch the source tables again: every
+    # parquet scan happened before the staging checkpoint
+    assert "Scan parquet" not in plan
     # 3 rounds × contribution agg + rank-side exchanges (the printed
     # AQE string includes the pre-adaptive plan too) — a per-round
     # re-shuffle of the edge list would blow well past this bound
